@@ -1,0 +1,591 @@
+"""Array-like inputs with named dimensions ("dim arrays").
+
+A dim array is the value attached to a mapped source node: an N-D array whose
+axes have names (dims) and labeled indices (coords). This reproduces the
+capability surface of the reference adapters
+(``/root/reference/src/cyclebane/value_array_adapters.py``) — sequences,
+numpy arrays, pandas Series, xarray/scipp data arrays — and adds a
+Spark-backed variant (:class:`SparkColumn`) so that node families can be
+backed by arbitrarily large DataFrames instead of driver memory.
+
+Index semantics (parity with the reference):
+
+- plain sequence  -> one dim named ``dim_{axis_zero}``, index = range(len)
+- numpy ndarray   -> dims ``dim_{axis_zero+i}``, index = range(size) per axis
+- pandas Series   -> one dim named after ``series.index.name`` (fallback
+  ``dim_{axis_zero}``), index = the series index values
+- xarray/scipp    -> dims from the object, coords as index values (scipp
+  coords with units become ``(value, unit)`` tuples)
+
+Only label columns backed by pandas Series (or SparkColumn) support grouping.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Hashable, Iterable, Mapping, Sequence
+from typing import Any
+
+IndexName = Hashable
+IndexValue = Hashable
+
+
+class LazyCoords:
+    """Marker for coords that live in a distributed DataFrame.
+
+    Consistency validation against lazy coords is deferred to execution time
+    (comparing would require an action); see ValueStore.
+    """
+
+    def __init__(self, owner: 'SparkColumn', dim: IndexName):
+        self.owner = owner
+        self.dim = dim
+
+    def __iter__(self):
+        raise TypeError(
+            f'Coords of dim {self.dim!r} are Spark-backed (lazy); '
+            'collect them explicitly via SparkColumn.collect_coords().'
+        )
+
+
+class DimArray:
+    """Base class: named-dim array attachable to a source node."""
+
+    #: ordered mapping dim -> iterable of index values (or LazyCoords)
+    @property
+    def coords(self) -> dict[IndexName, Iterable[IndexValue]]:
+        raise NotImplementedError
+
+    @property
+    def dims(self) -> tuple[IndexName, ...]:
+        return tuple(self.coords)
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        raise NotImplementedError
+
+    def at(self, coords: Mapping[IndexName, IndexValue]) -> Any:
+        """Point-select one element by index value per dim."""
+        raise NotImplementedError
+
+    def islice(self, key: Mapping[IndexName, slice]) -> 'DimArray':
+        """Positional slice along named dims."""
+        raise NotImplementedError
+
+    def loc(self, key: Mapping[IndexName, slice]) -> 'DimArray':
+        """Label-based slice; only slices are accepted (parity with reference
+        ``ValueArray.loc``, value_array.py:60-67)."""
+        if not all(isinstance(i, slice) for i in key.values()):
+            raise ValueError('ValueArray.loc only accepts slices, not integers')
+        if not set(key).issubset(set(self.dims)):
+            raise ValueError(
+                f'ValueArray.loc got {key.keys()}, not a subset of {self.dims}'
+            )
+        return self.islice(key)
+
+    def equals(self, other: 'DimArray') -> bool:
+        raise NotImplementedError
+
+    def grouped(self, group_dim: IndexName) -> 'GroupsArray':
+        """Group a 1-D label array by value -> GroupsArray.
+
+        Parity: reference restricts this to pandas Series
+        (value_array.py:88-97); we additionally allow Spark-backed labels.
+        """
+        raise NotImplementedError(
+            'ValueArray.group() is only implemented for Pandas series.'
+        )
+
+    def is_grouping(self) -> bool:
+        return False
+
+    # -- Spark boundary ----------------------------------------------------
+    def to_pandas_long(self) -> 'Any':
+        """Long-form pandas DataFrame: one row per element.
+
+        Columns: one per dim (named by position ``__dim{i}``) plus ``value``.
+        The compiler renames dim columns according to its dim registry.
+        """
+        raise NotImplementedError
+
+
+def _seq_equal(a: Iterable[Any], b: Iterable[Any]) -> bool:
+    la, lb = list(a), list(b)
+    if len(la) != len(lb):
+        return False
+    return all(x == y for x, y in zip(la, lb, strict=True))
+
+
+class SeqArray(DimArray):
+    """A plain Python sequence: one dim, positional index."""
+
+    def __init__(
+        self,
+        values: Sequence[Any],
+        *,
+        index: Sequence[IndexValue] | None = None,
+        axis_zero: int = 0,
+    ):
+        self._values = values
+        self._index = range(len(values)) if index is None else index
+        self._axis_zero = axis_zero
+
+    @property
+    def coords(self) -> dict[IndexName, Iterable[IndexValue]]:
+        return {f'dim_{self._axis_zero}': self._index}
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return (len(self._values),)
+
+    def at(self, coords: Mapping[IndexName, IndexValue]) -> Any:
+        (value,) = coords.values()
+        return self._values[list(self._index).index(value)]
+
+    def islice(self, key: Mapping[IndexName, slice]) -> 'SeqArray':
+        (sl,) = key.values()
+        return SeqArray(
+            self._values[sl], index=self._index[sl], axis_zero=self._axis_zero
+        )
+
+    def equals(self, other: DimArray) -> bool:
+        return (
+            isinstance(other, SeqArray)
+            and type(self._values) is type(other._values)
+            and list(self._values) == list(other._values)
+            and _seq_equal(self._index, other._index)
+            and self._axis_zero == other._axis_zero
+        )
+
+    def to_pandas_long(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {'__dim0': list(self._index), 'value': list(self._values)}
+        )
+
+
+class NdArray(DimArray):
+    """A numpy ndarray: dims ``dim_{axis_zero+i}``, positional indices."""
+
+    def __init__(
+        self,
+        array: Any,
+        *,
+        coords: dict[IndexName, Sequence[IndexValue]] | None = None,
+        axis_zero: int = 0,
+    ):
+        import numpy as np
+
+        self._array = np.asarray(array)
+        if coords is None:
+            coords = {
+                f'dim_{i + axis_zero}': range(size)
+                for i, size in enumerate(self._array.shape)
+            }
+        self._coords = coords
+        self._axis_zero = axis_zero
+
+    @property
+    def coords(self) -> dict[IndexName, Iterable[IndexValue]]:
+        return dict(self._coords)
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self._array.shape
+
+    def at(self, coords: Mapping[IndexName, IndexValue]) -> Any:
+        pos = tuple(
+            list(self._coords[d]).index(coords[d]) for d in self._coords
+        )
+        return self._array[pos]
+
+    def islice(self, key: Mapping[IndexName, slice]) -> 'NdArray':
+        slicer = tuple(key.get(d, slice(None)) for d in self._coords)
+        return NdArray(
+            self._array[slicer],
+            coords={
+                d: values[key.get(d, slice(None))]
+                for d, values in self._coords.items()
+            },
+            axis_zero=self._axis_zero,
+        )
+
+    def equals(self, other: DimArray) -> bool:
+        if not isinstance(other, NdArray):
+            return False
+        return (
+            self._array.shape == other._array.shape
+            and bool((self._array == other._array).all())
+            and list(self._coords) == list(other._coords)
+            and all(
+                _seq_equal(self._coords[d], other._coords[d])
+                for d in self._coords
+            )
+            and self._axis_zero == other._axis_zero
+        )
+
+    def to_pandas_long(self):
+        import itertools
+
+        import pandas as pd
+
+        dims = list(self._coords)
+        rows = []
+        for pos in itertools.product(*(range(s) for s in self._array.shape)):
+            row = {
+                f'__dim{i}': list(self._coords[d])[p]
+                for i, (d, p) in enumerate(zip(dims, pos, strict=True))
+            }
+            row['value'] = self._array[pos]
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+
+class SeriesArray(DimArray):
+    """A pandas Series: one dim named by the series index."""
+
+    def __init__(self, series: Any, *, axis_zero: int = 0):
+        self._series = series
+        self._axis_zero = axis_zero
+
+    @property
+    def _dim(self) -> IndexName:
+        name = self._series.index.name
+        return name if name is not None else f'dim_{self._axis_zero}'
+
+    @property
+    def coords(self) -> dict[IndexName, Iterable[IndexValue]]:
+        return {self._dim: self._series.index}
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return (len(self._series),)
+
+    def at(self, coords: Mapping[IndexName, IndexValue]) -> Any:
+        ((dim, value),) = coords.items()
+        if dim != self._dim:
+            raise ValueError(
+                f'Unexpected index name {dim} for series with index {self._dim}'
+            )
+        return self._series.loc[value]
+
+    def islice(self, key: Mapping[IndexName, slice]) -> 'SeriesArray':
+        (sl,) = key.values()
+        return SeriesArray(self._series.iloc[sl], axis_zero=self._axis_zero)
+
+    def equals(self, other: DimArray) -> bool:
+        return (
+            isinstance(other, SeriesArray)
+            and self._series.equals(other._series)
+            and self._axis_zero == other._axis_zero
+        )
+
+    def grouped(self, group_dim: IndexName) -> 'GroupsArray':
+        s = self._series.rename_axis(self._dim)
+        members = s.groupby(s).groups  # label -> Index of inner index values
+        return GroupsArray(
+            group_dim=group_dim,
+            inner_dim=self._dim,
+            labels=list(members.keys()),
+            members=[list(v) for v in members.values()],
+        )
+
+    def to_pandas_long(self):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {'__dim0': list(self._series.index), 'value': list(self._series)}
+        )
+
+
+class GroupsArray(DimArray):
+    """Result of grouping a 1-D label array: one entry per distinct label.
+
+    Stored in the value store under the groupby-reduce node's name so that
+    branch surgery (getitem/setitem) carries the grouping along — mirroring
+    the reference's design (graph.py:579-585). The group dim contributes its
+    labels to the graph's dim catalog.
+    """
+
+    def __init__(
+        self,
+        *,
+        group_dim: IndexName,
+        inner_dim: IndexName,
+        labels: list[IndexValue],
+        members: list[list[IndexValue]],
+    ):
+        self.group_dim = group_dim
+        self.inner_dim = inner_dim
+        self.labels = labels
+        self.members = members
+
+    @property
+    def coords(self) -> dict[IndexName, Iterable[IndexValue]]:
+        return {self.group_dim: self.labels}
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return (len(self.labels),)
+
+    def members_of(self, label: IndexValue) -> list[IndexValue]:
+        return self.members[self.labels.index(label)]
+
+    def islice(self, key: Mapping[IndexName, slice]) -> 'GroupsArray':
+        (sl,) = key.values()
+        return GroupsArray(
+            group_dim=self.group_dim,
+            inner_dim=self.inner_dim,
+            labels=self.labels[sl],
+            members=self.members[sl],
+        )
+
+    def equals(self, other: DimArray) -> bool:
+        return (
+            isinstance(other, GroupsArray)
+            and self.group_dim == other.group_dim
+            and self.inner_dim == other.inner_dim
+            and self.labels == other.labels
+            and self.members == other.members
+        )
+
+    def is_grouping(self) -> bool:
+        return True
+
+
+class XArrayArray(DimArray):
+    """An xarray.DataArray: dims from the object, coords as labels."""
+
+    def __init__(self, data_array: Any):
+        default = {
+            d: range(s)
+            for d, s in data_array.sizes.items()
+            if d not in data_array.coords
+        }
+        self._da = data_array.assign_coords(default)
+
+    @property
+    def coords(self) -> dict[IndexName, Iterable[IndexValue]]:
+        return {d: list(self._da.coords[d].values) for d in self._da.dims}
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self._da.shape
+
+    def at(self, coords: Mapping[IndexName, IndexValue]) -> Any:
+        return self._da.sel(dict(coords))
+
+    def islice(self, key: Mapping[IndexName, slice]) -> 'XArrayArray':
+        return XArrayArray(self._da.isel(dict(key)))
+
+    def equals(self, other: DimArray) -> bool:
+        return isinstance(other, XArrayArray) and self._da.identical(other._da)
+
+    def to_pandas_long(self):
+        import itertools
+
+        import pandas as pd
+
+        dims = list(self._da.dims)
+        coords = self.coords
+        rows = []
+        for pos in itertools.product(*(range(s) for s in self._da.shape)):
+            row = {
+                f'__dim{i}': list(coords[d])[p]
+                for i, (d, p) in enumerate(zip(dims, pos, strict=True))
+            }
+            row['value'] = self._da.values[pos]
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+
+class ScippArray(DimArray):
+    """A scipp DataArray/Variable; coords with units become (value, unit)."""
+
+    def __init__(self, data_array: Any, sc: Any):
+        default = {
+            d: sc.arange(d, s, unit=None)
+            for d, s in data_array.sizes.items()
+            if d not in data_array.coords
+        }
+        self._da = data_array.assign_coords(default)
+        self._sc = sc
+
+    def _coord_labels(self, dim: IndexName) -> list[IndexValue]:
+        coord = self._da.coords[dim]
+        if coord.unit is None:
+            return list(coord.values)
+        return [(v, str(coord.unit)) for v in coord.values]
+
+    @property
+    def coords(self) -> dict[IndexName, Iterable[IndexValue]]:
+        return {d: self._coord_labels(d) for d in self._da.dims}
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self._da.shape
+
+    def at(self, coords: Mapping[IndexName, IndexValue]) -> Any:
+        out = self._da
+        for dim, value in coords.items():
+            unit = None
+            if isinstance(value, tuple):
+                value, unit = value
+            out = out[dim, self._sc.scalar(value, unit=unit)]
+        return out
+
+    def islice(self, key: Mapping[IndexName, slice]) -> 'ScippArray':
+        out = self._da
+        for dim, sl in key.items():
+            out = out[dim, sl]
+        return ScippArray(out, self._sc)
+
+    def equals(self, other: DimArray) -> bool:
+        return isinstance(other, ScippArray) and self._sc.identical(
+            self._da, other._da
+        )
+
+
+class SparkColumn(DimArray):
+    """A column of a Spark DataFrame used as a node's value array.
+
+    This is the 100 TB path: the "array" never leaves the cluster. Dims are
+    the index columns; coords are lazy. Point selection and label slicing
+    compile to filters (predicate pushdown); positional slicing is
+    intentionally unsupported at scale (a global order would shuffle
+    everything — use label slicing on a sortable index column instead).
+    """
+
+    def __init__(self, df: Any, *, index: Sequence[str], values: str):
+        self.df = df
+        self.index_cols = tuple(index)
+        self.value_col = values
+
+    @property
+    def coords(self) -> dict[IndexName, Iterable[IndexValue]]:
+        return {c: LazyCoords(self, c) for c in self.index_cols}
+
+    @property
+    def dims(self) -> tuple[IndexName, ...]:
+        return self.index_cols
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        raise TypeError('SparkColumn shape requires an action; not supported')
+
+    def collect_coords(self, dim: str) -> list[IndexValue]:
+        return [r[0] for r in self.df.select(dim).distinct().orderBy(dim).collect()]
+
+    def at(self, coords: Mapping[IndexName, IndexValue]) -> Any:
+        import pyspark.sql.functions as F
+
+        df = self.df
+        for dim, value in coords.items():
+            df = df.filter(F.col(dim) == value)
+        rows = df.select(self.value_col).limit(2).collect()
+        if len(rows) != 1:
+            raise KeyError(f'Expected exactly one element at {dict(coords)}')
+        return rows[0][0]
+
+    def islice(self, key: Mapping[IndexName, slice]) -> 'SparkColumn':
+        import pyspark.sql.functions as F
+
+        df = self.df
+        for dim, sl in key.items():
+            if sl.step is not None:
+                raise ValueError('SparkColumn slicing does not support step')
+            if sl.start is not None:
+                df = df.filter(F.col(dim) >= sl.start)
+            if sl.stop is not None:
+                df = df.filter(F.col(dim) < sl.stop)
+        return SparkColumn(df, index=self.index_cols, values=self.value_col)
+
+    def equals(self, other: DimArray) -> bool:
+        return (
+            isinstance(other, SparkColumn)
+            and self.df is other.df
+            and self.index_cols == other.index_cols
+            and self.value_col == other.value_col
+        )
+
+    def grouped(self, group_dim: IndexName) -> 'SparkGroups':
+        if len(self.index_cols) != 1:
+            raise NotImplementedError('grouping requires a 1-D label column')
+        return SparkGroups(
+            label_df=self.df,
+            inner_col=self.index_cols[0],
+            label_col=self.value_col,
+            group_dim=group_dim,
+        )
+
+
+class SparkGroups(DimArray):
+    """Lazy grouping of a Spark-backed label column.
+
+    Never materializes group membership on the driver: the compiler turns it
+    into ``join(labels) … groupBy(label)``.
+    """
+
+    def __init__(
+        self, *, label_df: Any, inner_col: str, label_col: str, group_dim: IndexName
+    ):
+        self.label_df = label_df
+        self.inner_col = inner_col
+        self.label_col = label_col
+        self.group_dim = group_dim
+        self.inner_dim = inner_col
+
+    @property
+    def coords(self) -> dict[IndexName, Iterable[IndexValue]]:
+        return {self.group_dim: LazyCoords(self, self.group_dim)}  # type: ignore[arg-type]
+
+    def is_grouping(self) -> bool:
+        return True
+
+    def equals(self, other: DimArray) -> bool:
+        return (
+            isinstance(other, SparkGroups)
+            and self.label_df is other.label_df
+            and self.inner_col == other.inner_col
+            and self.label_col == other.label_col
+            and self.group_dim == other.group_dim
+        )
+
+
+def as_dim_array(obj: Any, *, axis_zero: int = 0) -> DimArray:
+    """Adapt an array-like object to a DimArray (explicit dispatch)."""
+    if isinstance(obj, DimArray):
+        return obj
+    try:
+        import pandas as pd
+
+        if isinstance(obj, pd.Series):
+            return SeriesArray(obj, axis_zero=axis_zero)
+    except ImportError:
+        pass
+    try:
+        import numpy as np
+
+        if isinstance(obj, np.ndarray):
+            return NdArray(obj, axis_zero=axis_zero)
+    except ImportError:
+        pass
+    try:
+        import xarray as xr
+
+        if isinstance(obj, xr.DataArray):
+            return XArrayArray(obj)
+    except ImportError:
+        pass
+    try:
+        import scipp as sc
+
+        if isinstance(obj, sc.Variable):
+            return ScippArray(sc.DataArray(obj), sc)
+        if isinstance(obj, sc.DataArray):
+            return ScippArray(obj, sc)
+    except ImportError:
+        pass
+    if isinstance(obj, Sequence):
+        return SeqArray(obj, axis_zero=axis_zero)
+    raise ValueError(f'Cannot create ValueArray from {obj}')
