@@ -8,6 +8,7 @@ add the large-scale analytics surface (joins, windows, dedup, similarity
 search, text analysis, streaming) on the same tables.
 """
 
+from .operators.compile import SparkPlan, compile_graph
 from .plan import graph  # noqa: F401  (submodule alias: cyclebane_spark.graph)
 from .plan.graph import Graph, GroupbyGraph, PositionalIndexer
 from .plan.keys import IndexValues, MappedNode, NodeName
@@ -37,7 +38,9 @@ __all__ = [
     'SeriesArray',
     'SparkColumn',
     'SparkGroups',
+    'SparkPlan',
     'ValueStore',
+    'compile_graph',
     'as_dim_array',
     'graph',
 ]

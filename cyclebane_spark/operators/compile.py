@@ -1,0 +1,305 @@
+"""Compile a plan-layer Graph into executable Spark DataFrames.
+
+Where the reference expands the compact DAG into driver-memory node clones
+(``/root/reference/src/cyclebane/graph.py:367-424``), this compiler keeps
+every node *family* as one lazy DataFrame keyed by its dim columns:
+
+- mapped source        -> long-form DataFrame ``(dim..., value)``
+- compute node         -> join of parent frames on shared dim columns
+                          (cross-join for independent dims — the "broadcast"
+                          of chained maps), value = an expression over parent
+                          values
+- reduce node          -> ``groupBy(remaining dims).agg(...)`` — Catalyst
+                          plans partial+final aggregation automatically
+- groupby-reduce node  -> join with the label frame on the inner dim, then
+                          ``groupBy(remaining dims + label)``
+- reduce-all           -> global ``agg`` (single row)
+
+The cartesian instance explosion therefore never materializes anywhere: a
+family with dims (a, b) is a DataFrame with |a|x|b| *rows*, distributed.
+At 100 TB, source families are :class:`SparkColumn` bindings onto parquet
+tables and everything stays on the cluster.
+
+Node implementations (``impls``) are looked up by original node name:
+
+- ``callable(*cols) -> Column``    fast path, stays in whole-stage codegen
+- ``str``                          for reduce nodes: a builtin agg name
+                                   ('sum', 'mean', 'min', 'max', 'count',
+                                   'collect_list', 'first', 'avg')
+- ``('pandas', fn)``               vectorized pandas UDF over parent values
+- missing                          identity (1 parent) / struct (n parents);
+                                   reduce defaults to 'collect_list'
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Hashable, Mapping
+from typing import Any
+
+from ..plan.graph import Graph
+from ..plan.keys import MappedNode
+from ..plan.keys import base_name as _base
+from ..plan.keys import node_dims as _dims
+from ..sources.arrays import GroupsArray, SparkColumn, SparkGroups
+
+_AGGS = {
+    'sum', 'mean', 'avg', 'min', 'max', 'count',
+    'collect_list', 'collect_set', 'first', 'stddev', 'variance',
+}
+
+VALUE_COL = 'value'
+
+
+def _sanitize(name: Any) -> str:
+    s = re.sub(r'[^0-9A-Za-z_]', '_', str(name))
+    return s or 'dim'
+
+
+class DimNames:
+    """Stable dim -> column-name mapping (handles non-string dims)."""
+
+    def __init__(self) -> None:
+        self._cols: dict[Hashable, str] = {}
+
+    def col(self, dim: Hashable) -> str:
+        if dim not in self._cols:
+            base = _sanitize(dim)
+            if base == VALUE_COL:
+                base = f'{base}_dim'
+            col = base
+            i = 1
+            while col in self._cols.values():
+                col = f'{base}_{i}'
+                i += 1
+            self._cols[dim] = col
+        return self._cols[dim]
+
+
+class SparkPlan:
+    """Lazily compiled plan: one DataFrame per node family, memoized."""
+
+    def __init__(
+        self,
+        spark: Any,
+        graph: Graph,
+        impls: Mapping[Hashable, Any] | None = None,
+    ):
+        self._spark = spark
+        self._graph = graph
+        self._impls = dict(impls or {})
+        self._dims = DimNames()
+        self._frames: dict[Hashable, Any] = {}
+
+    # -- public -----------------------------------------------------------
+    def frame(self, node: Hashable):
+        """The DataFrame of a node family: dim columns + ``value``."""
+        key = self._graph._resolve_key(node)
+        return self._frame(key)
+
+    __getitem__ = frame
+
+    def dim_column(self, dim: Hashable) -> str:
+        return self._dims.col(dim)
+
+    # -- compilation --------------------------------------------------------
+    def _frame(self, key: Hashable):
+        if key in self._frames:
+            return self._frames[key]
+        df = self._build(key)
+        self._frames[key] = df
+        return df
+
+    def _build(self, key: Hashable):
+        import pyspark.sql.functions as F
+
+        dag = self._graph.dag
+        store = self._graph.node_values
+        name = _base(key)
+        parents = dag.predecessors(key)
+        array = store.get(name)
+
+        if array is not None and array.is_grouping():
+            return self._build_groupby_reduce(key, parents[0], array)
+        if not parents:
+            if array is not None:
+                return self._source_frame(key, array)
+            impl = self._impls.get(name)
+            if impl is None:
+                raise ValueError(
+                    f"Source node '{name}' has neither mapped values nor an impl"
+                )
+            if callable(impl):
+                return self._spark.range(1).select(impl().alias(VALUE_COL))
+            return self._spark.range(1).select(F.lit(impl).alias(VALUE_COL))
+
+        my_dims = set(_dims(key))
+        if len(parents) == 1:
+            reduced = set(_dims(parents[0])) - my_dims
+            if reduced:
+                return self._build_reduce(key, parents[0], reduced)
+        return self._build_compute(key, parents)
+
+    def _source_frame(self, key: Hashable, array: Any):
+        if isinstance(array, SparkColumn):
+            cols = [self._dims.col(d) for d in array.dims]
+            df = array.df
+            selected = [
+                df[idx_col].alias(col)
+                for idx_col, col in zip(array.index_cols, cols, strict=True)
+            ]
+            return df.select(*selected, df[array.value_col].alias(VALUE_COL))
+        pdf = array.to_pandas_long()
+        # to_pandas_long emits __dim{i} in the array's own dim order
+        rename = {
+            f'__dim{i}': self._dims.col(d) for i, d in enumerate(array.dims)
+        }
+        pdf = pdf.rename(columns=rename)
+        return self._spark.createDataFrame(pdf[[*map(self._dims.col, array.dims), VALUE_COL]])
+
+    def _joined_parents(self, parents: list[Hashable]):
+        """Join parent frames on shared dim columns; cross-join when disjoint.
+
+        Parents that are SparkColumn bindings onto the *same* DataFrame with
+        the same index columns are coalesced into one projection of that
+        DataFrame — no self-join, no shuffle, and no fan-out if the index
+        isn't unique. Cross joins implement the broadcast of independent map
+        dims; Spark's AQE/broadcast rules pick the physical strategy.
+        """
+        frames = []
+        consumed: set[int] = set()
+        store = self._graph.node_values
+        for i, p in enumerate(parents):
+            if i in consumed:
+                continue
+            arr = store.get(_base(p))
+            if isinstance(arr, SparkColumn):
+                group = [
+                    (j, q)
+                    for j, q in enumerate(parents)
+                    if j not in consumed
+                    and isinstance(qa := store.get(_base(q)), SparkColumn)
+                    and qa.df is arr.df
+                    and qa.index_cols == arr.index_cols
+                ]
+                if len(group) > 1:
+                    cols = [self._dims.col(d) for d in arr.index_cols]
+                    sel = [
+                        arr.df[c].alias(col)
+                        for c, col in zip(arr.index_cols, cols, strict=True)
+                    ]
+                    for j, q in group:
+                        qa = store.get(_base(q))
+                        sel.append(
+                            arr.df[qa.value_col].alias(self._value_alias(q))
+                        )
+                        consumed.add(j)
+                    frames.append((arr.df.select(*sel), set(cols)))
+                    continue
+            df = self._frame(p)
+            pdims = [self._dims.col(d) for d in _dims(p)]
+            frames.append(
+                (df.select(*pdims, df[VALUE_COL].alias(self._value_alias(p))), set(pdims))
+            )
+        out, out_dims = frames[0]
+        for df, pdims in frames[1:]:
+            shared = sorted(out_dims & pdims)
+            if shared:
+                out = out.join(df, on=shared, how='inner')
+            else:
+                out = out.crossJoin(df)
+            out_dims |= pdims
+        return out, [self._value_alias(p) for p in parents]
+
+    def _value_alias(self, parent: Hashable) -> str:
+        return f'__v_{_sanitize(_base(parent))}'
+
+    def _build_compute(self, key: Hashable, parents: list[Hashable]):
+        import pyspark.sql.functions as F
+
+        df, value_cols = self._joined_parents(parents)
+        impl = self._impls.get(_base(key))
+        dims = [self._dims.col(d) for d in _dims(key)]
+        in_cols = [F.col(c) for c in value_cols]
+        if impl is None:
+            value = in_cols[0] if len(in_cols) == 1 else F.struct(*in_cols)
+        elif isinstance(impl, tuple) and impl[0] == 'pandas':
+            from pyspark.sql.pandas.functions import pandas_udf
+
+            fn = impl[1]
+            rtype = impl[2] if len(impl) > 2 else 'double'
+            udf = pandas_udf(fn, rtype)
+            value = udf(*in_cols)
+        elif callable(impl):
+            value = impl(*in_cols)
+        else:
+            value = F.lit(impl)
+        return df.select(*dims, value.alias(VALUE_COL))
+
+    def _agg_expr(self, key: Hashable):
+        import pyspark.sql.functions as F
+
+        impl = self._impls.get(_base(key))
+        if impl is None:
+            impl = 'collect_list'
+        if isinstance(impl, str):
+            if impl not in _AGGS:
+                raise ValueError(f'Unknown aggregate {impl!r} for node {key!r}')
+            return getattr(F, 'avg' if impl == 'mean' else impl)(VALUE_COL)
+        if callable(impl):
+            return impl(F.col(VALUE_COL))
+        raise TypeError(f'Bad reduce impl for {key!r}: {impl!r}')
+
+    def _build_reduce(self, key: Hashable, parent: Hashable, reduced: set):
+        df = self._frame(parent)
+        keep = [self._dims.col(d) for d in _dims(key)]
+        agg = self._agg_expr(key).alias(VALUE_COL)
+        if keep:
+            return df.groupBy(*keep).agg(agg)
+        return df.agg(agg)
+
+    def _build_groupby_reduce(self, key: Hashable, parent: Hashable, grouping):
+        df = self._frame(parent)
+        group_col = self._dims.col(grouping.group_dim)
+        inner_col = self._dims.col(grouping.inner_dim)
+        labels = self._label_frame(grouping, inner_col, group_col)
+        remaining = [
+            self._dims.col(d)
+            for d in _dims(key)
+            if d != grouping.group_dim
+        ]
+        agg = self._agg_expr(key).alias(VALUE_COL)
+        joined = df.join(labels, on=inner_col, how='inner')
+        return joined.groupBy(*remaining, group_col).agg(agg)
+
+    def _label_frame(self, grouping, inner_col: str, group_col: str):
+        if isinstance(grouping, SparkGroups):
+            df = grouping.label_df
+            return df.select(
+                df[grouping.inner_col].alias(inner_col),
+                df[grouping.label_col].alias(group_col),
+            )
+        rows = [
+            (inner, label)
+            for label, members in zip(
+                grouping.labels, grouping.members, strict=True
+            )
+            for inner in members
+        ]
+        return self._spark.createDataFrame(rows, [inner_col, group_col])
+
+
+def compile_graph(
+    spark: Any,
+    graph: Graph,
+    impls: Mapping[Hashable, Any] | None = None,
+) -> SparkPlan:
+    return SparkPlan(spark, graph, impls)
+
+
+def _graph_compile(self: Graph, spark: Any, impls=None) -> SparkPlan:
+    return SparkPlan(spark, self, impls)
+
+
+# Attach as a method so users write graph.compile(spark, impls={...}).
+Graph.compile = _graph_compile
