@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark headline queries; prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from cyclebane_spark.queries import headline_queries
+
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    cpus = os.environ.get('SPARK_GRAFT_CPUS', '32')
+    spark = (
+        SparkSession.builder.master(f'local[{cpus}]')
+        .config('spark.sql.shuffle.partitions', cpus)
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.session.timeZone', 'UTC')
+        .config('spark.driver.memory', '16g')
+        .config('spark.sql.autoBroadcastJoinThreshold', str(64 * 1024 * 1024))
+        .appName('cyclebane-spark-bench')
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel('ERROR')
+
+    qs = headline_queries()
+    # Warm the JVM/code paths once so the measured pass is steady-state.
+    for fn in qs.values():
+        fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in qs.items():
+        best = float('inf')
+        for _ in range(2):  # best-of-2: drop per-query cold-start noise
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        total += best
+
+    sf = sf_dir.rstrip('/').rsplit('sf', 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    print(
+        json.dumps(
+            {
+                'metric': 'headline_query_wall_time',
+                'value': round(total, 4),
+                'unit': 'sec',
+                'queries': timings,
+                'sf': sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
