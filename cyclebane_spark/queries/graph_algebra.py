@@ -1,1 +1,246 @@
-"""Placeholder — queries added incrementally."""
+"""Plan-layer operator queries: the cyclebane algebra executed by Spark.
+
+Each query builds a compact task graph (map / reduce / groupby / slicing /
+branch projection — reference semantics per SURVEY.md §2.1), binds sources to
+parquet-backed :class:`SparkColumn` arrays, compiles with
+``cyclebane_spark.operators.compile``, and returns the result DataFrame. The
+oracles state the same dataflow in SQL — proving the compact plan → DataFrame
+compilation produces the relationally-correct answer.
+
+Scale notes: a mapped node family with dims (d1..dk) is ONE DataFrame keyed
+by those columns — the instance explosion the reference performs in driver
+memory (graph.py:595-611) never materializes. Param-sweep dims are tiny
+DataFrames cross-joined in (Spark broadcasts the small side); reduce compiles
+to partial+final hash aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..plan.graph import Graph
+from ..sources.arrays import SparkColumn
+from ..tables import table
+from . import register
+from ._helpers import sql_dsum
+
+
+def _dsum_agg(c):
+    """Reduce impl: exact decimal sum of a double column, as double."""
+    return F.sum(c.cast('decimal(28,6)')).cast('double')
+
+
+def _lineitem_with_id(spark, sf_dir):
+    """lineitem with a unique 1-D row key (l_linenumber <= 7 in TPC-H)."""
+    li = table(spark, sf_dir, 'lineitem')
+    return li.withColumn(
+        'li_id', F.col('l_orderkey') * 100 + F.col('l_linenumber')
+    ).withColumn(
+        'disc_price', F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    )
+
+
+_SQL_DISC = 'l_extendedprice * (1 - l_discount)'
+
+
+@register(
+    'graph_map_reduce_all',
+    oracle=f"""
+    SELECT {sql_dsum(_SQL_DISC)} AS total_revenue FROM lineitem
+    """,
+)
+def graph_map_reduce_all(spark, sf_dir):
+    """map (joint, 2 columns sharing one index) -> compute -> reduce-all.
+
+    Reference semantics: Graph.map + Graph.reduce with no index/axis
+    (graph.py:239-273,321-327); here the mapped arrays are lineitem columns
+    and the reduce-all compiles to a single global aggregate.
+    """
+    li = _lineitem_with_id(spark, sf_dir)
+    g = Graph([('price', 'revenue'), ('disc', 'revenue')])
+    g = g.map(
+        {
+            'price': SparkColumn(li, index=['li_id'], values='l_extendedprice'),
+            'disc': SparkColumn(li, index=['li_id'], values='l_discount'),
+        }
+    )
+    g = g.reduce('revenue', name='total')
+    plan = g.compile(
+        spark,
+        impls={
+            'revenue': lambda price, disc: price * (1 - disc),
+            'total': _dsum_agg,
+        },
+    )
+    return plan.frame('total').select(F.col('value').alias('total_revenue'))
+
+
+@register(
+    'graph_map_reduce_partial',
+    oracle=f"""
+    SELECT l_orderkey, {sql_dsum(_SQL_DISC)} AS value
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def graph_map_reduce_partial(spark, sf_dir):
+    """2-D mapped family, reduce over ONE dim: keeps the other as a column.
+
+    Reference: reduce(index=...) keeps remaining dims (graph.py:337); the
+    compiled form is groupBy(l_orderkey) — partial+final hash agg, one
+    shuffle of pre-combined partials.
+    """
+    li = _lineitem_with_id(spark, sf_dir)
+    g = Graph([('item_rev', 'order_rev')])
+    g = g.map(
+        {
+            'item_rev': SparkColumn(
+                li, index=['l_orderkey', 'l_linenumber'], values='disc_price'
+            )
+        }
+    )
+    g = g.reduce('order_rev', index='l_linenumber', name='order_total')
+    plan = g.compile(spark, impls={'order_total': _dsum_agg})
+    return plan.frame('order_total')
+
+
+@register(
+    'graph_param_sweep_broadcast',
+    oracle=f"""
+    WITH params(dim_2, extra_disc) AS (VALUES (0, 0.00), (1, 0.05), (2, 0.10))
+    SELECT dim_2,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 - extra_disc)')} AS value
+    FROM lineitem CROSS JOIN params
+    GROUP BY dim_2
+    """,
+)
+def graph_param_sweep_broadcast(spark, sf_dir):
+    """Chained map = orthogonal dims: cyclebane's signature param sweep.
+
+    A second map over an in-memory list gives descendants the cartesian of
+    (lineitem rows x params) — compiled as a crossJoin where Spark broadcasts
+    the 3-row param side, then two chained partial reduces. The fresh dim is
+    auto-named dim_2 (axis_zero past the 2 existing dims — graph.py:255-257
+    convention).
+    """
+    li = _lineitem_with_id(spark, sf_dir)
+    g = Graph([('price', 'swept'), ('extra_disc', 'swept')])
+    g = g.map(
+        {
+            'price': SparkColumn(
+                li, index=['l_orderkey', 'l_linenumber'], values='disc_price'
+            )
+        }
+    )
+    g = g.map({'extra_disc': [0.00, 0.05, 0.10]})
+    g = g.reduce('swept', index='l_orderkey', name='per_order')
+    g = g.reduce('per_order', index='l_linenumber', name='per_param')
+    plan = g.compile(
+        spark,
+        impls={
+            'swept': lambda price, extra: price * (1 - extra),
+            'per_order': _dsum_agg,
+            'per_param': _dsum_agg,
+        },
+    )
+    return plan.frame('per_param')
+
+
+@register(
+    'graph_groupby_reduce',
+    oracle="""
+    SELECT lang AS lab, SUM(n_chars) AS value
+    FROM documents GROUP BY lang
+    """,
+)
+def graph_groupby_reduce(spark, sf_dir):
+    """groupby(label).reduce: per-distinct-label fan-in.
+
+    Reference: GroupbyGraph.reduce swaps the inner dim for the group dim
+    (graph.py:559-592). The label column is Spark-backed (our engine lifts
+    the reference's pandas-only restriction, value_array.py:95-97); group
+    membership never touches the driver — it compiles to
+    join(labels).groupBy(label). doc_id is the table's key, so the label
+    join is 1:1.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    g = Graph([('size', 'w')])
+    g = g.map(
+        {
+            'size': SparkColumn(docs, index=['doc_id'], values='n_chars'),
+            'lab': SparkColumn(docs, index=['doc_id'], values='lang'),
+        }
+    )
+    g = g.groupby('lab').reduce('w', name='chars_by_lang')
+    plan = g.compile(spark, impls={'chars_by_lang': 'sum'})
+    return plan.frame('chars_by_lang')
+
+
+@register(
+    'graph_slice_loc',
+    oracle=f"""
+    SELECT {sql_dsum(_SQL_DISC)} AS sliced_revenue
+    FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey < 600
+    """,
+)
+def graph_slice_loc(spark, sf_dir):
+    """Label-slice one dim of every mapped array, then reduce-all.
+
+    Reference: ValueArray.loc / by_position (graph.py:154-178,
+    value_array.py:60-67). On a SparkColumn the slice compiles to a range
+    predicate on the index column — pushed down to the parquet scan.
+    """
+    li = _lineitem_with_id(spark, sf_dir)
+    g = Graph([('item_rev', 'total')])
+    g = g.map(
+        {
+            'item_rev': SparkColumn(
+                li, index=['l_orderkey', 'l_linenumber'], values='disc_price'
+            )
+        }
+    )
+    g = g.by_position('l_orderkey')[100:600]
+    g = g.reduce('item_rev', name='total')
+    plan = g.compile(spark, impls={'total': _dsum_agg})
+    return plan.frame('total').select(F.col('value').alias('sliced_revenue'))
+
+
+@register(
+    'graph_branch_projection',
+    oracle="""
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS branch_total
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def graph_branch_projection(spark, sf_dir):
+    """__getitem__ selects a branch; the other branch is never compiled.
+
+    Reference: branch projection keeps the key + ancestors and drops node
+    values outside the branch (graph.py:443-461) — plan-level pruning; the
+    pruned branch's tables are never scanned.
+    """
+    orders = table(spark, sf_dir, 'orders')
+    open_orders = orders.filter(F.col('o_orderstatus') == 'O')
+    g = Graph(
+        [
+            ('price_a', 'total_a'),
+            ('price_b', 'total_b'),
+            ('total_a', 'report'),
+            ('total_b', 'report'),
+        ]
+    )
+    g = g.map(
+        {
+            'price_a': SparkColumn(
+                open_orders, index=['o_orderkey'], values='o_totalprice'
+            ),
+            'price_b': SparkColumn(
+                orders, index=['o_orderkey'], values='o_totalprice'
+            ),
+        }
+    )
+    branch = g['total_a']  # ancestors of total_a only; price_b dropped
+    branch = branch.reduce('price_a', name='total_a_value')
+    plan = branch.compile(spark, impls={'total_a_value': _dsum_agg})
+    return plan.frame('total_a_value').select(
+        F.col('value').alias('branch_total')
+    )
