@@ -1,1 +1,329 @@
-"""Placeholder — queries added incrementally."""
+"""Deduplication operators over ``documents`` / ``embeddings`` (north-star):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Everything is built from cross-engine-deterministic primitives (md5, integer
+sums, single-op IEEE arithmetic) so each operator has an exact DuckDB oracle.
+
+Scale design (100 TB):
+- exact dedup: one shuffle on the fingerprint hash — no text comparison.
+- MinHash LSH: per-doc signatures are a narrow aggregate (16 mins) over the
+  exploded shingle stream (map-side combinable); candidate generation is a
+  self-join on (band_id, band_hash) — shuffle keyed on *buckets*, never
+  all-pairs. Skewed buckets (boilerplate shingles) would salt or cap.
+- SimHash: embarrassingly parallel signature per doc; near-dup lookup is a
+  bucket join on the signature.
+- n-gram Jaccard: inverted-index join (shingle -> docs) + co-occurrence
+  count; the shingle join is the scale bottleneck, which is exactly why the
+  MinHash path exists — Jaccard here doubles as its verification oracle.
+- embedding near-dup: blocked all-pairs inside label partitions (an
+  IVF-style coarse quantizer); global all-pairs never materializes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..tables import table
+from . import register
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+# -- shared shingle builders (Spark + SQL kept textually parallel) -----------
+
+
+def _spark_shingles(n: int):
+    """array of distinct n-gram shingles of the whitespace-tokenized text."""
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    seq = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(' ', *[F.get(toks, i + k) for k in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(seq, gram))
+
+
+def _sql_shingles(n: int) -> str:
+    gram = " || ' ' || ".join(f'toks[i+{k}]' for k in range(n))
+    return (
+        f'list_distinct(list_transform(range(1, len(toks) - {n - 2}), '
+        f'i -> {gram}))'
+    )
+
+
+_SQL_TOKS = r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    )"""
+
+
+@register(
+    'dedup_exact',
+    oracle=r"""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the canonical fingerprint, keep min id."""
+    docs = table(spark, sf_dir, 'documents')
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col('text')), r'\s+', ' ')))
+    return (
+        docs.groupBy(fp.alias('fingerprint'))
+        .agg(
+            F.min('doc_id').alias('keep_doc_id'),
+            F.count(F.lit(1)).alias('n_copies'),
+        )
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    mins = ',\n               '.join(
+        f"MIN(md5('{p}:' || s)) AS h{p}" for p in range(N_PERM)
+    )
+    band_selects = '\n        UNION ALL '.join(
+        "SELECT doc_id, {b} AS band_id, md5({expr}) AS bh FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f'h{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""{_SQL_TOKS},
+    sh AS (
+        SELECT doc_id, unnest({_sql_shingles(3)}) AS s FROM t
+    ),
+    sig AS (
+        SELECT doc_id, {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """
+
+
+@register('dedup_minhash_lsh', oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16 perms as seeded md5 mins) + LSH(4 bands x 4) candidates.
+
+    Permutation i is ``min(md5('i:' || shingle))`` — md5 hex ordering is
+    identical across engines, so signatures (and therefore candidate pairs)
+    match the oracle exactly. Banding turns near-dup search into an equi-join
+    on band hashes.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    sh = docs.select(
+        'doc_id', F.explode(_spark_shingles(3)).alias('s')
+    )
+    sig = sh.groupBy('doc_id').agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f'{p}:'), F.col('s')))).alias(f'h{p}')
+            for p in range(N_PERM)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                '|', *[f'h{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND)]
+            )
+        ).alias(f'b{b}')
+        for b in range(N_BANDS)
+    ]
+    stack_args = ', '.join(f'{b}, b{b}' for b in range(N_BANDS))
+    bands = sig.select('doc_id', *band_cols).selectExpr(
+        'doc_id', f'stack({N_BANDS}, {stack_args}) AS (band_id, bh)'
+    )
+    a, b = bands.alias('a'), bands.alias('b')
+    return (
+        a.join(
+            b,
+            (F.col('a.band_id') == F.col('b.band_id'))
+            & (F.col('a.bh') == F.col('b.bh'))
+            & (F.col('a.doc_id') < F.col('b.doc_id')),
+        )
+        .select(F.col('a.doc_id').alias('doc_a'), F.col('b.doc_id').alias('doc_b'))
+        .distinct()
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def _simhash_terms(int_div: str) -> list[str]:
+    """The 16 per-token bit contributions, as engine-neutral SQL text.
+
+    Bit j lives in hex digit j//4 of md5(token); ``int_div`` is the engine's
+    integer-division operator ('div' for Spark SQL, '//' for DuckDB).
+    """
+    terms = []
+    for j in range(16):
+        digit = f'substring(md5(tok), {j // 4 + 1}, 1)'
+        v = f"(instr('0123456789abcdef', {digit}) - 1)"
+        p = 2 ** (3 - j % 4)
+        if int_div == 'div':
+            bit = f'(({v} div {p}) % 2)'
+        else:
+            bit = f'(({v} // {p}) % 2)'
+        terms.append(f'SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{j}')
+    return terms
+
+
+_SIMHASH_COMBINE = ' + '.join(
+    f'(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)' for j in range(16)
+)
+
+
+@register(
+    'dedup_simhash',
+    oracle=f"""{_SQL_TOKS},
+    tok AS (
+        SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t
+    ),
+    sums AS (
+        SELECT doc_id, {', '.join(_simhash_terms('//'))}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, {_SIMHASH_COMBINE} AS simhash16
+    FROM sums
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash over distinct tokens (md5-derived bits).
+
+    Each token votes +/-1 per bit position; the signature packs the sign
+    bits. Near-dup docs land in equal or near-equal buckets. Both engines evaluate
+    the same generated expressions, so signatures match exactly.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    tok = docs.select(
+        'doc_id', F.explode(F.array_distinct(toks)).alias('tok')
+    )
+    sums = tok.groupBy('doc_id').agg(
+        *[F.expr(term) for term in _simhash_terms('div')]
+    )
+    return sums.select('doc_id', F.expr(_SIMHASH_COMBINE).alias('simhash16'))
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+
+
+@register(
+    'dedup_ngram_jaccard',
+    oracle=f"""{_SQL_TOKS},
+    sh AS (
+        SELECT doc_id, unnest({_sql_shingles(3)}) AS s FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           (CAST(c AS DOUBLE) / (sa.n + sb.n - c)) AS jaccard
+    FROM co
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (CAST(c AS DOUBLE) / (sa.n + sb.n - c)) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard >= 0.5 via inverted-index co-occurrence join."""
+    docs = table(spark, sf_dir, 'documents')
+    sh = docs.select('doc_id', F.explode(_spark_shingles(3)).alias('s'))
+    sizes = sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n'))
+    a, b = sh.alias('a'), sh.alias('b')
+    co = (
+        a.join(
+            b,
+            (F.col('a.s') == F.col('b.s'))
+            & (F.col('a.doc_id') < F.col('b.doc_id')),
+        )
+        .groupBy(
+            F.col('a.doc_id').alias('doc_a'), F.col('b.doc_id').alias('doc_b')
+        )
+        .agg(F.count(F.lit(1)).alias('c'))
+    )
+    sa = sizes.alias('sa')
+    sb = sizes.alias('sb')
+    jac = F.col('c').cast('double') / (
+        F.col('sa.n') + F.col('sb.n') - F.col('c')
+    )
+    return (
+        co.join(sa, F.col('sa.doc_id') == F.col('doc_a'))
+        .join(sb, F.col('sb.doc_id') == F.col('doc_b'))
+        .select('doc_a', 'doc_b', jac.alias('jaccard'))
+        .filter(F.col('jaccard') >= 0.5)
+    )
+
+
+# -- embedding cosine near-dup ----------------------------------------------
+
+
+def _spark_dot(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast('double') * y.cast('double'))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+SQL_DOT = (
+    'list_sum(list_transform(range(1, 65), '
+    'i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))'
+)
+
+
+@register(
+    'dedup_embedding_cosine',
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ({SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ({SQL_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Cosine near-dup pairs, blocked by label (IVF-style coarse partition).
+
+    The all-pairs join runs only inside label blocks — the pattern that keeps
+    near-dup search tractable at scale (candidate set shrinks by the number
+    of coarse cells). Dot products fold doubles sequentially in both engines.
+    """
+    emb = table(spark, sf_dir, 'embeddings')
+    n = emb.select(
+        'vec_id',
+        'label',
+        'embedding',
+        F.sqrt(_spark_dot(F.col('embedding'), F.col('embedding'))).alias('nrm'),
+    )
+    a, b = n.alias('a'), n.alias('b')
+    cos = _spark_dot(F.col('a.embedding'), F.col('b.embedding')) / (
+        F.col('a.nrm') * F.col('b.nrm')
+    )
+    return (
+        a.join(
+            b,
+            (F.col('a.label') == F.col('b.label'))
+            & (F.col('a.vec_id') < F.col('b.vec_id')),
+        )
+        .select(
+            F.col('a.vec_id').alias('vec_a'),
+            F.col('b.vec_id').alias('vec_b'),
+            cos.alias('cosine'),
+        )
+        .filter(F.col('cosine') >= 0.35)
+    )

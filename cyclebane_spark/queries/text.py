@@ -1,1 +1,222 @@
-"""Placeholder — queries added incrementally."""
+"""Text-analysis operators over the ``documents`` table (north-star surface):
+token counting, quality scoring, language identification, fingerprinting,
+and the Arrow-batched Python path (pandas UDF / applyInPandas).
+
+All hot-path variants stay JVM-side (split/regexp/aggregate builtins inside
+whole-stage codegen); the pandas-UDF variants exist to prove the vectorized
+Python escape hatch produces identical results. At 100 TB the documents
+table partitions by source file; every operator here is embarrassingly
+parallel per row (no shuffle) except the grouped z-score (one shuffle on the
+group key).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..tables import table
+from . import register
+
+STOPWORDS = ('the', 'a', 'and', 'of', 'to')
+_STOP_SQL = "('the', 'a', 'and', 'of', 'to')"
+
+
+@register(
+    'text_token_stats',
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           len(list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x IN """ + _STOP_SQL + r""")) AS n_stopwords
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace tokenization + stopword counting, all JVM-side."""
+    docs = table(spark, sf_dir, 'documents')
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    return docs.select(
+        'doc_id',
+        F.size(toks).alias('n_tokens'),
+        F.length('text').alias('n_chars_measured'),
+        F.size(
+            F.filter(toks, lambda x: x.isin(*STOPWORDS))
+        ).alias('n_stopwords'),
+    )
+
+
+@register(
+    'text_quality_score',
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        x -> x IN """ + _STOP_SQL + r""")) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           n_tokens,
+           (n_stop / n_tokens) AS stopword_ratio,
+           (n_punct / n_chars) AS punct_ratio,
+           (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END
+            * (1.0 - n_punct / n_chars)
+            * least(1.0, 4.0 * n_stop / n_tokens)) AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic quality score: length gate x punct penalty x stopword signal.
+
+    Mirrors the shape of C4/Gopher-style quality filters; every term is a
+    deterministic single-op double expression so the oracle matches exactly.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    n_tokens = F.size(toks).cast('double')
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast('double')
+    n_punct = F.length(F.regexp_replace('text', r'[^.,;:!?]', '')).cast('double')
+    n_chars = F.length('text').cast('double')
+    length_gate = F.when((n_tokens >= 20) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+    return docs.select(
+        'doc_id',
+        n_tokens.alias('n_tokens'),
+        (n_stop / n_tokens).alias('stopword_ratio'),
+        (n_punct / n_chars).alias('punct_ratio'),
+        (
+            length_gate
+            * (F.lit(1.0) - n_punct / n_chars)
+            * F.least(F.lit(1.0), F.lit(4.0) * n_stop / n_tokens)
+        ).alias('quality'),
+    )
+
+
+# Language-ID: marker-token heuristic. The markers are chosen per language
+# family; the CASE ladder is evaluated top-down identically in both engines.
+_LANG_RULES = (
+    ('zh', r'[一-鿿]'),
+    ('de', r'\b(und|der|die|das|nicht|ist)\b'),
+    ('fr', r'\b(le|la|les|et|est|une?)\b'),
+    ('es', r'\b(el|los|las|y|es|una?)\b'),
+)
+
+
+@register(
+    'text_language_id',
+    oracle="""
+    SELECT doc_id, lang,
+           CASE
+             WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+             WHEN regexp_matches(text, '\\b(und|der|die|das|nicht|ist)\\b') THEN 'de'
+             WHEN regexp_matches(text, '\\b(le|la|les|et|est|une?)\\b') THEN 'fr'
+             WHEN regexp_matches(text, '\\b(el|los|las|y|es|una?)\\b') THEN 'es'
+             ELSE 'en'
+           END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """n-gram/marker language-ID heuristic (lang column kept for scoring)."""
+    docs = table(spark, sf_dir, 'documents')
+    pred = None
+    for lang, pattern in reversed(_LANG_RULES):
+        hit = F.regexp_like('text', F.lit(pattern))
+        pred = F.when(hit, lang).otherwise(F.lit('en') if pred is None else pred)
+    return docs.select('doc_id', 'lang', pred.alias('predicted_lang'))
+
+
+@register(
+    'text_fingerprint',
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Canonicalizing document fingerprint: md5 of normalized text.
+
+    md5 is identical across engines, making this the anchor for exact-dedup
+    oracles. At scale the fingerprint is the shuffle key for dedup.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    normalized = F.lower(F.regexp_replace(F.trim(F.col('text')), r'\s+', ' '))
+    return docs.select('doc_id', F.md5(normalized).alias('fingerprint'))
+
+
+@register(
+    'text_token_count_pandas_udf',
+    oracle=r"""
+    SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_count_pandas_udf(spark, sf_dir):
+    """Same token count through the Arrow-batched pandas-UDF path.
+
+    Proves the vectorized Python escape hatch (for logic builtins can't
+    express) yields identical results to the JVM path. Arrow transfer,
+    no per-row Python overhead.
+    """
+    docs = table(spark, sf_dir, 'documents')
+
+    @F.pandas_udf('int')
+    def n_tokens(text: pd.Series) -> pd.Series:
+        return text.str.strip().str.split(r'\s+').str.len().astype('int32')
+
+    return docs.select('doc_id', n_tokens('text').alias('n_tokens'))
+
+
+@register(
+    'text_zscore_by_lang',
+    oracle="""
+    WITH g AS (
+        SELECT lang, COUNT(*) AS n, SUM(n_chars) AS s1,
+               SUM(n_chars * n_chars) AS s2
+        FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang,
+           (n_chars - CAST(s1 AS DOUBLE) / n)
+             / sqrt((CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                    / (n - 1)) AS z_chars
+    FROM documents d JOIN g USING (lang)
+    """,
+)
+def text_zscore_by_lang(spark, sf_dir):
+    """Grouped normalization via applyInPandas (grouped-map UDF).
+
+    The oracle states it relationally; our implementation uses the
+    applyInPandas path to exercise grouped Arrow batches — the pattern for
+    per-group logic Spark can't express (per-language tokenizers, etc.).
+    One shuffle on the group key; groups stream through pandas. Both sides
+    derive mean/std from exact integer sums with the same IEEE op sequence,
+    so the doubles are bit-identical.
+    """
+    docs = table(spark, sf_dir, 'documents').select('doc_id', 'lang', 'n_chars')
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        x = pdf.n_chars.astype('int64')
+        n = float(len(x))
+        s1 = float(int(x.sum()))
+        s2 = float(int((x * x).sum()))
+        mean = s1 / n
+        std = math.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+        return pd.DataFrame(
+            {
+                'doc_id': pdf.doc_id,
+                'lang': pdf.lang,
+                'z_chars': (x.astype('float64') - mean) / std,
+            }
+        )
+
+    return docs.groupBy('lang').applyInPandas(
+        zscore, 'doc_id long, lang string, z_chars double'
+    )
