@@ -1,1 +1,188 @@
-"""Placeholder — queries added incrementally."""
+"""Event / time-series operators over the ``events`` table: tumbling-window
+aggregation, sessionization, as-of join, pivot, JSON extraction.
+
+These are the batch-mode statements of the streaming semantics in
+``cyclebane_spark.streaming`` (same windows computed by Structured Streaming
+with watermarks); stating them in batch gives them DuckDB oracles.
+
+All time arithmetic is timezone-independent (date_trunc / interval
+comparisons on naive timestamps) so results don't depend on the session TZ.
+
+Scale: every query here shuffles at most once on (user_id) or the window
+bucket; sessionization and as-of use a single sort-within-partition window —
+the standard large-scale formulation (no self-join fan-out).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..tables import table
+from . import register
+from ._helpers import dsum, sql_dsum
+
+EVENT_TYPES = ('click', 'view', 'purchase', 'signup', 'error')
+
+
+@register(
+    'events_hourly_agg',
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_agg(spark, sf_dir):
+    """Tumbling 1h window x event_type: the canonical streaming rollup."""
+    ev = table(spark, sf_dir, 'events')
+    tt = ev.schema['ts'].dataType
+    return (
+        ev.groupBy(
+            F.date_trunc('hour', 'ts').cast(tt).alias('hour_start'),
+            'event_type',
+        )
+        .agg(
+            F.count(F.lit(1)).alias('n_events'),
+            dsum('value').alias('total_value'),
+        )
+    )
+
+
+@register(
+    'events_sessionization',
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, CAST(SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           {sql_dsum('value')} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark, sf_dir):
+    """Gap-based sessions (30 min): flag starts with lag(), cumsum to ids.
+
+    The batch statement of ``session_window`` semantics: one shuffle on
+    user_id, then two sorted window passes within each partition.
+    """
+    ev = table(spark, sf_dir, 'events')
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag('ts').over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col('ts') > prev_ts + F.expr("INTERVAL '30' MINUTE")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.select('user_id', 'event_id', 'ts', 'value')
+        .withColumn('new_session', new_session)
+        .withColumn('session_id', F.sum('new_session').over(cum))
+        .groupBy('user_id', 'session_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_events'),
+            F.min('ts').alias('session_start'),
+            F.max('ts').alias('session_end'),
+            dsum('value').alias('session_value'),
+        )
+    )
+
+
+@register(
+    'events_asof_join',
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click_ts
+        FROM events
+    )
+    SELECT event_id, user_id, ts, last_click_ts
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest prior click.
+
+    The scalable formulation — union the two streams (here: one table, two
+    roles), one shuffle on user_id, one sorted pass carrying the last
+    non-null click timestamp forward. No range-join fan-out; at 100 TB this
+    beats the naive t1 JOIN t2 ON t2.ts <= t1.ts by orders of magnitude.
+    """
+    ev = table(spark, sf_dir, 'events')
+    w = (
+        Window.partitionBy('user_id')
+        .orderBy('ts', 'event_id')
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col('event_type') == 'click', F.col('ts'))
+    return (
+        ev.select('event_id', 'user_id', 'ts', 'event_type')
+        .withColumn('last_click_ts', F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col('event_type') == 'purchase')
+        .select('event_id', 'user_id', 'ts', 'last_click_ts')
+    )
+
+
+@register(
+    'events_pivot_type_counts',
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'view') AS view,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_type_counts(spark, sf_dir):
+    """Pivot on a fixed value list (explicit list keeps the plan one-pass)."""
+    ev = table(spark, sf_dir, 'events')
+    out = (
+        ev.groupBy('user_id')
+        .pivot('event_type', list(EVENT_TYPES))
+        .count()
+    )
+    # pivot-count yields nulls for absent combos; the oracle counts 0.
+    return out.select(
+        'user_id',
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+@register(
+    'events_json_extract',
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """JSON scalar extraction from the props column (semi-structured path)."""
+    ev = table(spark, sf_dir, 'events')
+    return ev.select(
+        'event_id',
+        F.get_json_object('props', '$.k').cast('long').alias('prop_k'),
+    )
