@@ -55,6 +55,7 @@ _MODULES = (
     'dedup',
     'similarity',
     'events',
+    'streaming_live',
 )
 
 

@@ -1,0 +1,65 @@
+"""Streaming queries for the correctness gate: each runs a Structured
+Streaming job over the events file stream to completion (availableNow) and
+returns the final result table — so streaming operators get real DuckDB
+oracles instead of rows-only checks.
+"""
+
+from __future__ import annotations
+
+from ..streaming.windows import (
+    events_stream,
+    run_to_memory,
+    session_windows,
+    tumbling_hourly,
+)
+from . import register
+from ._helpers import sql_dsum
+
+
+@register(
+    'stream_tumbling_hourly',
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling_hourly(spark, sf_dir):
+    """Streaming tumbling-window rollup == the batch hourly rollup."""
+    return run_to_memory(
+        tumbling_hourly(events_stream(spark, sf_dir)), output_mode='complete'
+    )
+
+
+@register(
+    'stream_session_windows',
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT *, CAST(SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark, sf_dir):
+    """Streaming session_window == batch gap-based sessionization."""
+    return run_to_memory(
+        session_windows(events_stream(spark, sf_dir)), output_mode='complete'
+    )

@@ -1,0 +1,164 @@
+"""Structured Streaming over the ``events`` table: windowed aggregation,
+session windows, watermarks, and custom stateful processing.
+
+The reference is fully batch (SURVEY.md §2.2 — streaming ABSENT); this module
+is part of the engine's additive surface. Design:
+
+- the events parquet doubles as a file-stream source (schema pinned from a
+  batch read, nanosecond timestamps handled exactly like the batch loader);
+- each batch query in ``cyclebane_spark.queries.events`` has a streaming
+  statement here with identical semantics — the test suite and the DuckDB
+  oracle check them against each other (stream/batch parity);
+- at scale the same code runs against a real stream (kafka/file drops):
+  state lives in the state store keyed by (window x group), watermarks bound
+  it, and the shuffle is on the same keys as the batch rollup.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_SINK_IDS = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream.
+
+    ``ts`` stays an instant (TimestampType) because watermarks reject NTZ;
+    the session is pinned to UTC so NTZ renderings of results are
+    deterministic. The file source needs a *directory* — a /tmp dir with a
+    symlink to the parquet file stands in (a real deployment points at the
+    stream's landing directory).
+    """
+    import hashlib
+    import os
+
+    spark.conf.set('spark.sql.legacy.parquet.nanosAsLong', 'true')
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    path = f'{sf_dir}/events.parquet'
+    link_dir = (
+        f'/tmp/cb_stream_src_{hashlib.md5(path.encode()).hexdigest()[:12]}'
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    link = f'{link_dir}/events.parquet'
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(link_dir)
+    return stream.withColumn('ts', F.expr('ts div 1000')).withColumn(
+        'ts', F.timestamp_micros('ts')
+    )
+
+
+def run_to_memory(result: DataFrame, *, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion; return the result table.
+
+    ``availableNow`` processes the whole backlog then stops — the streaming
+    analog of a batch run, used for stream/batch parity checks.
+    """
+    name = f'cb_stream_sink_{next(_SINK_IDS)}'
+    query = (
+        result.writeStream.format('memory')
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark_session = result.sparkSession
+    return spark_session.table(name)
+
+
+def tumbling_hourly(stream: DataFrame) -> DataFrame:
+    """Tumbling 1h window x event_type — streaming statement of
+    ``events_hourly_agg``."""
+    return (
+        stream.groupBy(F.window('ts', '1 hour'), 'event_type')
+        .agg(
+            F.count(F.lit(1)).alias('n_events'),
+            F.sum(F.col('value').cast('decimal(28,6)'))
+            .cast('double')
+            .alias('total_value'),
+        )
+        .select(
+            F.col('window.start').cast('timestamp_ntz').alias('hour_start'),
+            'event_type',
+            'n_events',
+            'total_value',
+        )
+    )
+
+
+def tumbling_hourly_watermarked(stream: DataFrame, delay: str = '2 hours') -> DataFrame:
+    """Watermarked variant (append mode): late data beyond ``delay`` is
+    dropped and windows finalize once the watermark passes them."""
+    return (
+        stream.withWatermark('ts', delay)
+        .groupBy(F.window('ts', '1 hour'), 'event_type')
+        .agg(F.count(F.lit(1)).alias('n_events'))
+        .select(
+            F.col('window.start').cast('timestamp_ntz').alias('hour_start'),
+            'event_type',
+            'n_events',
+        )
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = '30 minutes') -> DataFrame:
+    """Session windows per user: the streaming statement of
+    ``events_sessionization`` (same 30-min gap semantics)."""
+    return (
+        stream.withWatermark('ts', '1 day')
+        .groupBy(F.session_window('ts', gap), 'user_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_events'),
+            F.sum(F.col('value').cast('decimal(28,6)'))
+            .cast('double')
+            .alias('session_value'),
+        )
+        .select(
+            'user_id',
+            F.col('session_window.start')
+            .cast('timestamp_ntz')
+            .alias('session_start'),
+            'n_events',
+            'session_value',
+        )
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running per-user
+    event counts and value totals, emitted on every update.
+
+    The pattern for stateful logic windows can't express (counters, CEP,
+    custom sessionizers): state is a per-key pandas-serializable tuple in
+    the state store; the stream shuffles once on the key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf['value'].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {'user_id': [key[0]], 'n_events': [n], 'total_value': [total]}
+        )
+
+    return (
+        stream.select('user_id', 'value')
+        .groupBy('user_id')
+        .applyInPandasWithState(
+            update,
+            outputStructType='user_id long, n_events long, total_value double',
+            stateStructType='n long, total double',
+            outputMode='update',
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

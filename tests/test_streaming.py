@@ -1,0 +1,117 @@
+"""Structured-streaming tests: stream/batch parity, watermark append mode,
+custom stateful operator."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cyclebane_spark.streaming.windows import (
+    events_stream,
+    run_to_memory,
+    running_user_totals,
+    session_windows,
+    tumbling_hourly,
+    tumbling_hourly_watermarked,
+)
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+@pytest.fixture(scope='module')
+def stream(spark):
+    return events_stream(spark, SF_DIR)
+
+
+def _batch_events(spark):
+    from cyclebane_spark.tables import events_table
+
+    return events_table(spark, SF_DIR)
+
+
+def test_tumbling_hourly_matches_batch(spark, stream):
+    got = run_to_memory(tumbling_hourly(stream), output_mode='complete')
+    expected = (
+        _batch_events(spark)
+        .groupBy(F.date_trunc('hour', 'ts').alias('hour_start'), 'event_type')
+        .agg(F.count(F.lit(1)).alias('n_events'))
+    )
+    g = {(r.hour_start, r.event_type): r.n_events for r in got.collect()}
+    e = {(r.hour_start, r.event_type): r.n_events for r in expected.collect()}
+    assert g == e
+
+
+def test_watermark_append_emits_closed_windows_only(spark, stream):
+    got = run_to_memory(
+        tumbling_hourly_watermarked(stream, '2 hours'), output_mode='append'
+    )
+    complete = run_to_memory(tumbling_hourly(stream), output_mode='complete')
+    appended = {
+        (r.hour_start, r.event_type): r.n_events for r in got.collect()
+    }
+    full = {
+        (r.hour_start, r.event_type): r.n_events for r in complete.collect()
+    }
+    # Append mode emits only windows the watermark has passed: a subset of
+    # the complete result, identical counts where emitted, and nothing
+    # within the watermark delay of the max event time.
+    assert appended
+    assert set(appended) <= set(full)
+    for k, v in appended.items():
+        assert full[k] == v
+    max_ts = _batch_events(spark).agg(F.max('ts')).collect()[0][0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=2)
+    for (hour_start, _), _ in appended.items():
+        assert hour_start + datetime.timedelta(hours=1) <= horizon
+
+
+def test_session_windows_match_batch_sessionization(spark, stream):
+    got = run_to_memory(session_windows(stream), output_mode='complete')
+    # batch: gap-based sessions via lag + cumsum
+    from pyspark.sql import Window
+
+    ev = _batch_events(spark)
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag('ts').over(w)
+    batch = (
+        ev.withColumn(
+            'new_s',
+            F.when(
+                prev.isNull()
+                | (F.col('ts') > prev + F.expr("INTERVAL '30' MINUTE")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn('sid', F.sum('new_s').over(cum))
+        .groupBy('user_id', 'sid')
+        .agg(F.min('ts').alias('session_start'), F.count(F.lit(1)).alias('n'))
+    )
+    g = {(r.user_id, r.session_start): r.n_events for r in got.collect()}
+    e = {(r.user_id, r.session_start): r.n for r in batch.collect()}
+    assert g == e
+
+
+def test_running_user_totals_final_state(spark, stream):
+    got = run_to_memory(running_user_totals(stream), output_mode='update')
+    # the last emission per user carries the final running totals
+    final = {}
+    for r in got.collect():
+        prev = final.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in _batch_events(spark)
+        .groupBy('user_id')
+        .agg(
+            F.count(F.lit(1)).alias('n'),
+            F.sum('value').alias('total'),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, total) in final.items():
+        en, etotal = expected[uid]
+        assert n == en
+        assert total == pytest.approx(etotal, rel=1e-9)
