@@ -1,0 +1,203 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched pandas UDFs over ``mapInPandas``.
+
+The container has no image/audio codecs, so *decode* is stubbed behind a
+deterministic fake format (``FAKEIMG1``/``FAKEAUD1``/``FAKEVID1`` headers —
+see :func:`fake_image`); everything Spark-side is real and tested: schemas,
+binary handling through Arrow, UDF signatures, iterator batch shape,
+partition-parallel execution. Swapping the stub for PIL/ffmpeg changes only
+the inner numpy block.
+
+Scale: payloads stay in executor memory one Arrow batch at a time
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory);
+nothing ever collects to the driver. Feature extraction is embarrassingly
+parallel; downstream joins happen on the extracted metadata, never on the
+binary itself.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+IMG_MAGIC = b'FAKEIMG1'
+AUD_MAGIC = b'FAKEAUD1'
+VID_MAGIC = b'FAKEVID1'
+
+IMAGE_META_SCHEMA = 'mime string, width int, height int, n_bytes int'
+DECODED_SCHEMA = 'doc_id long, width int, height int, mean_intensity double'
+RESIZED_SCHEMA = 'doc_id long, width int, height int, pixels array<double>'
+FRAME_SCHEMA = 'doc_id long, frame_idx int, frame_mean double'
+AUDIO_FEATURES_SCHEMA = (
+    'doc_id long, sample_rate int, n_samples int, rms double, zero_crossings int'
+)
+
+
+# -- deterministic fake payload builders (stand-ins for real codecs) ---------
+
+
+def fake_image(width: int, height: int, seed: int) -> bytes:
+    return IMG_MAGIC + struct.pack('<iiq', width, height, seed)
+
+
+def fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    return AUD_MAGIC + struct.pack('<iiq', sample_rate, n_samples, seed)
+
+
+def fake_video(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    return VID_MAGIC + struct.pack('<iiiq', width, height, n_frames, seed)
+
+
+def _pixels(width: int, height: int, seed: int) -> np.ndarray:
+    """The stub 'decoder': deterministic pixels from the payload seed."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.random((height, width), dtype=np.float64)
+
+
+def with_fake_images(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic fake image column to the documents table.
+
+    Width/height derive from stable document properties so every run (and
+    every engine) builds identical payloads.
+    """
+    @F.pandas_udf('binary')
+    def build(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                fake_image(16 + int(n) % 17, 16 + int(d) % 13, int(d))
+                for d, n in zip(doc_id, n_chars)
+            ]
+        )
+
+    return docs.withColumn('image', build('doc_id', 'n_chars'))
+
+
+# -- operators ----------------------------------------------------------------
+
+
+def image_metadata(df: DataFrame, col: str = 'image') -> DataFrame:
+    """Parse typed metadata out of the binary payload (header only — cheap)."""
+
+    @F.pandas_udf(IMAGE_META_SCHEMA)
+    def meta(payload: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payload:
+            if b is not None and bytes(b[:8]) == IMG_MAGIC:
+                w, h, _ = struct.unpack('<iiq', bytes(b[8:24]))
+                rows.append(('image/x-fake', w, h, len(b)))
+            else:
+                rows.append((None, None, None, len(b) if b is not None else None))
+        return pd.DataFrame(
+            rows, columns=['mime', 'width', 'height', 'n_bytes']
+        )
+
+    return df.withColumn('image_meta', meta(F.col(col)))
+
+
+def decode_images(df: DataFrame, col: str = 'image') -> DataFrame:
+    """Decode payloads to per-image statistics via mapInPandas.
+
+    Iterator-of-batches signature: one Arrow batch in, one out; the decoded
+    pixel array never leaves the executor. Unknown formats raise
+    NotImplementedError — the marker for where PIL/libjpeg would plug in.
+    """
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, b in zip(pdf['doc_id'], pdf[col]):
+                b = bytes(b)
+                if b[:8] != IMG_MAGIC:
+                    raise NotImplementedError(
+                        'real image decoding requires PIL; payload is not FAKEIMG1'
+                    )
+                w, h, seed = struct.unpack('<iiq', b[8:24])
+                px = _pixels(w, h, seed)
+                out.append((doc_id, w, h, float(px.mean())))
+            yield pd.DataFrame(
+                out, columns=['doc_id', 'width', 'height', 'mean_intensity']
+            )
+
+    return df.select('doc_id', col).mapInPandas(decode, DECODED_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, out_w: int = 4, out_h: int = 4, col: str = 'image'
+) -> DataFrame:
+    """Decode + block-average resize to (out_w x out_h); emits pixel arrays."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf['doc_id'], pdf[col]):
+                b = bytes(b)
+                if b[:8] != IMG_MAGIC:
+                    raise NotImplementedError('unsupported image format')
+                w, h, seed = struct.unpack('<iiq', b[8:24])
+                px = _pixels(w, h, seed)
+                ys = np.linspace(0, h, out_h + 1).astype(int)
+                xs = np.linspace(0, w, out_w + 1).astype(int)
+                small = [
+                    float(px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean())
+                    for i in range(out_h)
+                    for j in range(out_w)
+                ]
+                rows.append((doc_id, out_w, out_h, small))
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'width', 'height', 'pixels']
+            )
+
+    return df.select('doc_id', col).mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 2, col: str = 'video'
+) -> DataFrame:
+    """Frame sampling: one output row per kept frame (fan-out in pandas)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf['doc_id'], pdf[col]):
+                b = bytes(b)
+                if b[:8] != VID_MAGIC:
+                    raise NotImplementedError('unsupported video format')
+                w, h, n_frames, seed = struct.unpack('<iiiq', b[8:28])
+                for idx in range(0, n_frames, every_n):
+                    px = _pixels(w, h, seed + idx)
+                    rows.append((doc_id, idx, float(px.mean())))
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'frame_idx', 'frame_mean']
+            )
+
+    return df.select('doc_id', col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+def audio_features(df: DataFrame, col: str = 'audio') -> DataFrame:
+    """Waveform features (rms, zero crossings) from the fake audio payload."""
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf['doc_id'], pdf[col]):
+                b = bytes(b)
+                if b[:8] != AUD_MAGIC:
+                    raise NotImplementedError('unsupported audio format')
+                rate, n, seed = struct.unpack('<iiq', b[8:24])
+                rng = np.random.Generator(np.random.PCG64(seed))
+                wave = rng.standard_normal(n)
+                rms = float(np.sqrt((wave * wave).mean()))
+                zc = int(((wave[:-1] * wave[1:]) < 0).sum())
+                rows.append((doc_id, rate, n, rms, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    'doc_id', 'sample_rate', 'n_samples', 'rms', 'zero_crossings'
+                ],
+            )
+
+    return df.select('doc_id', col).mapInPandas(features, AUDIO_FEATURES_SCHEMA)

@@ -56,6 +56,7 @@ _MODULES = (
     'similarity',
     'events',
     'streaming_live',
+    'multimodal_q',
 )
 
 

@@ -1,0 +1,84 @@
+"""Multimodal plumbing tests: binary columns through Arrow, mapInPandas
+batch shapes, determinism, and the stubbed-decode error surface."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cyclebane_spark.multimodal.media import (
+    audio_features,
+    decode_images,
+    fake_audio,
+    fake_video,
+    image_metadata,
+    resize_images,
+    sample_frames,
+    with_fake_images,
+)
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    return spark.read.parquet(f'{SF_DIR}/documents.parquet').limit(50)
+
+
+@pytest.fixture(scope='module')
+def with_images(docs):
+    return with_fake_images(docs)
+
+
+def test_image_metadata_schema_and_values(with_images):
+    out = image_metadata(with_images)
+    rows = out.select('doc_id', 'n_chars', 'image_meta.*').collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.mime == 'image/x-fake'
+        assert r.width == 16 + r.n_chars % 17
+        assert r.n_bytes == 8 + 16
+
+
+def test_decode_deterministic_and_distributed(spark, with_images):
+    a = {r.doc_id: r.mean_intensity for r in decode_images(with_images).collect()}
+    # different partitioning must not change results
+    b = {
+        r.doc_id: r.mean_intensity
+        for r in decode_images(with_images.repartition(7)).collect()
+    }
+    assert a == b
+    assert all(0.0 < v < 1.0 for v in a.values())
+
+
+def test_resize_shapes(with_images):
+    rows = resize_images(with_images, out_w=3, out_h=2).collect()
+    assert all(len(r.pixels) == 6 for r in rows)
+    assert all(r.width == 3 and r.height == 2 for r in rows)
+
+
+def test_decode_unknown_format_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b'JPEGJUNK....'))], 'doc_id long, image binary')
+    with pytest.raises(Exception, match='NotImplementedError|FAKEIMG1'):
+        decode_images(df).collect()
+
+
+def test_frame_sampling_fanout(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(fake_video(8, 8, 10, seed=42)))],
+        'doc_id long, video binary',
+    )
+    rows = sample_frames(df, every_n=3).collect()
+    assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
+    # frames differ (seed advances per frame)
+    assert len({r.frame_mean for r in rows}) == 4
+
+
+def test_audio_features(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(fake_audio(16000, 1600, seed=7)))],
+        'doc_id long, audio binary',
+    )
+    r = audio_features(df).collect()[0]
+    assert r.sample_rate == 16000
+    assert r.n_samples == 1600
+    assert 0.8 < r.rms < 1.2  # standard normal
+    assert 0 < r.zero_crossings < 1600
