@@ -349,8 +349,26 @@ class Graph:
                 # the grouping snapshots membership at groupby() time, so a
                 # later positional slice of the inner dim does not restrict
                 # grouped fan-in (parity with reference graph.py:426-441).
+                #
+                # Axis ORDER parity: the reference expands groupby subgraphs
+                # by per-dim cloning in reversed-catalog order with
+                # prepend-merge, handling the inner dim at the group dim's
+                # step (graph.py:426-441, merge_index graph.py:70-73). The
+                # resulting instance keys can therefore order axes
+                # differently from the regular expansion of the same family
+                # (the reference's own tests assert this, e.g.
+                # groupby_test.py:802-806) — simulate that order here.
                 inner = grouping.inner_dim
-                other_axes = [d for d in u_axes if d != inner]
+                u_dims = set(_dims(u))
+                gb_axes: list[IndexName] = []
+                for d in [
+                    d for d in reversed(list(catalog)) if d != inner
+                ]:
+                    if d in u_dims:
+                        gb_axes.insert(0, d)
+                    if d == grouping.group_dim and inner in u_dims:
+                        gb_axes.insert(0, inner)
+                other_axes = [d for d in gb_axes if d != inner]
                 u_attrs = self._dag.node_attrs(u)
                 members = dict(
                     zip(grouping.labels, grouping.members, strict=True)
@@ -368,7 +386,8 @@ class Graph:
                             ui = NodeName(
                                 _base(u),
                                 IndexValues(
-                                    u_axes, tuple(uc[d] for d in u_axes)
+                                    tuple(gb_axes),
+                                    tuple(uc[d] for d in gb_axes),
                                 ),
                             )
                             if ui not in out:

@@ -1,0 +1,354 @@
+"""Differential tests: run the SAME workflow through the reference library
+(importable from /root/reference/src) and through cyclebane_spark's plan
+layer, canonicalize both ``to_networkx()`` outputs, and require equality.
+
+This is the strongest parity check we have: node sets, edge sets, attrs and
+attached values must agree exactly — including for randomized workflows.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, '/root/reference/src')
+import cyclebane as ref_cb  # noqa: E402
+
+from cyclebane_spark import Graph  # noqa: E402
+
+
+def canon(nxg):
+    nodes = sorted(str(n) for n in nxg.nodes)
+    edges = sorted((str(a), str(b)) for a, b in nxg.edges)
+    attrs = sorted(
+        (str(n), sorted((k, str(v)) for k, v in d.items()))
+        for n, d in nxg.nodes(data=True)
+    )
+    return nodes, edges, attrs
+
+
+def check(build):
+    """build(mod) -> graph-like with to_networkx(); compare both libs."""
+    ours = canon(build(Graph).to_networkx())
+    theirs = canon(build(ref_cb.Graph).to_networkx())
+    assert ours == theirs
+
+
+def check_raises(build, exc):
+    with pytest.raises(exc):
+        build(Graph)
+    with pytest.raises(exc):
+        build(ref_cb.Graph)
+
+
+# -- deterministic scenarios -------------------------------------------------
+
+
+def test_chained_maps_orthogonal_dims():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'c'), ('b', 'c'), ('c', 'd')]))
+        g = g.map({'a': [1, 2]})
+        g = g.map({'b': [10, 20, 30]})
+        return g.reduce('d', name='total')
+
+    check(build)
+
+
+def test_joint_map_dataframe_shares_dim():
+    def build(G):
+        g = G(nx.DiGraph([('x', 'z'), ('y', 'z')]))
+        g = g.map(pd.DataFrame({'x': [1, 2, 3], 'y': [4, 5, 6]}))
+        return g.reduce('z', name='total')
+
+    check(build)
+
+
+def test_numpy_2d_map_and_axis_reduce():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': np.arange(6).reshape(2, 3)})
+        return g.reduce('b', axis=1, name='r')
+
+    check(build)
+
+
+def test_reduce_axis_is_node_relative_after_second_map():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b'), ('c', 'b')]))
+        g = g.map({'a': [1, 2]})
+        g = g.map({'c': [5, 6, 7]})
+        return g.reduce('b', axis=0, name='r')
+
+    check(build)
+
+
+def test_reduce_index_keeps_other_dims():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': np.arange(4).reshape(2, 2)})
+        return g.reduce('b', index='dim_1', name='r')
+
+    check(build)
+
+
+def test_chained_reduce():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': np.arange(6).reshape(2, 3)})
+        g = g.reduce('b', index='dim_0', name='r0')
+        return g.reduce('r0', index='dim_1', name='r1')
+
+    check(build)
+
+
+def test_groupby_reduce_with_pandas_label():
+    def build(G):
+        g = G(nx.DiGraph([('v', 'w')]))
+        df = pd.DataFrame({'v': [1, 2, 3, 4], 'lab': ['p', 'q', 'p', 'q']})
+        g = g.map(df)
+        return g.groupby('lab').reduce('w', name='agg')
+
+    check(build)
+
+
+def test_groupby_reduce_then_regular_reduce():
+    def build(G):
+        g = G(nx.DiGraph([('v', 'w')]))
+        df = pd.DataFrame({'v': [1, 2, 3, 4], 'lab': ['p', 'q', 'p', 'q']})
+        g = g.map(df)
+        g = g.groupby('lab').reduce('w', name='agg')
+        return g.reduce('agg', name='final')
+
+    check(build)
+
+
+def test_2d_node_groupby():
+    def build(G):
+        g = G(nx.DiGraph([('v', 'w'), ('u', 'w')]))
+        df = pd.DataFrame({'v': [1, 2, 3, 4], 'lab': ['p', 'q', 'p', 'q']})
+        g = g.map(df)
+        g = g.map({'u': [7, 8]})
+        return g.groupby('lab').reduce('w', name='agg')
+
+    check(build)
+
+
+def test_2d_regular_reduce_then_groupby_reduce():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'c'), ('b', 'c')]))
+        g = g.map({'a': [1, 2, 3]}).map({'b': [10, 20]})
+        g = g.reduce('c', name='reduced_c', index='dim_1')
+        g = g.map(
+            pd.DataFrame({'param': ['x', 'x', 'y']}).set_index(
+                pd.RangeIndex(3, name='dim_0')
+            )
+        )
+        return g.groupby('param').reduce('reduced_c', name='final')
+
+    check(build)
+
+
+def test_2d_groupby_then_regular_reduce():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'c'), ('b', 'c')]))
+        df = pd.DataFrame({'a': [1, 2, 3], 'param': ['x', 'x', 'y']})
+        g = g.map(df).map({'b': [10, 20]})
+        g = g.groupby('param').reduce('c', name='grouped_c')
+        return g.reduce('grouped_c', name='final', index='dim_1')
+
+    check(build)
+
+
+def test_chained_groupby():
+    def build(G):
+        g = G(nx.DiGraph([('v', 'w')]))
+        df = pd.DataFrame(
+            {
+                'v': [1, 2, 3, 4],
+                'fine': ['a', 'a', 'b', 'b'],
+            }
+        )
+        g = g.map(df)
+        g = g.groupby('fine').reduce('w', name='per_fine')
+        g = g.map(
+            pd.DataFrame({'coarse': ['g1', 'g2']}).set_index(
+                pd.Index(['a', 'b'], name='fine')
+            )
+        )
+        return g.groupby('coarse').reduce('per_fine', name='per_coarse')
+
+    check(build)
+
+
+def test_positional_slice_then_reduce():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': [1, 2, 3, 4, 5]})
+        g = g.by_position('dim_0')[1:4]
+        return g.reduce('b', name='r')
+
+    check(build)
+
+
+def test_getitem_branch():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b'), ('b', 'c'), ('x', 'c')]))
+        g = g.map({'a': [1, 2]})
+        return g['b']
+
+    check(build)
+
+
+def test_setitem_grafts_branch():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b'), ('b', 'c')]))
+        g = g.map({'a': [1, 2]})
+        other = G(nx.DiGraph([('p', 'b')]))
+        other = other.map({'p': [5, 6]})
+        g['b'] = other
+        return g
+
+    check(build)
+
+
+def test_delitem_prunes_exclusive_ancestors():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b'), ('b', 'c'), ('x', 'c')]))
+        del g['b']
+        return g
+
+    check(build)
+
+
+def test_attrs_preserved_through_map_and_reduce():
+    def build(G):
+        ng = nx.DiGraph([('a', 'b')])
+        ng.nodes['b']['kind'] = 'transform'
+        g = G(ng)
+        g = g.map({'a': [1, 2]})
+        return g.reduce('b', name='r', attrs={'kind': 'agg'})
+
+    check(build)
+
+
+# -- error-surface parity ----------------------------------------------------
+
+
+def test_map_non_source_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        return g.map({'b': [1, 2]})
+
+    check_raises(build, ValueError)
+
+
+def test_remap_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': [1, 2]})
+        return g.map({'a': [3, 4]})
+
+    check_raises(build, ValueError)
+
+
+def test_shape_mismatch_in_joint_map_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'c'), ('b', 'c')]))
+        return g.map({'a': [1, 2], 'b': [1, 2, 3]})
+
+    check_raises(build, ValueError)
+
+
+def test_reduce_index_and_axis_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': [1, 2]})
+        return g.reduce('b', index='dim_0', axis=0, name='r')
+
+    check_raises(build, ValueError)
+
+
+def test_reduce_unknown_index_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': [1, 2]})
+        return g.reduce('b', index='nope', name='r')
+
+    check_raises(build, ValueError)
+
+
+def test_groupby_unknown_node_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': [1, 2]})
+        return g.groupby('nope')
+
+    check_raises(build, KeyError)
+
+
+def test_delete_mapped_node_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': [1, 2]})
+        del g['a']
+        return g
+
+    check_raises(build, ValueError)
+
+
+# -- randomized differential -------------------------------------------------
+
+
+def _random_workflow(G, rng: np.random.Generator):
+    """A random-but-valid workflow applied identically to either library."""
+    n_roots = int(rng.integers(1, 4))
+    roots = [f'r{i}' for i in range(n_roots)]
+    edges = [(r, 'mid') for r in roots] + [('mid', 'sink')]
+    g = G(nx.DiGraph(edges))
+    # map a random subset of roots, possibly jointly
+    k = int(rng.integers(1, n_roots + 1))
+    chosen = list(rng.choice(roots, size=k, replace=False))
+    if rng.random() < 0.5 and k > 1:
+        # joint map: one DataFrame, shared dim
+        n = int(rng.integers(2, 5))
+        g = g.map(
+            pd.DataFrame({c: rng.integers(0, 100, n).tolist() for c in chosen})
+        )
+    else:
+        for c in chosen:
+            if rng.random() < 0.3:
+                arr = rng.integers(0, 9, (2, int(rng.integers(2, 4))))
+                g = g.map({c: arr})
+            else:
+                g = g.map({c: rng.integers(0, 100, int(rng.integers(2, 5))).tolist()})
+    # maybe slice one dim positionally
+    dims = list(g.indices) if hasattr(g, 'indices') else []
+    if dims and rng.random() < 0.4:
+        g = g.by_position(dims[0])[0:2]
+    # reduce the sink over a random choice
+    mode = rng.random()
+    sink_dims = [d for d in dims]
+    if mode < 0.4 and sink_dims:
+        g = g.reduce('sink', index=sink_dims[int(rng.integers(len(sink_dims)))], name='out')
+    elif mode < 0.6 and sink_dims:
+        g = g.reduce('sink', axis=0, name='out')
+    else:
+        g = g.reduce('sink', name='out')
+    return g
+
+
+@pytest.mark.parametrize('seed', range(30))
+def test_randomized_workflows_match_reference(seed):
+    ours = canon(
+        _random_workflow(Graph, np.random.Generator(np.random.PCG64(seed))).to_networkx()
+    )
+    theirs = canon(
+        _random_workflow(
+            ref_cb.Graph, np.random.Generator(np.random.PCG64(seed))
+        ).to_networkx()
+    )
+    assert ours == theirs
