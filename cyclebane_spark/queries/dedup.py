@@ -82,10 +82,19 @@ def dedup_exact(spark, sf_dir):
 # -- MinHash + LSH -----------------------------------------------------------
 
 
+# 16 permutations from 4 md5 calls: md5('i:'||shingle) yields 128 independent
+# bits; its four 8-hex-char chunks are four independent 32-bit hash functions.
+# 4x fewer md5 evaluations than one-md5-per-permutation, same LSH quality.
+N_SEEDS = N_PERM // 4
+
+
+def _perm_min_sql(p: int) -> str:
+    seed, chunk = divmod(p, 4)
+    return f"MIN(substring(md5('{seed}:' || s), {chunk * 8 + 1}, 8)) AS h{p}"
+
+
 def _minhash_oracle() -> str:
-    mins = ',\n               '.join(
-        f"MIN(md5('{p}:' || s)) AS h{p}" for p in range(N_PERM)
-    )
+    mins = ',\n               '.join(_perm_min_sql(p) for p in range(N_PERM))
     band_selects = '\n        UNION ALL '.join(
         "SELECT doc_id, {b} AS band_id, md5({expr}) AS bh FROM sig".format(
             b=b,
@@ -112,22 +121,43 @@ def _minhash_oracle() -> str:
     """
 
 
-@register('dedup_minhash_lsh', oracle=_minhash_oracle())
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(16 perms as seeded md5 mins) + LSH(4 bands x 4) candidates.
+def spread(df, *cols):
+    """Repartition before heavy per-row compute.
 
-    Permutation i is ``min(md5('i:' || shingle))`` — md5 hex ordering is
-    identical across engines, so signatures (and therefore candidate pairs)
-    match the oracle exactly. Banding turns near-dup search into an equi-join
-    on band hashes.
+    The test tables are single parquet files -> one input split; without
+    this every md5/shingle evaluation runs on one core. At 100 TB inputs
+    arrive as many splits and this becomes a no-op-cost hash exchange that
+    also pre-partitions the downstream aggregation key.
     """
-    docs = table(spark, sf_dir, 'documents')
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *cols)
+
+
+@register('dedup_minhash_lsh', oracle=_minhash_oracle(), headline=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16 perms = 4 seeded md5s x 4 chunks) + LSH(4 bands x 4).
+
+    md5 hex ordering is identical across engines, so signatures (and
+    therefore candidate pairs) match the oracle exactly. Candidates come
+    from grouping by (band_id, band_hash) and emitting in-bucket pairs —
+    signatures are computed ONCE (no self-join recomputation) and the only
+    shuffles are the signature aggregation and the bucket groupBy. Skewed
+    buckets (boilerplate) would be capped or salted at scale.
+    """
+    docs = spread(table(spark, sf_dir, 'documents'), 'doc_id')
     sh = docs.select(
         'doc_id', F.explode(_spark_shingles(3)).alias('s')
     )
-    sig = sh.groupBy('doc_id').agg(
+    seeds = [
+        F.md5(F.concat(F.lit(f'{i}:'), F.col('s'))).alias(f'm{i}')
+        for i in range(N_SEEDS)
+    ]
+    hashed = sh.select('doc_id', *seeds)
+    sig = hashed.groupBy('doc_id').agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f'{p}:'), F.col('s')))).alias(f'h{p}')
+            F.min(
+                F.substring(f'm{p // 4}', (p % 4) * 8 + 1, 8)
+            ).alias(f'h{p}')
             for p in range(N_PERM)
         ]
     )
@@ -143,15 +173,28 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands = sig.select('doc_id', *band_cols).selectExpr(
         'doc_id', f'stack({N_BANDS}, {stack_args}) AS (band_id, bh)'
     )
-    a, b = bands.alias('a'), bands.alias('b')
+    buckets = (
+        bands.groupBy('band_id', 'bh')
+        .agg(F.sort_array(F.collect_list('doc_id')).alias('ids'))
+        .filter(F.size('ids') > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col('a.band_id') == F.col('b.band_id'))
-            & (F.col('a.bh') == F.col('b.bh'))
-            & (F.col('a.doc_id') < F.col('b.doc_id')),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        'ids',
+                        lambda x: F.transform(
+                            F.filter(F.col('ids'), lambda y: y > x),
+                            lambda y: F.struct(
+                                x.alias('doc_a'), y.alias('doc_b')
+                            ),
+                        ),
+                    )
+                )
+            ).alias('p')
         )
-        .select(F.col('a.doc_id').alias('doc_a'), F.col('b.doc_id').alias('doc_b'))
+        .select('p.doc_a', 'p.doc_b')
         .distinct()
     )
 
@@ -204,7 +247,7 @@ def dedup_simhash(spark, sf_dir):
     bits. Near-dup docs land in equal or near-equal buckets. Both engines evaluate
     the same generated expressions, so signatures match exactly.
     """
-    docs = table(spark, sf_dir, 'documents')
+    docs = spread(table(spark, sf_dir, 'documents'), 'doc_id')
     toks = F.split(F.trim(F.col('text')), r'\s+')
     tok = docs.select(
         'doc_id', F.explode(F.array_distinct(toks)).alias('tok')
@@ -240,7 +283,7 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard >= 0.5 via inverted-index co-occurrence join."""
-    docs = table(spark, sf_dir, 'documents')
+    docs = spread(table(spark, sf_dir, 'documents'), 'doc_id')
     sh = docs.select('doc_id', F.explode(_spark_shingles(3)).alias('s'))
     sizes = sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n'))
     a, b = sh.alias('a'), sh.alias('b')

@@ -53,6 +53,7 @@ def events_hourly_agg(spark, sf_dir):
 
 @register(
     'events_sessionization',
+    headline=True,
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, event_id, ts, value,

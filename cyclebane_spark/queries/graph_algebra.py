@@ -105,6 +105,7 @@ def graph_map_reduce_partial(spark, sf_dir):
 
 @register(
     'graph_param_sweep_broadcast',
+    headline=True,
     oracle=f"""
     WITH params(dim_2, extra_disc) AS (VALUES (0, 0.00), (1, 0.05), (2, 0.10))
     SELECT dim_2,

@@ -62,6 +62,7 @@ _SQL_NORMED = f"""
 
 @register(
     'ann_bruteforce_topk',
+    headline=True,
     oracle=f"""{_SQL_NORMED}
     SELECT query_id, neighbor_id, cosine, rk FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
