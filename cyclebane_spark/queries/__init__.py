@@ -50,6 +50,7 @@ def register(
 
 _MODULES = (
     'relational',
+    'relational2',
     'graph_algebra',
     'text',
     'dedup',

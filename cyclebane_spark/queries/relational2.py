@@ -1,0 +1,256 @@
+"""Second batch of relational coverage: subquery shapes (scalar, correlated,
+EXISTS/IN), conditional aggregation, hash-based sampling, distinct counting
+(exact + sketch), and array functions.
+
+Scale notes inline; everything stays in whole-stage codegen (no Python).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..tables import table
+from . import register
+from ._helpers import dsum, sql_dsum
+
+
+@register(
+    'subquery_scalar_avg',
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_small,
+           {sql_dsum('p_retailprice')} AS small_value
+    FROM part
+    WHERE p_size < (SELECT AVG(p_size) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def subquery_scalar_avg(spark, sf_dir):
+    """Scalar subquery: compare against a global aggregate.
+
+    Spark computes the scalar once (its own tiny job) and folds it into the
+    filter — at scale this is a broadcast of one value, not a join.
+    """
+    part = table(spark, sf_dir, 'part')
+    avg_size = part.agg(F.avg('p_size')).collect()[0][0]
+    return (
+        part.filter(F.col('p_size') < avg_size)
+        .groupBy('p_brand')
+        .agg(
+            F.count(F.lit(1)).alias('n_small'),
+            dsum('p_retailprice').alias('small_value'),
+        )
+    )
+
+
+@register(
+    'subquery_correlated_avg',
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                / COUNT(l_quantity)) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, COUNT(*) AS n_above
+    FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity > p.avg_qty
+    GROUP BY l.l_partkey
+    """,
+)
+def subquery_correlated_avg(spark, sf_dir):
+    """Correlated subquery (TPC-H Q17 shape) decorrelated to a join.
+
+    The classic optimizer rewrite stated directly: aggregate once per key,
+    join back, filter. One shuffle for the aggregate, one for the join
+    (co-partitioned on the same key, so AQE can reuse the exchange).
+    """
+    li = table(spark, sf_dir, 'lineitem')
+    per_part = li.groupBy('l_partkey').agg(
+        (
+            F.sum(F.col('l_quantity').cast('decimal(28,6)')).cast('double')
+            / F.count('l_quantity')
+        ).alias('avg_qty')
+    )
+    return (
+        li.join(per_part, 'l_partkey')
+        .filter(F.col('l_quantity') > F.col('avg_qty'))
+        .groupBy('l_partkey')
+        .agg(F.count(F.lit(1)).alias('n_above'))
+    )
+
+
+@register(
+    'subquery_exists_priority',
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_exists_priority(spark, sf_dir):
+    """EXISTS (TPC-H Q4 shape) as a left-semi join."""
+    orders = table(spark, sf_dir, 'orders')
+    li = table(spark, sf_dir, 'lineitem')
+    ots = orders.schema['o_orderdate'].dataType
+    filtered = orders.filter(
+        (F.col('o_orderdate') >= F.lit('1996-07-01 00:00:00').cast(ots))
+        & (F.col('o_orderdate') < F.lit('1996-10-01 00:00:00').cast(ots))
+    )
+    return (
+        filtered.join(
+            li,
+            (li.l_orderkey == filtered.o_orderkey)
+            & (li.l_shipdate > filtered.o_orderdate),
+            'left_semi',
+        )
+        .groupBy('o_orderpriority')
+        .agg(F.count(F.lit(1)).alias('order_count'))
+    )
+
+
+@register(
+    'conditional_agg_shipmodes',
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (l_quantity >= 25) AS n_bulk,
+           COUNT(*) FILTER (l_quantity < 25) AS n_small,
+           {sql_dsum('CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END')}
+               AS discounted_value
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def conditional_agg_shipmodes(spark, sf_dir):
+    """Conditional aggregation (TPC-H Q12 shape): CASE inside aggregates."""
+    li = table(spark, sf_dir, 'lineitem')
+    return li.groupBy('l_returnflag').agg(
+        F.count(F.when(F.col('l_quantity') >= 25, 1)).alias('n_bulk'),
+        F.count(F.when(F.col('l_quantity') < 25, 1)).alias('n_small'),
+        dsum(
+            F.when(F.col('l_discount') > 0.05, F.col('l_extendedprice')).otherwise(
+                0
+            )
+        ).alias('discounted_value'),
+    )
+
+
+@register(
+    'promo_revenue_ratio',
+    oracle=f"""
+    SELECT
+        100.0 * {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+            / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def promo_revenue_ratio(spark, sf_dir):
+    """Ratio of conditional aggregates (TPC-H Q14 shape); part side joins
+    after the selective shipdate filter prunes lineitem."""
+    li = table(spark, sf_dir, 'lineitem')
+    part = table(spark, sf_dir, 'part')
+    lts = li.schema['l_shipdate'].dataType
+    disc = F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    promo = F.when(F.col('p_type').like('PROMO%'), disc).otherwise(0)
+    return (
+        li.filter(
+            (F.col('l_shipdate') >= F.lit('1996-09-01 00:00:00').cast(lts))
+            & (F.col('l_shipdate') < F.lit('1996-10-01 00:00:00').cast(lts))
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(disc)).alias('promo_revenue_pct')
+        )
+    )
+
+
+@register(
+    'sample_hash_based',
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hash_based(spark, sf_dir):
+    """Deterministic ~12.5% sample via content hashing.
+
+    The scale-honest sampling pattern: reproducible across engines, runs,
+    and partitionings (unlike rng-based TABLESAMPLE), trivially pushed into
+    any engine, and stable under data re-layout — what you want for
+    train/holdout splits over 100 TB.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    return docs.filter(
+        F.substring(F.md5(F.col('doc_id').cast('string')), 1, 1).isin('0', '1')
+    ).select('doc_id', 'lang')
+
+
+@register(
+    'count_distinct_exact',
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def count_distinct_exact(spark, sf_dir):
+    """Exact multi-column distinct counting (expand + two-phase agg)."""
+    li = table(spark, sf_dir, 'lineitem')
+    return li.groupBy('l_returnflag').agg(
+        F.count_distinct('l_partkey').alias('n_parts'),
+        F.count_distinct('l_suppkey').alias('n_supps'),
+    )
+
+
+@register('approx_count_distinct_hll')  # sketch values are engine-specific
+def approx_count_distinct_hll(spark, sf_dir):
+    """HyperLogLog distinct sketch — the 100 TB path (no expand, tiny state).
+
+    rows-only check: HLL estimates differ across engines by construction;
+    the test suite bounds the relative error against the exact count.
+    """
+    li = table(spark, sf_dir, 'lineitem')
+    return li.groupBy('l_returnflag').agg(
+        F.approx_count_distinct('l_partkey', rsd=0.02).alias('n_parts_approx')
+    )
+
+
+@register(
+    'array_functions',
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+           list_contains(toks, 'spark') AS has_spark
+    FROM t
+    """,
+)
+def array_functions(spark, sf_dir):
+    """Array function coverage: size, distinct, sort, slice, join, contains."""
+    docs = table(spark, sf_dir, 'documents')
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    uniq = F.array_distinct(toks)
+    return docs.select(
+        'doc_id',
+        F.size(toks).alias('n_tokens'),
+        F.size(uniq).alias('n_unique'),
+        F.array_join(F.slice(F.array_sort(uniq), 1, 3), ',').alias(
+            'first3_sorted'
+        ),
+        F.array_contains(toks, 'spark').alias('has_spark'),
+    )
