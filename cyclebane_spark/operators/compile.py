@@ -253,10 +253,54 @@ class SparkPlan:
     def _build_reduce(self, key: Hashable, parent: Hashable, reduced: set):
         df = self._frame(parent)
         keep = [self._dims.col(d) for d in _dims(key)]
+        impl = self._impls.get(_base(key))
+        if isinstance(impl, tuple) and impl[0] == 'pandas_agg':
+            return self._build_pandas_reduce(df, keep, impl)
         agg = self._agg_expr(key).alias(VALUE_COL)
         if keep:
             return df.groupBy(*keep).agg(agg)
         return df.agg(agg)
+
+    def _build_pandas_reduce(self, df, keep: list, impl: tuple):
+        """Reduce with an arbitrary Python function over each group's values.
+
+        ``impl = ('pandas_agg', fn[, return_type])`` — fn(pandas.Series) ->
+        scalar, applied per group via applyInPandas (grouped Arrow batches).
+        This is the UDAF escape hatch for reduce fns Spark's builtins can't
+        express (cyclebane's downstream consumers attach arbitrary callables
+        to reduce nodes). One shuffle on the kept dims; each group must fit
+        in executor memory — for giant groups pre-combine with a builtin or
+        use a streaming sketch instead.
+        """
+        import pandas as pd
+
+        fn = impl[1]
+        rtype = impl[2] if len(impl) > 2 else 'double'
+        schema_parts = [
+            f'`{c}` {df.schema[c].dataType.simpleString()}' for c in keep
+        ]
+        schema = ', '.join([*schema_parts, f'`{VALUE_COL}` {rtype}'])
+
+        def apply(pdf: 'pd.DataFrame') -> 'pd.DataFrame':
+            row = {c: [pdf[c].iloc[0]] for c in keep}
+            row[VALUE_COL] = [fn(pdf[VALUE_COL])]
+            return pd.DataFrame(row)
+
+        if keep:
+            return df.groupBy(*keep).applyInPandas(apply, schema)
+
+        # reduce-all: a single group keyed by a constant, dropped afterwards
+        def apply_all(pdf: 'pd.DataFrame') -> 'pd.DataFrame':
+            return pd.DataFrame({VALUE_COL: [fn(pdf[VALUE_COL])]})
+
+        return (
+            df.withColumn('__g', F_lit_one())
+            .groupBy('__g')
+            .applyInPandas(
+                lambda pdf: apply_all(pdf),
+                f'`{VALUE_COL}` {rtype}',
+            )
+        )
 
     def _build_groupby_reduce(self, key: Hashable, parent: Hashable, grouping):
         df = self._frame(parent)
@@ -268,8 +312,15 @@ class SparkPlan:
             for d in _dims(key)
             if d != grouping.group_dim
         ]
-        agg = self._agg_expr(key).alias(VALUE_COL)
         joined = df.join(labels, on=inner_col, how='inner')
+        impl = self._impls.get(_base(key))
+        if isinstance(impl, tuple) and impl[0] == 'pandas_agg':
+            return self._build_pandas_reduce(
+                joined.select(*remaining, group_col, VALUE_COL),
+                [*remaining, group_col],
+                impl,
+            )
+        agg = self._agg_expr(key).alias(VALUE_COL)
         return joined.groupBy(*remaining, group_col).agg(agg)
 
     def _label_frame(self, grouping, inner_col: str, group_col: str):
@@ -287,6 +338,12 @@ class SparkPlan:
             for inner in members
         ]
         return self._spark.createDataFrame(rows, [inner_col, group_col])
+
+
+def F_lit_one():
+    import pyspark.sql.functions as F
+
+    return F.lit(1)
 
 
 def compile_graph(

@@ -206,6 +206,80 @@ def graph_slice_loc(spark, sf_dir):
 
 
 @register(
+    'graph_pandas_udaf_median',
+    oracle="""
+    SELECT o_orderstatus AS lab, median(o_totalprice) AS value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def graph_pandas_udaf_median(spark, sf_dir):
+    """Arbitrary-Python reduce fn through the plan layer (UDAF path).
+
+    cyclebane's downstream consumers attach callables to reduce nodes; the
+    compiler's ('pandas_agg', fn) impl runs them per group via
+    applyInPandas. Median is builtin-inexpressible exactly; pandas and
+    DuckDB interpolate even-count medians identically (mean of the two
+    middle doubles). o_orderkey is unique, so the label join is 1:1.
+    """
+    orders = table(spark, sf_dir, 'orders')
+    g = Graph([('price', 'w')])
+    g = g.map(
+        {
+            'price': SparkColumn(
+                orders, index=['o_orderkey'], values='o_totalprice'
+            ),
+            'lab': SparkColumn(
+                orders, index=['o_orderkey'], values='o_orderstatus'
+            ),
+        }
+    )
+    g = g.groupby('lab').reduce('w', name='median_price')
+    plan = g.compile(
+        spark,
+        impls={'median_price': ('pandas_agg', lambda s: float(s.median()))},
+    )
+    return plan.frame('median_price')
+
+
+@register(
+    'graph_branch_replacement',
+    oracle="""
+    SELECT CAST(SUM(CAST(o_totalprice * 1.1 AS DECIMAL(28,6))) AS DOUBLE)
+        AS total_after_graft
+    FROM orders
+    """,
+)
+def graph_branch_replacement(spark, sf_dir):
+    """__setitem__: graft a replacement branch, then execute the new plan.
+
+    Reference semantics graph.py:480-537 — the original branch's exclusive
+    ancestors are dropped, the replacement's sink is renamed onto the
+    branch node, and downstream consumers see the new data. The original
+    branch's source is never scanned in the compiled plan.
+    """
+    orders = table(spark, sf_dir, 'orders')
+    g = Graph([('price', 'adjusted'), ('adjusted', 'total')])
+    g = g.map(
+        {'price': SparkColumn(orders, index=['o_orderkey'], values='o_totalprice')}
+    )
+
+    # replacement branch: same sink name family, marked-up prices
+    marked = orders.withColumn(
+        'marked_up', F.col('o_totalprice') * 1.1
+    )
+    repl = Graph([('price2', 'adjusted')])
+    repl = repl.map(
+        {'price2': SparkColumn(marked, index=['o_orderkey'], values='marked_up')}
+    )
+    g['adjusted'] = repl
+    g = g.reduce('total', name='grand_total')
+    plan = g.compile(spark, impls={'grand_total': _dsum_agg})
+    return plan.frame('grand_total').select(
+        F.col('value').alias('total_after_graft')
+    )
+
+
+@register(
     'graph_branch_projection',
     oracle="""
     SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS branch_total

@@ -226,6 +226,37 @@ def approx_count_distinct_hll(spark, sf_dir):
 
 
 @register(
+    'skew_salted_agg',
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS total_value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-level salted aggregation for skewed keys, same result as direct.
+
+    l_returnflag has ~3 distinct values — at 100 TB a direct groupBy would
+    put a third of the table through single reducers. Salting splits each
+    hot key across 16 shuffle partitions (level 1), then merges the 48
+    partials (level 2, trivial). Decimal accumulators make the two-level
+    sum bit-identical to the direct plan. AQE's skewedJoin/skewedPartition
+    handling automates this for joins; for aggregations the salt is the
+    standard manual pattern.
+    """
+    li = table(spark, sf_dir, 'lineitem')
+    salted = li.withColumn('__salt', F.pmod(F.col('l_orderkey'), F.lit(16)))
+    partial = salted.groupBy('l_returnflag', '__salt').agg(
+        F.count(F.lit(1)).alias('pn'),
+        F.sum(F.col('l_extendedprice').cast('decimal(28,6)')).alias('pv'),
+    )
+    return partial.groupBy('l_returnflag').agg(
+        F.sum('pn').alias('n_items'),
+        F.sum('pv').cast('double').alias('total_value'),
+    )
+
+
+@register(
     'array_functions',
     oracle=r"""
     WITH t AS (
