@@ -225,6 +225,38 @@ def approx_count_distinct_hll(spark, sf_dir):
     )
 
 
+_Q10_SQL = """
+    SELECT /*+ BROADCAST(nation) */
+           c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@register(
+    'sql_interface_q10',
+    oracle=_Q10_SQL.replace('/*+ BROADCAST(nation) */', ''),
+)
+def sql_interface_q10(spark, sf_dir):
+    """The spark.sql entry point: register temp views, run ANSI SQL with a
+    broadcast hint (TPC-H Q10 shape). Same text minus the hint is the
+    oracle — the SQL surface is first-class, not just the DataFrame API.
+    """
+    for name in ('customer', 'orders', 'lineitem', 'nation'):
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_Q10_SQL)
+
+
 @register(
     'skew_salted_agg',
     oracle=f"""

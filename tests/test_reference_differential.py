@@ -290,6 +290,54 @@ def test_groupby_unknown_node_raises():
     check_raises(build, KeyError)
 
 
+def test_setitem_non_graph_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g['b'] = 42
+        return g
+
+    check_raises(build, TypeError)
+
+
+def test_setitem_mapped_on_unmapped_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        other = G(nx.DiGraph([('p', 'b')]))
+        other = other.map({'p': [1, 2]})
+        g['b'] = other
+        return g
+
+    check_raises(build, NotImplementedError)
+
+
+def test_positional_int_index_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': [1, 2, 3]})
+        return g.by_position('dim_0')[1]
+
+    check_raises(build, NotImplementedError)
+
+
+def test_reduce_existing_name_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b'), ('x', 'b')]))
+        g = g.map({'a': [1, 2]})
+        # 'x' is an unmapped source still present under its plain name
+        return g.reduce('b', name='x')
+
+    check_raises(build, ValueError)
+
+
+def test_reduce_multiple_sinks_default_key_raises():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b'), ('a', 'c')]))
+        g = g.map({'a': [1, 2]})
+        return g.reduce(name='r')
+
+    check_raises(build, ValueError)
+
+
 def test_delete_mapped_node_raises():
     def build(G):
         g = G(nx.DiGraph([('a', 'b')]))
