@@ -108,6 +108,44 @@ def events_sessionization(spark, sf_dir):
 
 
 @register(
+    'events_sliding_windows',
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               TIMESTAMP '1970-01-01 00:00:00' + to_seconds(
+                   -- floor(): CAST(DOUBLE AS BIGINT) rounds in DuckDB,
+                   -- which would mis-bucket the last microsecond of a second
+                   ((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800) - k.k * 1800
+               ) AS window_start
+        FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_windows(spark, sf_dir):
+    """Sliding 1h windows every 30 min: each event lands in two windows.
+
+    The oracle states the window-membership arithmetic explicitly (epoch
+    floor minus slide offsets) on naive timestamps — timezone-free on both
+    engines. At scale the window assignment is a projection (x2 row fan-out)
+    followed by one aggregation shuffle.
+    """
+    ev = table(spark, sf_dir, 'events')
+    return (
+        ev.groupBy(
+            F.window('ts', '60 minutes', '30 minutes'), 'event_type'
+        )
+        .agg(F.count(F.lit(1)).alias('n_events'))
+        .select(
+            F.col('window.start').alias('window_start'),
+            'event_type',
+            'n_events',
+        )
+    )
+
+
+@register(
     'events_asof_join',
     oracle="""
     WITH tagged AS (
