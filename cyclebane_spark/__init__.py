@@ -10,7 +10,7 @@ search, text analysis, streaming) on the same tables.
 
 from .operators.compile import SparkPlan, compile_graph
 from .plan import graph  # noqa: F401  (submodule alias: cyclebane_spark.graph)
-from .plan.graph import Graph, GroupbyGraph, PositionalIndexer
+from .plan.graph import Graph, GroupbyGraph, LabelIndexer, PositionalIndexer
 from .plan.keys import IndexValues, MappedNode, NodeName
 from .plan.store import ValueStore
 from .sources.arrays import (
@@ -28,6 +28,7 @@ __all__ = [
     'DimArray',
     'Graph',
     'GroupbyGraph',
+    'LabelIndexer',
     'GroupsArray',
     'IndexValues',
     'MappedNode',

@@ -83,6 +83,8 @@ def _to_dag(graph: Any) -> Dag:
 class PositionalIndexer:
     """``graph.by_position(dim)[start:stop]`` — positional slice of one dim."""
 
+    _method = 'islice'
+
     def __init__(self, graph: Graph, index_name: IndexName):
         self._graph = graph
         self._index_name = index_name
@@ -93,9 +95,21 @@ class PositionalIndexer:
         store = ValueStore()
         for name, array in self._graph._store.items():
             if self._index_name in array.dims:
-                array = array.islice({self._index_name: key})
+                array = getattr(array, self._method)({self._index_name: key})
             store.set(name, array)
         return Graph(self._graph._dag, node_values=store)
+
+
+class LabelIndexer(PositionalIndexer):
+    """``graph.loc(dim)[lo:hi]`` — label-range slice of one dim.
+
+    Engine addition (the reference exposes label slicing only at the
+    ValueArray level, value_array.py:60-67): on Spark-backed arrays this is
+    the scale path — range predicates pushed down to the scan instead of a
+    global positional sort.
+    """
+
+    _method = 'lslice'
 
 
 class Graph:
@@ -215,6 +229,9 @@ class Graph:
     # -- indexing / slicing -------------------------------------------------
     def by_position(self, index_name: IndexName) -> PositionalIndexer:
         return PositionalIndexer(self, index_name)
+
+    def loc(self, index_name: IndexName) -> LabelIndexer:
+        return LabelIndexer(self, index_name)
 
     def _resolve_key(
         self, key: Hashable, match_dim: IndexName | None = None

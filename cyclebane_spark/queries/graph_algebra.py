@@ -199,10 +199,41 @@ def graph_slice_loc(spark, sf_dir):
             )
         }
     )
-    g = g.by_position('l_orderkey')[100:600]
+    g = g.loc('l_orderkey')[100:600]
     g = g.reduce('item_rev', name='total')
     plan = g.compile(spark, impls={'total': _dsum_agg})
     return plan.frame('total').select(F.col('value').alias('sliced_revenue'))
+
+
+@register(
+    'graph_slice_positional',
+    oracle="""
+    SELECT SUM(n_chars) AS sliced_chars, COUNT(*) AS n_docs
+    FROM (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents
+    )
+    WHERE pos >= 10 AND pos < 60
+    """,
+)
+def graph_slice_positional(spark, sf_dir):
+    """True positional slicing of a Spark-backed dim (by_position parity).
+
+    Compiles to a row_number window over the index order — correct
+    positional semantics; the docstring on SparkColumn.islice notes the
+    global sort makes label slicing (graph.loc) the 100 TB path.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    g = Graph([('size', 'total')])
+    g = g.map({'size': SparkColumn(docs, index=['doc_id'], values='n_chars')})
+    g = g.by_position('doc_id')[10:60]
+    g = g.reduce('size', name='total')
+    plan = g.compile(spark, impls={'total': 'sum'})
+    counted = g.compile(spark, impls={'total': 'count'})
+    out = plan.frame('total').select(F.col('value').alias('sliced_chars'))
+    n = counted.frame('total').select(F.col('value').alias('n_docs'))
+    return out.crossJoin(n)
 
 
 @register(

@@ -71,6 +71,15 @@ class DimArray:
         """Positional slice along named dims."""
         raise NotImplementedError
 
+    def lslice(self, key: Mapping[IndexName, slice]) -> 'DimArray':
+        """Label-based slice along named dims.
+
+        Default: identical to positional slicing, which is correct for
+        arrays with default ``range`` indices (lists, numpy). Adapters with
+        real labels (pandas, Spark) override.
+        """
+        return self.islice(key)
+
     def loc(self, key: Mapping[IndexName, slice]) -> 'DimArray':
         """Label-based slice; only slices are accepted (parity with reference
         ``ValueArray.loc``, value_array.py:60-67)."""
@@ -80,7 +89,7 @@ class DimArray:
             raise ValueError(
                 f'ValueArray.loc got {key.keys()}, not a subset of {self.dims}'
             )
-        return self.islice(key)
+        return self.lslice(key)
 
     def equals(self, other: 'DimArray') -> bool:
         raise NotImplementedError
@@ -272,6 +281,11 @@ class SeriesArray(DimArray):
     def islice(self, key: Mapping[IndexName, slice]) -> 'SeriesArray':
         (sl,) = key.values()
         return SeriesArray(self._series.iloc[sl], axis_zero=self._axis_zero)
+
+    def lslice(self, key: Mapping[IndexName, slice]) -> 'SeriesArray':
+        (sl,) = key.values()
+        # pandas label slicing (stop-inclusive, pandas convention)
+        return SeriesArray(self._series.loc[sl], axis_zero=self._axis_zero)
 
     def equals(self, other: DimArray) -> bool:
         return (
@@ -488,12 +502,43 @@ class SparkColumn(DimArray):
         return rows[0][0]
 
     def islice(self, key: Mapping[IndexName, slice]) -> 'SparkColumn':
+        """True positional slice via a row_number window over the index.
+
+        Parity with the reference's positional semantics — but note the
+        global (unpartitioned) window is a single-reducer sort: fine for
+        parity/tests, wrong at 100 TB. The scale path is :meth:`lslice`
+        (label predicates, pushed down to the scan).
+        """
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        df = self.df
+        for dim, sl in key.items():
+            if sl.step is not None and sl.step <= 0:
+                raise ValueError('slice step must be positive')
+            w = Window.orderBy(*[F.col(c) for c in self.index_cols])
+            pos = F.row_number().over(w) - 1
+            df = df.withColumn('__pos', pos)
+            cond = F.lit(True)
+            start = sl.start or 0
+            if start:
+                cond = cond & (F.col('__pos') >= start)
+            if sl.stop is not None:
+                cond = cond & (F.col('__pos') < sl.stop)
+            if sl.step is not None:
+                cond = cond & ((F.col('__pos') - start) % sl.step == 0)
+            df = df.filter(cond).drop('__pos')
+        return SparkColumn(df, index=self.index_cols, values=self.value_col)
+
+    def lslice(self, key: Mapping[IndexName, slice]) -> 'SparkColumn':
+        """Label-range slice: predicates on index columns (stop-exclusive,
+        SQL convention) — pushed down to the parquet scan."""
         import pyspark.sql.functions as F
 
         df = self.df
         for dim, sl in key.items():
             if sl.step is not None:
-                raise ValueError('SparkColumn slicing does not support step')
+                raise ValueError('SparkColumn label slicing does not support step')
             if sl.start is not None:
                 df = df.filter(F.col(dim) >= sl.start)
             if sl.stop is not None:
