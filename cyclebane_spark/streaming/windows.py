@@ -130,6 +130,19 @@ def session_windows(stream: DataFrame, gap: str = '30 minutes') -> DataFrame:
     )
 
 
+def dedup_stream(stream: DataFrame, *, within: str = '1 day') -> DataFrame:
+    """Streaming exact dedup: drop repeated (user_id, event_type, value)
+    tuples arriving within the watermark horizon.
+
+    The streaming statement of training-pipeline dedup: state is one entry
+    per key in the state store, expired by the watermark (bounded memory).
+    At 100 TB/day the horizon bounds state to a day's distinct keys.
+    """
+    return stream.withWatermark('ts', within).dropDuplicates(
+        ['user_id', 'event_type', 'value']
+    )
+
+
 def running_user_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: running per-user
     event counts and value totals, emitted on every update.

@@ -184,6 +184,21 @@ def test_chained_groupby():
     check(build)
 
 
+def test_slice_inner_dim_after_groupby_keeps_grouped_fanin():
+    """Grouping snapshots membership at groupby() time: slicing the inner
+    dim afterwards must not restrict grouped fan-in (reference
+    graph.py:426-441 semantics)."""
+
+    def build(G):
+        g = G(nx.DiGraph([('v', 'w')]))
+        df = pd.DataFrame({'v': [1, 2, 3, 4], 'lab': ['p', 'q', 'p', 'q']})
+        g = g.map(df)
+        g = g.groupby('lab').reduce('w', name='agg')
+        return g.by_position('dim_0')[0:2]
+
+    check(build)
+
+
 def test_positional_slice_then_reduce():
     def build(G):
         g = G(nx.DiGraph([('a', 'b')]))
@@ -387,6 +402,39 @@ def _random_workflow(G, rng: np.random.Generator):
     else:
         g = g.reduce('sink', name='out')
     return g
+
+
+def _random_groupby_workflow(G, rng: np.random.Generator):
+    """Random map + groupby-reduce workflows (optionally 2-D, sliced)."""
+    n = int(rng.integers(2, 8))
+    labels = [str(x) for x in rng.integers(0, 3, n)]
+    g = G(nx.DiGraph([('v', 'w'), ('u', 'w')]))
+    g = g.map(
+        pd.DataFrame({'v': rng.integers(0, 100, n).tolist(), 'lab': labels})
+    )
+    if rng.random() < 0.5:
+        g = g.map({'u': rng.integers(0, 9, int(rng.integers(1, 4))).tolist()})
+    g = g.groupby('lab').reduce('w', name='agg')
+    if rng.random() < 0.3:
+        g = g.by_position('dim_0')[0 : int(rng.integers(1, n + 1))]
+    if rng.random() < 0.5:
+        g = g.reduce('agg', name='final')
+    return g
+
+
+@pytest.mark.parametrize('seed', range(25))
+def test_randomized_groupby_workflows_match_reference(seed):
+    ours = canon(
+        _random_groupby_workflow(
+            Graph, np.random.Generator(np.random.PCG64(seed))
+        ).to_networkx()
+    )
+    theirs = canon(
+        _random_groupby_workflow(
+            ref_cb.Graph, np.random.Generator(np.random.PCG64(seed))
+        ).to_networkx()
+    )
+    assert ours == theirs
 
 
 @pytest.mark.parametrize('seed', range(30))

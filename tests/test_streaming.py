@@ -92,6 +92,18 @@ def test_session_windows_match_batch_sessionization(spark, stream):
     assert g == e
 
 
+def test_dedup_stream_matches_batch_distinct(spark, stream):
+    from cyclebane_spark.streaming.windows import dedup_stream
+
+    got = run_to_memory(dedup_stream(stream), output_mode='append')
+    expected = (
+        _batch_events(spark)
+        .dropDuplicates(['user_id', 'event_type', 'value'])
+        .count()
+    )
+    assert got.count() == expected
+
+
 def test_running_user_totals_final_state(spark, stream):
     got = run_to_memory(running_user_totals(stream), output_mode='update')
     # the last emission per user carries the final running totals
