@@ -1,1 +1,143 @@
-"""cyclebane_spark.functions"""
+"""Public column-function library: the reusable pieces behind the query
+registry, importable as ``from cyclebane_spark import functions as CF``.
+
+All functions return Spark ``Column`` expressions (JVM-side, whole-stage
+codegen) unless noted; nothing here touches the driver. Determinism: the
+hash-based functions build exclusively on md5, so results are reproducible
+across engines, runs, and partitionings.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+__all__ = [
+    'tokens',
+    'shingles',
+    'token_count',
+    'stopword_count',
+    'fingerprint',
+    'hash_bucket',
+    'hash_sample',
+    'dot',
+    'l2_norm',
+    'cosine',
+    'exact_sum',
+    'exact_avg',
+    'minhash_signature',
+]
+
+DEFAULT_STOPWORDS = ('the', 'a', 'and', 'of', 'to')
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# -- text --------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: array<string>."""
+    return F.split(F.trim(_col(text)), r'\s+')
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text: array<string>."""
+    toks = tokens(text)
+    seq = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(' ', *[F.get(toks, i + k) for k in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(seq, gram))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(
+    text: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> Column:
+    return F.size(F.filter(tokens(text), lambda x: x.isin(*stopwords)))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonicalizing md5 fingerprint (lowercase, collapsed whitespace) —
+    the dedup shuffle key."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(_col(text)), r'\s+', ' ')))
+
+
+# -- hashing / sampling ------------------------------------------------------
+
+
+def hash_bucket(key: Column | str, n_buckets: int) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the md5 of the key.
+
+    Content-derived (stable under re-partitioning and engine changes),
+    unlike hash()/pmod which are engine-specific.
+    """
+    return F.pmod(
+        F.conv(F.substring(F.md5(_col(key).cast('string')), 1, 8), 16, 10).cast(
+            'long'
+        ),
+        F.lit(n_buckets),
+    )
+
+
+def hash_sample(key: Column | str, fraction_sixteenths: int) -> Column:
+    """Boolean filter column selecting ~fraction_sixteenths/16 of rows by
+    the first hex digit of md5(key) — reproducible train/holdout splits."""
+    digits = '0123456789abcdef'[:fraction_sixteenths]
+    return F.substring(F.md5(_col(key).cast('string')), 1, 1).isin(*digits)
+
+
+# -- vectors -----------------------------------------------------------------
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential double fold of the elementwise product (deterministic)."""
+    prods = F.zip_with(
+        _col(a), _col(b), lambda x, y: x.cast('double') * y.cast('double')
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# -- exact aggregates --------------------------------------------------------
+
+
+def exact_sum(c: Column | str) -> Column:
+    """Order-independent double sum via a decimal accumulator, as double."""
+    return F.sum(_col(c).cast('decimal(28,6)')).cast('double')
+
+
+def exact_avg(c: Column | str) -> Column:
+    col = _col(c)
+    return F.sum(col.cast('decimal(28,6)')).cast('double') / F.count(col)
+
+
+# -- minhash -----------------------------------------------------------------
+
+
+def minhash_signature(shingle: Column | str, n_perms: int = 16) -> list[Column]:
+    """Aggregate expressions for an n_perm MinHash signature over an
+    exploded shingle column: use inside ``groupBy(doc).agg(*sig)``.
+
+    Permutation 4i+j is min over the j-th 8-hex chunk of md5(f'{i}:'||s).
+    """
+    assert n_perms % 4 == 0
+    out = []
+    for p in range(n_perms):
+        seed, chunk = divmod(p, 4)
+        m = F.md5(F.concat(F.lit(f'{seed}:'), _col(shingle)))
+        out.append(
+            F.min(F.substring(m, chunk * 8 + 1, 8)).alias(f'h{p}')
+        )
+    return out

@@ -35,10 +35,9 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 
 def _spark_shingles(n: int):
     """array of distinct n-gram shingles of the whitespace-tokenized text."""
-    toks = F.split(F.trim(F.col('text')), r'\s+')
-    seq = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = lambda i: F.concat_ws(' ', *[F.get(toks, i + k) for k in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(seq, gram))
+    from .. import functions as CF
+
+    return CF.shingles('text', n)
 
 
 def _sql_shingles(n: int) -> str:
@@ -315,8 +314,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _spark_dot(a, b):
-    prods = F.zip_with(a, b, lambda x, y: x.cast('double') * y.cast('double'))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    from .. import functions as CF
+
+    return CF.dot(a, b)
 
 
 SQL_DOT = (
