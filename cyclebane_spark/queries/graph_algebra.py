@@ -108,7 +108,7 @@ def graph_map_reduce_partial(spark, sf_dir):
     headline=True,
     oracle=f"""
     WITH params(dim_2, extra_disc) AS (VALUES (0, 0.00), (1, 0.05), (2, 0.10))
-    SELECT dim_2,
+    SELECT CAST(dim_2 AS BIGINT) AS dim_2,
            {sql_dsum('l_extendedprice * (1 - l_discount) * (1 - extra_disc)')} AS value
     FROM lineitem CROSS JOIN params
     GROUP BY dim_2
@@ -149,7 +149,7 @@ def graph_param_sweep_broadcast(spark, sf_dir):
 @register(
     'graph_groupby_reduce',
     oracle="""
-    SELECT lang AS lab, SUM(n_chars) AS value
+    SELECT lang AS lab, CAST(SUM(n_chars) AS BIGINT) AS value
     FROM documents GROUP BY lang
     """,
 )
@@ -208,7 +208,7 @@ def graph_slice_loc(spark, sf_dir):
 @register(
     'graph_slice_positional',
     oracle="""
-    SELECT SUM(n_chars) AS sliced_chars, COUNT(*) AS n_docs
+    SELECT CAST(SUM(n_chars) AS BIGINT) AS sliced_chars, COUNT(*) AS n_docs
     FROM (
         SELECT n_chars,
                ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos

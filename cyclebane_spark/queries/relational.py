@@ -312,7 +312,7 @@ def window_topk_per_group(spark, sf_dir):
             'c_mktsegment',
             'c_custkey',
             'c_acctbal',
-            F.row_number().over(w).alias('rk'),
+            F.row_number().over(w).cast('long').alias('rk'),
         )
         .filter(F.col('rk') <= 3)
     )
@@ -484,7 +484,7 @@ def scalar_functions(spark, sf_dir):
     return part.select(
         'p_partkey',
         F.upper('p_brand').alias('brand_upper'),
-        F.length('p_name').alias('name_len'),
+        F.length('p_name').cast('long').alias('name_len'),
         F.substring('p_type', 1, 5).alias('type_prefix'),
         F.concat(F.col('p_brand'), F.lit(':'), F.col('p_size').cast('string')).alias('brand_size'),
         F.round(F.col('p_retailprice') * 1.1, 2).alias('marked_up'),

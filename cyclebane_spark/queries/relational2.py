@@ -310,8 +310,8 @@ def array_functions(spark, sf_dir):
     uniq = F.array_distinct(toks)
     return docs.select(
         'doc_id',
-        F.size(toks).alias('n_tokens'),
-        F.size(uniq).alias('n_unique'),
+        F.size(toks).cast('long').alias('n_tokens'),
+        F.size(uniq).cast('long').alias('n_unique'),
         F.array_join(F.slice(F.array_sort(uniq), 1, 3), ',').alias(
             'first3_sorted'
         ),

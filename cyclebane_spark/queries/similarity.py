@@ -42,7 +42,7 @@ def _ranked(joined, partition_col):
             F.col('c.vec_id').alias('neighbor_id'),
             cos.alias('cosine'),
         )
-        .withColumn('rk', F.row_number().over(w))
+        .withColumn('rk', F.row_number().over(w).cast('long'))
         .filter(F.col('rk') <= TOP_K)
     )
 

@@ -40,11 +40,11 @@ def text_token_stats(spark, sf_dir):
     toks = F.split(F.trim(F.col('text')), r'\s+')
     return docs.select(
         'doc_id',
-        F.size(toks).alias('n_tokens'),
-        F.length('text').alias('n_chars_measured'),
-        F.size(
-            F.filter(toks, lambda x: x.isin(*STOPWORDS))
-        ).alias('n_stopwords'),
+        F.size(toks).cast('long').alias('n_tokens'),
+        F.length('text').cast('long').alias('n_chars_measured'),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+        .cast('long')
+        .alias('n_stopwords'),
     )
 
 
@@ -165,9 +165,9 @@ def text_token_count_pandas_udf(spark, sf_dir):
     """
     docs = table(spark, sf_dir, 'documents')
 
-    @F.pandas_udf('int')
+    @F.pandas_udf('long')
     def n_tokens(text: pd.Series) -> pd.Series:
-        return text.str.strip().str.split(r'\s+').str.len().astype('int32')
+        return text.str.strip().str.split(r'\s+').str.len().astype('int64')
 
     return docs.select('doc_id', n_tokens('text').alias('n_tokens'))
 

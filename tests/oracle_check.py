@@ -46,11 +46,25 @@ def _canon_cell(v):
     return v
 
 
+def _kind(dtype) -> str:
+    k = dtype.kind
+    if k in 'iu':
+        return f'int{dtype.itemsize * 8}'
+    if k == 'f':
+        return 'float'
+    if k == 'b':
+        return 'bool'
+    if k == 'M':
+        return 'ts'
+    return 'obj'
+
+
 def canon(pdf):
-    """sorted-columns, sorted-rows canonical form: list of tuples."""
+    """sorted-columns, sorted-rows canonical form: (cols, kinds, rows)."""
     cols = sorted(pdf.columns)
+    kinds = [f'{c}:{_kind(pdf[c].dtype)}' for c in cols]
     rows = [tuple(_canon_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)]
-    return cols, sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return cols, kinds, sorted(rows, key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
 
 
 def cells_equal(a, b):
@@ -117,11 +131,15 @@ def main() -> int:
             failures.append((name, f'oracle error: {exc}'))
             print(f'FAIL {name}: oracle error: {exc}')
             continue
-        ocols, orows = canon(ours)
-        tcols, trows = canon(theirs)
+        ocols, okinds, orows = canon(ours)
+        tcols, tkinds, trows = canon(theirs)
         if ocols != tcols:
             failures.append((name, f'schema {ocols} != {tcols}'))
             print(f'FAIL {name}: schema {ocols} != {tcols}')
+            continue
+        if okinds != tkinds:
+            failures.append((name, f'dtype kinds {okinds} != {tkinds}'))
+            print(f'FAIL {name}: dtype kinds\n  ours  ={okinds}\n  oracle={tkinds}')
             continue
         if len(orows) != len(trows):
             failures.append((name, f'rowcount {len(orows)} != {len(trows)}'))
