@@ -137,28 +137,42 @@ def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16 perms = 4 seeded md5s x 4 chunks) + LSH(4 bands x 4).
 
     md5 hex ordering is identical across engines, so signatures (and
-    therefore candidate pairs) match the oracle exactly. Candidates come
-    from grouping by (band_id, band_hash) and emitting in-bucket pairs —
-    signatures are computed ONCE (no self-join recomputation) and the only
-    shuffles are the signature aggregation and the bucket groupBy. Skewed
-    buckets (boilerplate) would be capped or salted at scale.
+    therefore candidate pairs) match the oracle exactly.
+
+    Signatures are computed per document with array higher-order functions
+    (shingle array -> md5 array -> 16 chunk-mins) — one narrow projection,
+    NO shingle explode and NO signature shuffle. The only shuffles left are
+    the bucket groupBy and the final pair distinct, both keyed on data that
+    is ~#docs sized, never #shingles sized. Skewed buckets (boilerplate)
+    would be capped or salted at scale.
     """
+    # No size()>0 filter here: explode-equivalent row parity needs none (the
+    # shingle expression yields >=1 element for ANY text, even null/empty),
+    # and a filter on the shingle array gets pushed below the repartition —
+    # recomputing every shingle inside the single pre-shuffle scan task.
     docs = spread(table(spark, sf_dir, 'documents'), 'doc_id')
-    sh = docs.select(
-        'doc_id', F.explode(_spark_shingles(3)).alias('s')
-    )
-    seeds = [
-        F.md5(F.concat(F.lit(f'{i}:'), F.col('s'))).alias(f'm{i}')
-        for i in range(N_SEEDS)
-    ]
-    hashed = sh.select('doc_id', *seeds)
-    sig = hashed.groupBy('doc_id').agg(
+    sh = docs.select('doc_id', _spark_shingles(3).alias('sh'))
+    # NB: factories, not `lambda s, i=i`: a 2-arg lambda makes F.transform
+    # pass the array index as the second argument.
+    def _seed_md5(i: int):
+        return lambda s: F.md5(F.concat(F.lit(f'{i}:'), s))
+
+    def _chunk(p: int):
+        return lambda x: F.substring(x, (p % 4) * 8 + 1, 8)
+
+    md5s = sh.select(
+        'doc_id',
         *[
-            F.min(
-                F.substring(f'm{p // 4}', (p % 4) * 8 + 1, 8)
-            ).alias(f'h{p}')
+            F.transform('sh', _seed_md5(i)).alias(f'm{i}')
+            for i in range(N_SEEDS)
+        ],
+    )
+    sig = md5s.select(
+        'doc_id',
+        *[
+            F.array_min(F.transform(f'm{p // 4}', _chunk(p))).alias(f'h{p}')
             for p in range(N_PERM)
-        ]
+        ],
     )
     band_cols = [
         F.md5(
