@@ -35,15 +35,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel('ERROR')
 
     qs = headline_queries()
-    # Warm the JVM/code paths once so the measured pass is steady-state.
-    for fn in qs.values():
-        fn(spark, sf_dir).count()
+    # Warm the JVM/code paths twice so the measured pass is steady-state:
+    # Janino/C2 compilation of each query shape converges after ~2 runs.
+    for _ in range(2):
+        for fn in qs.values():
+            fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
         best = float('inf')
-        for _ in range(2):  # best-of-2: drop per-query cold-start noise
+        for _ in range(3):  # best-of-3: drop per-query cold-start noise
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
