@@ -92,7 +92,8 @@ def _perm_min_sql(p: int) -> str:
     return f"MIN(substring(md5('{seed}:' || s), {chunk * 8 + 1}, 8)) AS h{p}"
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes(recursive: bool = False) -> str:
+    """CTE chain ending in ``pairs(doc_a, doc_b)`` — shared oracle prefix."""
     mins = ',\n               '.join(_perm_min_sql(p) for p in range(N_PERM))
     band_selects = '\n        UNION ALL '.join(
         "SELECT doc_id, {b} AS band_id, md5({expr}) AS bh FROM sig".format(
@@ -103,7 +104,10 @@ def _minhash_oracle() -> str:
         )
         for b in range(N_BANDS)
     )
-    return f"""{_SQL_TOKS},
+    toks = _SQL_TOKS
+    if recursive:
+        toks = toks.replace('WITH t AS', 'WITH RECURSIVE t AS', 1)
+    return f"""{toks},
     sh AS (
         SELECT doc_id, unnest({_sql_shingles(3)}) AS s FROM t
     ),
@@ -113,11 +117,16 @@ def _minhash_oracle() -> str:
     ),
     bands AS (
         {band_selects}
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
-    """
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return _minhash_ctes() + '\n    SELECT doc_a, doc_b FROM pairs'
 
 
 def spread(df, *cols):
@@ -132,8 +141,7 @@ def spread(df, *cols):
     return df.repartition(sc.defaultParallelism, *cols)
 
 
-@register('dedup_minhash_lsh', oracle=_minhash_oracle(), headline=True)
-def dedup_minhash_lsh(spark, sf_dir):
+def _minhash_pairs(spark, sf_dir):
     """MinHash(16 perms = 4 seeded md5s x 4 chunks) + LSH(4 bands x 4).
 
     md5 hex ordering is identical across engines, so signatures (and
@@ -210,6 +218,90 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select('p.doc_a', 'p.doc_b')
         .distinct()
     )
+
+
+@register('dedup_minhash_lsh', oracle=_minhash_oracle(), headline=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """Near-duplicate candidate pairs from MinHash + LSH banding."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _cc_oracle() -> str:
+    return (
+        _minhash_ctes(recursive=True)
+        + """,
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(doc_id, other) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc_id, e.d FROM reach r JOIN edges e ON r.other = e.s
+    )
+    SELECT doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc_id
+    """
+    )
+
+
+@register('dedup_connected_components', oracle=_cc_oracle())
+def dedup_connected_components(spark, sf_dir):
+    """Duplicate clusters: connected components over the MinHash-LSH
+    candidate pairs; every document is labeled with the min doc_id of its
+    component — the canonical keep-one-per-cluster id of a dedup pipeline.
+
+    Iterative min-label propagation (the standard distributed CC loop; cf.
+    the large-star/small-star algorithm for billion-edge graphs): each round
+    joins labels to the symmetrized edge list, takes the min of own and
+    neighbor labels, and stops when a round changes nothing. Rounds needed =
+    cluster diameter — tiny for near-dup clusters. localCheckpoint()
+    truncates the per-round lineage growth; on a real cluster this would be
+    checkpoint() to durable storage so failures don't replay all rounds.
+    The oracle is the same computation as a DuckDB recursive CTE.
+    """
+    pairs = _minhash_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col('doc_a').alias('s'), F.col('doc_b').alias('d'))
+    rev = pairs.select(F.col('doc_b').alias('s'), F.col('doc_a').alias('d'))
+    edges = fwd.union(rev).localCheckpoint()
+    labels = table(spark, sf_dir, 'documents').select(
+        'doc_id', F.col('doc_id').alias('cluster_id')
+    )
+    for _ in range(25):
+        nb = (
+            edges.join(
+                labels.select(
+                    F.col('doc_id').alias('d'),
+                    F.col('cluster_id').alias('d_cl'),
+                ),
+                on='d',
+            )
+            .groupBy('s')
+            .agg(F.min('d_cl').alias('nb_cl'))
+            .select(F.col('s').alias('doc_id'), 'nb_cl')
+        )
+        new = (
+            labels.join(nb, on='doc_id', how='left')
+            .select(
+                'doc_id',
+                F.least(
+                    'cluster_id', F.coalesce('nb_cl', 'cluster_id')
+                ).alias('cluster_id'),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(
+                labels.withColumnRenamed('cluster_id', 'old'), on='doc_id'
+            )
+            .filter(F.col('cluster_id') != F.col('old'))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
 
 
 # -- SimHash -----------------------------------------------------------------

@@ -428,6 +428,29 @@ def cube_flag_status(spark, sf_dir):
 
 
 @register(
+    'groupingsets_flag_status',
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def groupingsets_flag_status(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize) —
+    two one-column marginals plus the grand total, NOT the full cube.
+
+    One scan, one shuffle: Spark expands the sets map-side, so each input
+    row contributes to every set's partial aggregate without re-reading.
+    """
+    li = table(spark, sf_dir, 'lineitem')
+    return li.groupingSets(
+        [['l_returnflag'], ['l_linestatus'], []],
+        'l_returnflag',
+        'l_linestatus',
+    ).agg(F.count(F.lit(1)).alias('n_items'))
+
+
+@register(
     'setop_union_intersect',
     oracle="""
     WITH big_buyers AS (

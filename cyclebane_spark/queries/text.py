@@ -220,3 +220,33 @@ def text_zscore_by_lang(spark, sf_dir):
     return docs.groupBy('lang').applyInPandas(
         zscore, 'doc_id long, lang string, z_chars double'
     )
+
+
+_BPE_PATTERN = r'[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+|\s+'
+
+
+@register(
+    'text_bpe_token_count',
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-style pre-tokenizer token count: GPT-2-ish split into letter
+    runs, single digits, punctuation runs, and whitespace runs.
+
+    Pure JVM regexp (regexp_extract_all inside whole-stage codegen) — the
+    cheap token-budget estimator a 100 TB corpus pass runs before paying
+    for a real BPE encode. The alternation's branches start with disjoint
+    character classes, so Java (leftmost-first) and RE2 (DuckDB) agree.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    return docs.select(
+        'doc_id',
+        F.size(F.regexp_extract_all('text', F.lit(_BPE_PATTERN), F.lit(0)))
+        .cast('long')
+        .alias('n_bpe_tokens'),
+    )
