@@ -250,3 +250,45 @@ def text_bpe_token_count(spark, sf_dir):
         .cast('long')
         .alias('n_bpe_tokens'),
     )
+
+
+@register(
+    'text_sentences_udtf',
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, string_split(text, '. ') AS parts FROM documents
+    )
+    SELECT doc_id,
+           unnest(range(1, len(parts) + 1)) AS sent_idx,
+           unnest(parts) AS sentence
+    FROM p
+    """,
+)
+def text_sentences_udtf(spark, sf_dir):
+    """Python UDTF (table function) coverage: one->many sentence split via
+    LATERAL, the §2.2 UDTF row.
+
+    A UDTF is the right harness when per-row logic yields a VARIABLE number
+    of rows with computed columns (segmenters, parsers, samplers) — things a
+    scalar UDF can't express and built-ins only cover for trivial splits.
+    Rows stream batch-wise through Python; at 100 TB this path is reserved
+    for logic explode()+HOFs can't state (this literal split could be one —
+    the point here is exercising the UDTF plumbing end-to-end).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType='sent_idx: bigint, sentence: string')
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(text.split('. '), start=1):
+                yield i, s
+
+    spark.udtf.register('split_sentences', SplitSentences)
+    docs = table(spark, sf_dir, 'documents')
+    docs.createOrReplaceTempView('__docs_for_udtf')
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM __docs_for_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )

@@ -175,3 +175,43 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def view_click_join(stream: DataFrame, *, horizon: str = '1 hour') -> DataFrame:
+    """Watermarked stream-stream interval join: each view matched to the
+    same user's clicks landing within ``horizon`` after it.
+
+    The canonical funnel/attribution join. Both sides carry watermarks and
+    the join condition time-bounds click_ts against view_ts, so the state
+    store retains each side only until the other side's watermark passes
+    the bound — state stays O(horizon x arrival rate), never unbounded.
+    One shuffle per side, keyed on user_id (the equi-join key).
+    """
+    views = (
+        stream.filter(F.col('event_type') == 'view')
+        .select(
+            F.col('user_id'),
+            F.col('ts').alias('view_ts'),
+            F.col('event_id').alias('view_id'),
+        )
+        .withWatermark('view_ts', '2 hours')
+    )
+    clicks = (
+        stream.filter(F.col('event_type') == 'click')
+        .select(
+            F.col('user_id'),
+            F.col('ts').alias('click_ts'),
+            F.col('event_id').alias('click_id'),
+        )
+        .withWatermark('click_ts', '2 hours')
+    )
+    return views.join(
+        clicks,
+        on=[
+            views.user_id == clicks.user_id,
+            clicks.click_ts >= views.view_ts,
+            clicks.click_ts <= views.view_ts + F.expr(f'INTERVAL {horizon}'),
+        ],
+    ).select(
+        views.user_id, 'view_id', 'click_id', 'view_ts', 'click_ts'
+    )

@@ -76,3 +76,47 @@ def test_approx_count_distinct_error_bound(spark):
     }
     for flag, n in exact.items():
         assert abs(approx[flag] - n) / n < 0.1
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path, sf_dir):
+    """Bucketing = the co-located-join scale path: two tables bucketed by
+    the join key join with NO Exchange on either side (only sorts), so at
+    100 TB the repeated fact-fact join never reshuffles."""
+    from cyclebane_spark.tables import table
+
+    warehouse = str(tmp_path / 'wh')
+    for name, key in (('orders', 'o_orderkey'), ('lineitem', 'l_orderkey')):
+        (
+            table(spark, sf_dir, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option('path', f'{warehouse}/{name}')
+            .mode('overwrite')
+            .saveAsTable(f'bkt_{name}')
+        )
+    # Disable broadcast: at test scale every table broadcasts, which hides
+    # the bucketed sort-merge path this asserts (at 100 TB neither side fits).
+    prev = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+    spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+    try:
+        joined = spark.table('bkt_lineitem').join(
+            spark.table('bkt_orders'),
+            on=spark.table('bkt_lineitem').l_orderkey
+            == spark.table('bkt_orders').o_orderkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert 'Exchange' not in plan, plan
+        # sanity: result matches the plain (shuffling) join
+        expected = (
+            table(spark, sf_dir, 'lineitem')
+            .join(
+                table(spark, sf_dir, 'orders'),
+                on=F.col('l_orderkey') == F.col('o_orderkey'),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', prev)
+        spark.sql('DROP TABLE IF EXISTS bkt_lineitem')
+        spark.sql('DROP TABLE IF EXISTS bkt_orders')

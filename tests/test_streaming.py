@@ -127,3 +127,32 @@ def test_running_user_totals_final_state(spark, stream):
         en, etotal = expected[uid]
         assert n == en
         assert total == pytest.approx(etotal, rel=1e-9)
+
+
+def test_view_click_join_matches_batch_interval_join(spark, stream):
+    from cyclebane_spark.streaming.windows import view_click_join
+
+    got = run_to_memory(view_click_join(stream), output_mode='append')
+
+    ev = _batch_events(spark)
+    views = ev.filter(F.col('event_type') == 'view').select(
+        'user_id', F.col('ts').alias('view_ts'), F.col('event_id').alias('view_id')
+    )
+    clicks = ev.filter(F.col('event_type') == 'click').select(
+        F.col('user_id').alias('c_user'),
+        F.col('ts').alias('click_ts'),
+        F.col('event_id').alias('click_id'),
+    )
+    expected = views.join(
+        clicks,
+        on=[
+            views.user_id == clicks.c_user,
+            clicks.click_ts >= views.view_ts,
+            clicks.click_ts <= views.view_ts + F.expr('INTERVAL 1 hour'),
+        ],
+    ).select('view_id', 'click_id')
+
+    got_pairs = {(r.view_id, r.click_id) for r in got.collect()}
+    exp_pairs = {(r.view_id, r.click_id) for r in expected.collect()}
+    assert got_pairs == exp_pairs
+    assert len(got_pairs) > 0
