@@ -317,3 +317,44 @@ def array_functions(spark, sf_dir):
         ),
         F.array_contains(toks, 'spark').alias('has_spark'),
     )
+
+
+@register(
+    'map_functions',
+    oracle="""
+    WITH c AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    m AS (
+        SELECT map_from_entries(
+                   list_sort(list(struct_pack(k := lang, v := n)))
+               ) AS m
+        FROM c
+    )
+    SELECT CAST(cardinality(m) AS BIGINT) AS n_langs,
+           CAST(map_extract(m, 'en')[1] AS BIGINT) AS n_en,
+           list_max(map_keys(m)) AS last_lang,
+           CAST(list_max(map_values(m)) AS BIGINT) AS max_count
+    FROM m
+    """,
+)
+def map_functions(spark, sf_dir):
+    """MapType scalar-function coverage: map_from_entries / size /
+    element_at / map_keys / map_values, all JVM-side.
+
+    Entries are sorted before map construction so both engines build the
+    same entry order (map iteration order is construction order in each).
+    """
+    docs = table(spark, sf_dir, 'documents')
+    counts = docs.groupBy('lang').agg(F.count(F.lit(1)).alias('n'))
+    m = counts.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct('lang', 'n')))
+        ).alias('m')
+    )
+    return m.select(
+        F.size('m').cast('long').alias('n_langs'),
+        F.element_at('m', F.lit('en')).alias('n_en'),
+        F.array_max(F.map_keys('m')).alias('last_lang'),
+        F.array_max(F.map_values('m')).alias('max_count'),
+    )
