@@ -358,3 +358,30 @@ def map_functions(spark, sf_dir):
         F.array_max(F.map_keys('m')).alias('last_lang'),
         F.array_max(F.map_values('m')).alias('max_count'),
     )
+
+
+@register(
+    'percentile_exact',
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS qty_p50,
+           quantile_cont(l_quantity, 0.9) AS qty_p90,
+           quantile_cont(l_extendedprice, 0.9) AS price_p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_exact(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per group.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the same
+    interpolation arithmetic, so the doubles match bit-for-bit. Exact
+    percentile buffers each group's values — at 100 TB switch to
+    ``approx_percentile`` (KLL-style sketch, mergeable, bounded memory);
+    see ``approx_count_distinct_hll`` for the sketch-query pattern.
+    """
+    li = table(spark, sf_dir, 'lineitem')
+    return li.groupBy('l_returnflag').agg(
+        F.expr('percentile(l_quantity, 0.5)').alias('qty_p50'),
+        F.expr('percentile(l_quantity, 0.9)').alias('qty_p90'),
+        F.expr('percentile(l_extendedprice, 0.9)').alias('price_p90'),
+    )

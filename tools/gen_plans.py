@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: the physical plans of the headline queries, compacted.
+
+Run from the repo root: ``python tools/gen_plans.py``. The output is a
+reviewed artifact — the plans we WANT at 100 TB (see README "Scale design");
+tests/test_plans.py pins the load-bearing properties so they can't regress
+silently.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = '/root/testdata/sf0.001'
+
+NOTES = {
+    'q1_pricing_summary': [
+        'one Exchange total: partial (map-side) + final hash aggregate',
+        'scan reads only the 7 referenced columns (ReadSchema)',
+    ],
+    'q6_forecast_revenue': [
+        'all three predicates pushed to the parquet scan (PushedFilters)',
+        'global agg: partial per split, single-row final',
+    ],
+    'q3_shipping_priority': [
+        'shuffle joins on the join keys (customer is NOT broadcastable at',
+        '100 TB; AQE upgrades to broadcast at runtime when the filtered side',
+        'turns out small — shown here with auto-broadcast off)',
+        'TakeOrderedAndProject for the top-k, never a full sort',
+    ],
+    'q5_local_supplier_volume': [
+        'region/nation broadcast chain collapses the snowflake lookups',
+        'single shuffle keyed on the final groupBy',
+    ],
+    'graph_param_sweep_broadcast': [
+        'the 3-row param dim is BroadcastNestedLoopJoin — the compact',
+        'MappedNode family never materializes a cartesian on disk',
+    ],
+    'dedup_minhash_lsh': [
+        'signatures are one narrow projection ABOVE the repartition',
+        '(no shingle explode, no signature shuffle, no scan-level compute)',
+        'only shuffles: bucket groupBy + pair distinct, both ~#docs sized',
+    ],
+    'ann_bruteforce_topk': [
+        'query vectors broadcast; corpus scanned once, never shuffled',
+        'per-query top-k via window rank on the scored stream',
+    ],
+    'events_sessionization': [
+        'one shuffle on user_id; session assembly is a window cumsum,',
+        'the batch statement of the streaming session_window operator',
+    ],
+}
+
+
+def compact(plan: str) -> str:
+    plan = re.sub(r'#\d+L?', '', plan)  # strip expr ids
+    out = []
+    for line in plan.splitlines():
+        line = line.rstrip()
+        if not line.strip():
+            continue
+        # drop the verbose per-node Input/Arguments sections, keep structure
+        if re.match(r'^\s*(Input|Arguments|Functions|Aggregate Attributes|Results|Keys|Join condition|Condition|Output)\s*(\[\d+\])?\s*:', line):
+            continue
+        line = re.sub(r'(transform|lambdafunction|array_distinct|sequence)\([^\n]{60,}', r'\1(…)', line)
+        out.append(line)
+    return '\n'.join(out)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from cyclebane_spark.queries import registry
+
+    spark = (
+        SparkSession.builder.master('local[8]')
+        .config('spark.sql.shuffle.partitions', '8')
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.session.timeZone', 'UTC')
+        # auto-broadcast OFF: at sf0.001 every table fits the threshold and
+        # the plans degenerate; with -1 only the EXPLICIT F.broadcast() hints
+        # survive, which is exactly the 100 TB plan shape.
+        .config('spark.sql.autoBroadcastJoinThreshold', '-1')
+        .appName('gen-plans')
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel('ERROR')
+
+    lines = [
+        '# PLANS — headline-query physical plans (generated)',
+        '',
+        'Regenerate with `python tools/gen_plans.py`. Expression ids and',
+        'per-node detail are stripped; `tests/test_plans.py` asserts the',
+        'properties called out under each plan. Plans are the AQE initial',
+        'plans at sf0.001 (structure, not sizes, is what matters here).',
+        '',
+    ]
+    for name, q in registry().items():
+        if not q.headline:
+            continue
+        df = q.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines.append(f'## {name}')
+        lines.append('')
+        for note in NOTES.get(name, []):
+            lines.append(f'- {note}')
+        lines.append('')
+        lines.append('```')
+        lines.append(compact(plan))
+        lines.append('```')
+        lines.append('')
+    with open('PLANS.md', 'w') as fh:
+        fh.write('\n'.join(lines))
+    print(f'wrote PLANS.md ({len(lines)} lines)')
+
+
+if __name__ == '__main__':
+    main()
