@@ -448,3 +448,42 @@ def test_randomized_workflows_match_reference(seed):
         ).to_networkx()
     )
     assert ours == theirs
+
+
+def test_series_indexed_by_existing_dim_joins_on_it():
+    """A second map whose pandas index IS an existing dim joins on that dim
+    instead of adding a new one (reference graph_test.py:645-659)."""
+
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b'), ('c', 'b')]))
+        g = g.map({'a': [10, 20, 30]})  # creates dim_0
+        s = pd.Series([5, 6, 7], index=pd.RangeIndex(3, name='dim_0'), name='c')
+        g = g.map({'c': s})  # keyed by the EXISTING dim
+        return g.reduce('b', name='out')
+
+    check(build)
+
+
+def test_setitem_preserves_sink_node_values():
+    """Grafting a branch re-keys the replacement's sink values onto the
+    branch name (reference graph_test.py:699 semantics)."""
+
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b'), ('b', 'c')]))
+        g = g.map({'a': [1, 2, 3]})
+        g['b'] = g['a']  # replacement sink 'a' is mapped; values re-key to 'b'
+        return g
+
+    check(build)
+
+
+def test_getitem_accepts_pre_map_original_name():
+    """Branch selection resolves original (pre-map) node names
+    (_from_orig_key, reference graph.py:343-362)."""
+
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b'), ('b', 'c')]))
+        g = g.map({'a': [1, 2, 3]})
+        return g['b']  # 'b' is now MappedNode('b', ('dim_0',))
+
+    check(build)
