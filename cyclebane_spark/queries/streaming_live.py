@@ -63,3 +63,45 @@ def stream_session_windows(spark, sf_dir):
     return run_to_memory(
         session_windows(events_stream(spark, sf_dir)), output_mode='complete'
     )
+
+
+@register(
+    'stream_view_click_join',
+    oracle="""
+    WITH views AS (
+        SELECT user_id, ts AS view_ts, event_id AS view_id
+        FROM events WHERE event_type = 'view'
+    ),
+    clicks AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, v.view_id, c.click_id, v.view_ts, c.click_ts
+    FROM views v JOIN clicks c
+      ON v.user_id = c.user_id
+     AND c.click_ts >= v.view_ts
+     AND c.click_ts <= v.view_ts + INTERVAL '1 hour'
+    """,
+)
+def stream_view_click_join(spark, sf_dir):
+    """Watermarked stream-stream interval join == the batch interval join.
+
+    Both sides are the same watermarked event stream; state for each side is
+    dropped once the other side's watermark clears the interval bound, so
+    store size is O(horizon x arrival rate) at any input volume.
+    """
+    from ..streaming.windows import view_click_join
+
+    out = run_to_memory(
+        view_click_join(events_stream(spark, sf_dir)), output_mode='append'
+    )
+    # instants -> naive UTC timestamps, matching the batch loader's NTZ
+    import pyspark.sql.functions as F
+
+    return out.select(
+        'user_id',
+        'view_id',
+        'click_id',
+        F.to_timestamp_ntz('view_ts').alias('view_ts'),
+        F.to_timestamp_ntz('click_ts').alias('click_ts'),
+    )

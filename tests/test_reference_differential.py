@@ -392,6 +392,10 @@ def _random_workflow(G, rng: np.random.Generator):
     dims = list(g.indices) if hasattr(g, 'indices') else []
     if dims and rng.random() < 0.4:
         g = g.by_position(dims[0])[0:2]
+    # maybe exercise branch surgery: project out 'mid' and graft it back
+    if rng.random() < 0.3:
+        branch = g['mid']
+        g['mid'] = branch
     # reduce the sink over a random choice
     mode = rng.random()
     sink_dims = [d for d in dims]
@@ -422,7 +426,7 @@ def _random_groupby_workflow(G, rng: np.random.Generator):
     return g
 
 
-@pytest.mark.parametrize('seed', range(25))
+@pytest.mark.parametrize("seed", range(40))
 def test_randomized_groupby_workflows_match_reference(seed):
     ours = canon(
         _random_groupby_workflow(
@@ -437,7 +441,7 @@ def test_randomized_groupby_workflows_match_reference(seed):
     assert ours == theirs
 
 
-@pytest.mark.parametrize('seed', range(30))
+@pytest.mark.parametrize("seed", range(50))
 def test_randomized_workflows_match_reference(seed):
     ours = canon(
         _random_workflow(Graph, np.random.Generator(np.random.PCG64(seed))).to_networkx()
