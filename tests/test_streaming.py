@@ -156,3 +156,31 @@ def test_view_click_join_matches_batch_interval_join(spark, stream):
     exp_pairs = {(r.view_id, r.click_id) for r in expected.collect()}
     assert got_pairs == exp_pairs
     assert len(got_pairs) > 0
+
+
+def test_stream_foreachbatch_parquet_sink(spark, stream, tmp_path):
+    """Streaming -> files via foreachBatch with a checkpoint: the durable
+    sink pattern (idempotent rewrite per batch id; checkpoint makes restarts
+    resume, not replay)."""
+    from cyclebane_spark.streaming.windows import tumbling_hourly
+
+    out = str(tmp_path / 'sink')
+    ckpt = str(tmp_path / 'ckpt')
+
+    def write_batch(df, batch_id):
+        df.write.mode('overwrite').parquet(out)
+
+    q = (
+        tumbling_hourly(stream)
+        .writeStream.foreachBatch(write_batch)
+        .outputMode('complete')
+        .option('checkpointLocation', ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from cyclebane_spark.queries.events import events_hourly_agg
+
+    got = spark.read.parquet(out)
+    assert got.count() == events_hourly_agg(spark, SF_DIR).count()
