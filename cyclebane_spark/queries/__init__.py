@@ -51,6 +51,7 @@ def register(
 _MODULES = (
     'relational',
     'relational2',
+    'relational3',
     'graph_algebra',
     'text',
     'dedup',

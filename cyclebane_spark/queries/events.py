@@ -211,6 +211,98 @@ def events_pivot_type_counts(spark, sf_dir):
 
 
 @register(
+    'events_gap_fill',
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               COUNT(*) AS n, {sql_dsum('value')} AS total
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ), bounds AS (
+        SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT g.user_id, g.h,
+           COALESCE(n, 0) AS n_events,
+           last_value(total IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried_total
+    FROM grid g LEFT JOIN hourly USING (user_id, h)
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Time-series resampling: a dense hourly grid per user with missing
+    buckets gap-filled by carrying the last observed value forward.
+
+    Scale: the grid is generated distributed (``sequence`` + ``explode`` per
+    user — no driver loop, no cross join against a global calendar); the fill
+    is one sorted window pass per user partition. Grid size is bounded by
+    horizon x users, independent of event volume.
+    """
+    ev = table(spark, sf_dir, 'events')
+    tt = ev.schema['ts'].dataType
+    hourly = (
+        ev.groupBy('user_id', F.date_trunc('hour', 'ts').cast(tt).alias('h'))
+        .agg(F.count(F.lit(1)).alias('n'), dsum('value').alias('total'))
+    )
+    grid = (
+        hourly.groupBy('user_id')
+        .agg(F.min('h').alias('lo'), F.max('h').alias('hi'))
+        .select(
+            'user_id',
+            F.explode(
+                F.sequence('lo', 'hi', F.expr("INTERVAL '1' HOUR"))
+            ).alias('h'),
+        )
+    )
+    w = (
+        Window.partitionBy('user_id')
+        .orderBy('h')
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ['user_id', 'h'], 'left')
+        .select(
+            'user_id',
+            'h',
+            F.coalesce(F.col('n'), F.lit(0)).alias('n_events'),
+            F.last('total', ignorenulls=True).over(w).alias('carried_total'),
+        )
+    )
+
+
+@register(
+    'events_multi_grain_rollup',
+    oracle=f"""
+    SELECT d, h, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM (
+        SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h, value
+        FROM events
+    )
+    GROUP BY GROUPING SETS ((d), (d, h), ())
+    """,
+)
+def events_multi_grain_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hour + day + grand total
+    in ONE pass via GROUPING SETS on the truncated timestamps (each input row
+    feeds every grain's partial aggregate map-side; one shuffle total, vs one
+    scan per grain if the rollups were separate queries)."""
+    ev = table(spark, sf_dir, 'events')
+    tt = ev.schema['ts'].dataType
+    return (
+        ev.select(
+            F.date_trunc('day', 'ts').cast(tt).alias('d'),
+            F.date_trunc('hour', 'ts').cast(tt).alias('h'),
+            'value',
+        )
+        .groupingSets([['d'], ['d', 'h'], []], 'd', 'h')
+        .agg(F.count(F.lit(1)).alias('n_events'), dsum('value').alias('total_value'))
+    )
+
+
+@register(
     'events_json_extract',
     oracle="""
     SELECT event_id,

@@ -1,0 +1,633 @@
+"""Third relational batch: the TPC-H join/aggregation shapes not yet covered
+(nation-pair joins, market-share ratios, outer-join histograms, HAVING-subquery
+joins, disjunctive predicate pushdown, multi-EXISTS rewrites, argmax), plus
+analytic window functions (ntile/percent_rank/cume_dist/dense_rank,
+first/last/nth value frames), UNPIVOT, and exact-moment statistics.
+
+The reference models none of these (its algebra is map/reduce/groupby over a
+task DAG — `/root/reference/src/cyclebane/graph.py`); they complete the
+relational surface a 100 TB engine needs. Scale notes per query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from ..tables import table
+from . import register
+from ._helpers import dsum, sql_dsum
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between a nation pair.
+# Scale: both nation dims broadcast; the pair predicate lives in the join
+# conditions so Catalyst prunes non-matching suppliers/customers before the
+# big lineitem-orders shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q7_volume_shipping',
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {sql_dsum('volume')} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(YEAR(l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+               OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    li = table(spark, sf_dir, 'lineitem')
+    orders = table(spark, sf_dir, 'orders')
+    cust = table(spark, sf_dir, 'customer')
+    supp = table(spark, sf_dir, 'supplier')
+    nation = table(spark, sf_dir, 'nation')
+    lts = li.schema['l_shipdate'].dataType
+    n1 = nation.select(
+        F.col('n_nationkey').alias('n1_key'), F.col('n_name').alias('supp_nation')
+    ).filter(F.col('supp_nation').isin('NATION_18', 'NATION_19'))
+    n2 = nation.select(
+        F.col('n_nationkey').alias('n2_key'), F.col('n_name').alias('cust_nation')
+    ).filter(F.col('cust_nation').isin('NATION_18', 'NATION_19'))
+    return (
+        supp.join(F.broadcast(n1), F.col('s_nationkey') == F.col('n1_key'))
+        .join(
+            li.filter(
+                (F.col('l_shipdate') >= F.lit('1996-01-01 00:00:00').cast(lts))
+                & (F.col('l_shipdate') < F.lit('1998-01-01 00:00:00').cast(lts))
+            ),
+            F.col('s_suppkey') == F.col('l_suppkey'),
+        )
+        .join(orders, F.col('o_orderkey') == F.col('l_orderkey'))
+        .join(cust, F.col('c_custkey') == F.col('o_custkey'))
+        .join(F.broadcast(n2), F.col('c_nationkey') == F.col('n2_key'))
+        .filter(F.col('supp_nation') != F.col('cust_nation'))
+        .groupBy(
+            'supp_nation',
+            'cust_nation',
+            F.year('l_shipdate').alias('l_year'),
+        )
+        .agg(
+            dsum(F.col('l_extendedprice') * (1 - F.col('l_discount'))).alias('revenue')
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: market share of one supplier-nation within a region.
+# Scale: ratio of two decimal-exact conditional sums per year; region/nation
+# broadcast; one aggregation shuffle on the year.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q8_market_share',
+    oracle=f"""
+    SELECT o_year,
+           {sql_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
+               / {sql_dsum('volume')} AS mkt_share
+    FROM (
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    part = table(spark, sf_dir, 'part').filter(F.col('p_type') == 'ECONOMY')
+    li = table(spark, sf_dir, 'lineitem')
+    orders = table(spark, sf_dir, 'orders')
+    cust = table(spark, sf_dir, 'customer')
+    supp = table(spark, sf_dir, 'supplier')
+    nation = table(spark, sf_dir, 'nation')
+    region = table(spark, sf_dir, 'region').filter(F.col('r_name') == 'AMERICA')
+    n1 = nation.select(
+        F.col('n_nationkey').alias('n1_key'), F.col('n_regionkey').alias('n1_region')
+    )
+    n2 = nation.select(
+        F.col('n_nationkey').alias('n2_key'), F.col('n_name').alias('nation')
+    )
+    volume = F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    return (
+        li.join(part, F.col('p_partkey') == F.col('l_partkey'))
+        .join(orders, F.col('l_orderkey') == F.col('o_orderkey'))
+        .join(cust, F.col('o_custkey') == F.col('c_custkey'))
+        .join(F.broadcast(n1), F.col('c_nationkey') == F.col('n1_key'))
+        .join(F.broadcast(region), F.col('n1_region') == F.col('r_regionkey'))
+        .join(supp, F.col('l_suppkey') == F.col('s_suppkey'))
+        .join(F.broadcast(n2), F.col('s_nationkey') == F.col('n2_key'))
+        .groupBy(F.year('o_orderdate').alias('o_year'))
+        .agg(
+            (
+                dsum(F.when(F.col('nation') == 'NATION_3', volume).otherwise(0.0))
+                / dsum(volume)
+            ).alias('mkt_share')
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution via LEFT OUTER join.
+# Scale: the outer join shuffles once on custkey; both aggregations are
+# hash aggs with map-side partials; the histogram output is tiny.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q13_customer_distribution',
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    cust = table(spark, sf_dir, 'customer')
+    orders = table(spark, sf_dir, 'orders').filter(
+        F.col('o_orderpriority') != '1-URGENT'
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, 'left_outer')
+        .groupBy('c_custkey')
+        .agg(F.count('o_orderkey').alias('c_count'))
+        .groupBy('c_count')
+        .agg(F.count(F.lit(1)).alias('custdist'))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+# Scale: revenue is aggregated first (one shuffle); the scalar max is a
+# one-row broadcast joined back — no global sort, ties kept (exact decimal
+# revenue makes the equality safe).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q15_top_supplier',
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    li = table(spark, sf_dir, 'lineitem')
+    supp = table(spark, sf_dir, 'supplier')
+    lts = li.schema['l_shipdate'].dataType
+    revenue = (
+        li.filter(
+            (F.col('l_shipdate') >= F.lit('1996-01-01 00:00:00').cast(lts))
+            & (F.col('l_shipdate') < F.lit('1996-04-01 00:00:00').cast(lts))
+        )
+        .groupBy(F.col('l_suppkey').alias('supplier_no'))
+        .agg(
+            dsum(F.col('l_extendedprice') * (1 - F.col('l_discount'))).alias(
+                'total_revenue'
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max('total_revenue').alias('max_revenue'))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col('total_revenue') == F.col('max_revenue'))
+        .join(supp, F.col('s_suppkey') == F.col('supplier_no'))
+        .select('s_suppkey', 's_name', 'total_revenue')
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders via HAVING subquery join.
+# Scale: the HAVING aggregate runs first and is highly selective, so the
+# orders/customer joins see only qualifying keys (semi-join pushdown shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q18_large_volume_customer',
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM (
+        SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 200
+    ) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    li = table(spark, sf_dir, 'lineitem')
+    orders = table(spark, sf_dir, 'orders')
+    cust = table(spark, sf_dir, 'customer')
+    big = (
+        li.groupBy('l_orderkey')
+        .agg(dsum('l_quantity').alias('sum_qty'))
+        .filter(F.col('sum_qty') > 200)
+    )
+    return (
+        big.join(orders, F.col('o_orderkey') == F.col('l_orderkey'))
+        .join(cust, F.col('c_custkey') == F.col('o_custkey'))
+        .select(
+            'c_custkey', 'c_name', 'o_orderkey', 'o_orderdate', 'o_totalprice', 'sum_qty'
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-attribute predicates (OR of conjunctions).
+# Scale: the part-side brand/size disjunction prunes before the join; the
+# residual quantity conditions evaluate post-join in codegen. Catalyst pushes
+# the common `p_size >= 1` / brand-set conjuncts into the parquet scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q19_disjunctive_predicates',
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    li = table(spark, sf_dir, 'lineitem')
+    part = table(spark, sf_dir, 'part')
+    qty = F.col('l_quantity')
+    cond = (
+        (
+            (F.col('p_brand') == 'Brand#12')
+            & F.col('p_size').between(1, 5)
+            & (qty >= 1)
+            & (qty <= 11)
+        )
+        | (
+            (F.col('p_brand') == 'Brand#23')
+            & F.col('p_size').between(1, 10)
+            & (qty >= 10)
+            & (qty <= 20)
+        )
+        | (
+            (F.col('p_brand') == 'Brand#14')
+            & F.col('p_size').between(1, 15)
+            & (qty >= 20)
+            & (qty <= 30)
+        )
+    )
+    return (
+        li.join(part, F.col('p_partkey') == F.col('l_partkey'))
+        .filter(cond)
+        .agg(
+            dsum(F.col('l_extendedprice') * (1 - F.col('l_discount'))).alias('revenue'),
+            F.count(F.lit(1)).alias('n_items'),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (adapted to this schema): per order with >1 distinct
+# supplier, find suppliers that are the ONLY one with returned items.
+# Scale: the classic double-correlated EXISTS/NOT EXISTS is rewritten as one
+# per-order aggregate + one join — two shuffles total instead of two
+# self-join fan-outs over the fact table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q21_sole_returning_supplier',
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret
+        FROM lineitem GROUP BY l_orderkey
+    ), sole AS (
+        SELECT DISTINCT l.l_suppkey, l.l_orderkey
+        FROM lineitem l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+        WHERE l.l_returnflag = 'R' AND p.n_supp > 1 AND p.n_ret = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM sole JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+)
+def q21_sole_returning_supplier(spark, sf_dir):
+    li = table(spark, sf_dir, 'lineitem')
+    supp = table(spark, sf_dir, 'supplier')
+    per_order = li.groupBy('l_orderkey').agg(
+        F.count_distinct('l_suppkey').alias('n_supp'),
+        F.count_distinct(
+            F.when(F.col('l_returnflag') == 'R', F.col('l_suppkey'))
+        ).alias('n_ret'),
+    )
+    sole = (
+        li.filter(F.col('l_returnflag') == 'R')
+        .select('l_suppkey', 'l_orderkey')
+        .join(
+            per_order.filter((F.col('n_supp') > 1) & (F.col('n_ret') == 1)),
+            'l_orderkey',
+        )
+        .select('l_suppkey', 'l_orderkey')
+        .distinct()
+    )
+    return (
+        sole.join(supp, F.col('s_suppkey') == F.col('l_suppkey'))
+        .groupBy('s_name')
+        .agg(F.count(F.lit(1)).alias('numwait'))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape (adapted): rich-but-idle customers — above-average balance,
+# never ordered. Scalar subquery broadcast + anti join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q22_idle_rich_customers',
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    cust = table(spark, sf_dir, 'customer')
+    orders = table(spark, sf_dir, 'orders')
+    ots = orders.schema['o_orderdate'].dataType
+    orders = orders.filter(
+        F.col('o_orderdate') >= F.lit('1999-01-01 00:00:00').cast(ots)
+    )
+    cutoff = cust.filter(F.col('c_acctbal') > 0).agg(
+        (
+            F.sum(F.col('c_acctbal').cast('decimal(28,6)')).cast('double')
+            / F.count('c_acctbal')
+        ).alias('cut')
+    )
+    return (
+        cust.join(F.broadcast(cutoff))
+        .filter(F.col('c_acctbal') > F.col('cut'))
+        .join(orders, cust.c_custkey == orders.o_custkey, 'left_anti')
+        .groupBy('c_mktsegment')
+        .agg(
+            F.count(F.lit(1)).alias('n_cust'),
+            dsum('c_acctbal').alias('total_bal'),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions: ntile / percent_rank / cume_dist / dense_rank.
+# Scale: one shuffle on the partition key; all four functions share a single
+# sort (identical window spec), so Spark evaluates them in one pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'window_analytics_suite',
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
+           CAST(dense_rank() OVER w AS BIGINT) AS dense_rk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_analytics_suite(spark, sf_dir):
+    orders = table(spark, sf_dir, 'orders')
+    w = Window.partitionBy('o_orderstatus').orderBy('o_totalprice', 'o_orderkey')
+    return orders.select(
+        'o_orderkey',
+        'o_orderstatus',
+        F.ntile(4).over(w).cast('long').alias('quartile'),
+        F.percent_rank().over(w).alias('pct_rank'),
+        F.cume_dist().over(w).alias('cum_dist'),
+        F.dense_rank().over(w).cast('long').alias('dense_rk'),
+    )
+
+
+@register(
+    'window_first_last_nth',
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_price,
+           nth_value(o_totalprice, 2) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_nth(spark, sf_dir):
+    """first/last/nth value with explicit frames.
+
+    last_value/nth_value need the full-partition frame (the default frame
+    stops at CURRENT ROW — identical trap in Spark and every SQL engine).
+    """
+    orders = table(spark, sf_dir, 'orders')
+    w = Window.partitionBy('o_custkey').orderBy('o_orderdate', 'o_orderkey')
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        'o_orderkey',
+        'o_custkey',
+        F.first('o_totalprice').over(w).alias('first_price'),
+        F.last('o_totalprice').over(wfull).alias('last_price'),
+        F.nth_value('o_totalprice', 2).over(wfull).alias('second_price'),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long melt). Scale: pure projection with 4x row fan-out —
+# no shuffle at all; the long form is the ingest shape for the plan layer's
+# dimension-indexed values.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'unpivot_lineitem_measures',
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    li = table(spark, sf_dir, 'lineitem')
+    return li.unpivot(
+        ['l_orderkey', 'l_linenumber'],
+        ['l_quantity', 'l_extendedprice', 'l_discount', 'l_tax'],
+        'measure',
+        'val',
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmax per group without a window: max over a (key, tiebreak) struct.
+# Scale: an ordinary hash aggregate — one shuffle, map-side partials — vs the
+# window formulation's full sort. The struct comparison is lexicographic in
+# both engines, and the custkey tiebreaker makes ties deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'argmax_per_group',
+    oracle="""
+    SELECT c_mktsegment,
+           (max({'b': c_acctbal, 'k': c_custkey})).b AS top_acctbal,
+           (max({'b': c_acctbal, 'k': c_custkey})).k AS top_custkey,
+           (min({'b': c_acctbal, 'k': c_custkey})).k AS bottom_custkey
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def argmax_per_group(spark, sf_dir):
+    cust = table(spark, sf_dir, 'customer')
+    pair = F.struct(F.col('c_acctbal').alias('b'), F.col('c_custkey').alias('k'))
+    return cust.groupBy('c_mktsegment').agg(
+        F.max(pair).getField('b').alias('top_acctbal'),
+        F.max(pair).getField('k').alias('top_custkey'),
+        F.min(pair).getField('k').alias('bottom_custkey'),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates from exact moments: stddev and correlation derived
+# from decimal-exact sums with an identical IEEE op sequence on both engines
+# (native STDDEV/CORR differ across engines in summation order — the exact-
+# moment formulation is both deterministic AND the one-pass 100 TB shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'stats_exact_moments',
+    oracle="""
+    SELECT l_returnflag,
+           n,
+           sx / n AS mean_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (sxy - sx * sy / n)
+               / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+    FROM (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(qi) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(qi * qi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(pc AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sy,
+               CAST(SUM(CAST(pc * pc AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS syy,
+               CAST(SUM(CAST(qi * pc AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sxy
+        FROM (
+            SELECT l_returnflag,
+                   CAST(round(l_quantity, 0) AS BIGINT) AS qi,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+            FROM lineitem
+        )
+        GROUP BY l_returnflag
+    ) m
+    """,
+)
+def stats_exact_moments(spark, sf_dir):
+    li = table(spark, sf_dir, 'lineitem')
+
+    # Cross-engine exactness: quantities are whole numbers and prices have
+    # exactly 2 decimals, so scale both to BIGINT first (round-to-integer is
+    # unambiguous — the double is within ~2e-9 of the true integer). Every
+    # moment is then an exact integer sum; the only floating-point steps are
+    # the final casts/divides, identical operand-for-operand in both engines.
+    # A double->DECIMAL cast would NOT be safe here: Spark quantizes via the
+    # shortest decimal string (BigDecimal.valueOf) while DuckDB uses the
+    # exact binary value, and products of ~1e10 magnitude land close enough
+    # to scale-4 ties that the two disagree by an ulp.
+    qi = F.round(F.col('l_quantity'), 0).cast('long')
+    pc = F.round(F.col('l_extendedprice') * 100, 0).cast('long')
+
+    def isum(c):
+        c = F.col(c) if isinstance(c, str) else c
+        return F.sum(c.cast('decimal(38,0)')).cast('double')
+
+    m = li.select('l_returnflag', qi.alias('qi'), pc.alias('pc')).groupBy(
+        'l_returnflag'
+    ).agg(
+        F.count(F.lit(1)).cast('double').alias('n'),
+        F.sum('qi').cast('double').alias('sx'),
+        isum(F.col('qi') * F.col('qi')).alias('sxx'),
+        (isum('pc') / 100.0).alias('sy'),
+        (isum(F.col('pc') * F.col('pc')) / 10000.0).alias('syy'),
+        (isum(F.col('qi') * F.col('pc')) / 100.0).alias('sxy'),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col('n'), F.col('sx'), F.col('sxx'), F.col('sy'), F.col('syy'), F.col('sxy')
+    )
+    return m.select(
+        'l_returnflag',
+        'n',
+        (sx / n).alias('mean_qty'),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias('stddev_qty'),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias('corr_qty_price'),
+    )

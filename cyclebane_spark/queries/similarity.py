@@ -91,6 +91,28 @@ def ann_bruteforce_topk(spark, sf_dir):
 
 
 @register(
+    'explode_embedding_components',
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           CAST(UNNEST(embedding) AS DOUBLE) AS component
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def explode_embedding_components(spark, sf_dir):
+    """posexplode: array column -> (position, value) rows — the lateral-view
+    path that turns nested data relational. Scale: pure projection fan-out
+    (64x rows), no shuffle; position becomes a first-class joinable column
+    (this is exactly the long-form melt the plan layer ingests N-D arrays
+    with — SURVEY.md §1.3)."""
+    emb = table(spark, sf_dir, 'embeddings').filter(F.col('vec_id') < 100)
+    return emb.select(
+        'vec_id', F.posexplode('embedding').alias('pos', 'component')
+    ).select('vec_id', 'pos', F.col('component').cast('double').alias('component'))
+
+
+@register(
     'ann_ivf_blocked_topk',
     oracle=f"""{_SQL_NORMED}
     SELECT query_id, neighbor_id, cosine, rk FROM (

@@ -110,6 +110,71 @@ def test_minhash_heavy_compute_stays_above_the_exchange(spark):
     assert 'REPARTITION_BY_NUM' in plan
 
 
+def test_q19_disjunction_common_conjuncts_pushed(spark):
+    """The brand-set and size bounds extractable from the OR land in the
+    scan's pushed filters (In/Or on p_brand, bounds on p_size); the residual
+    cross-table disjunction evaluates post-join in codegen."""
+    plan = plan_of(spark, 'q19_disjunctive_predicates')
+    assert 'PushedFilters:' in plan
+    scan = plan.split('ReadSchema: struct<p_partkey', 1)[0]
+    assert 'p_brand' in scan and 'p_size' in scan
+
+
+def test_q7_broadcasts_both_nation_dims(spark):
+    plan = plan_of(spark, 'q7_volume_shipping')
+    assert plan.count('BroadcastHashJoin') >= 2
+    # the nation-pair filter prunes suppliers/customers BEFORE their joins:
+    # the nation scans carry the In(n_name, ...) predicate
+    assert 'n_name' in plan
+
+
+def test_q13_outer_join_preserves_left(spark):
+    plan = plan_of(spark, 'q13_customer_distribution')
+    assert 'LeftOuter' in plan
+
+
+def test_q15_no_global_sort_for_scalar_max(spark):
+    """max-revenue selection must be a one-row broadcast join-back, never a
+    global sort of the aggregate."""
+    plan = plan_of(spark, 'q15_top_supplier')
+    assert 'BroadcastExchange' in plan
+    assert 'TakeOrderedAndProject' not in plan
+
+
+def test_window_analytics_single_sort_pass(spark):
+    """All four analytic functions share one window spec -> exactly one sort
+    and one partition exchange."""
+    raw = raw_plan_of(spark, 'window_analytics_suite')
+    assert raw.count('Exchange') == 1
+    assert raw.count('Sort ') <= 1 or raw.count('Sort [') <= 1
+
+
+def test_argmax_is_hash_agg_not_window(spark):
+    raw = raw_plan_of(spark, 'argmax_per_group')
+    assert 'Window' not in raw
+    assert 'HashAggregate' in raw or 'SortAggregate' in raw
+
+
+def test_unpivot_no_shuffle(spark):
+    raw = raw_plan_of(spark, 'unpivot_lineitem_measures')
+    assert 'Exchange' not in raw
+
+
+def test_gap_fill_grid_is_distributed(spark):
+    """The grid must come from sequence+explode (per-user, executor-side) —
+    no driver-side calendar cross join."""
+    raw = raw_plan_of(spark, 'events_gap_fill')
+    assert 'Generate explode' in raw or 'Generate' in raw
+
+
+def test_multi_grain_rollup_single_shuffle(spark):
+    """GROUPING SETS expands map-side: one scan, one aggregation exchange
+    (plus AQE artifacts at most)."""
+    raw = raw_plan_of(spark, 'events_multi_grain_rollup')
+    assert raw.count('Scan parquet') == 1
+    assert 'Expand' in raw
+
+
 def test_connected_components_converges_and_broadcasts_labels(spark):
     # CC is iterative; just assert the result frame exists and is resolvable
     df = queries()['dedup_connected_components'](spark, SF_DIR)
