@@ -429,6 +429,144 @@ def q22_idle_rich_customers(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q9 shape (adapted: retailprice stands in for supplycost): profit by
+# supplier nation x order year over a part-name pattern.
+# Scale: the LIKE filter prunes part before the join; nation broadcasts;
+# one aggregation shuffle on (nation, year).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q9_product_type_profit',
+    oracle=f"""
+    SELECT nation, o_year, {sql_dsum('amount')} AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                   - p_retailprice * l_quantity * 0.01 AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%blue%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    part = table(spark, sf_dir, 'part').filter(F.col('p_name').like('%blue%'))
+    li = table(spark, sf_dir, 'lineitem')
+    supp = table(spark, sf_dir, 'supplier')
+    nation = table(spark, sf_dir, 'nation')
+    orders = table(spark, sf_dir, 'orders')
+    amount = F.col('l_extendedprice') * (1 - F.col('l_discount')) - F.col(
+        'p_retailprice'
+    ) * F.col('l_quantity') * 0.01
+    return (
+        li.join(part, F.col('p_partkey') == F.col('l_partkey'))
+        .join(supp, F.col('s_suppkey') == F.col('l_suppkey'))
+        .join(F.broadcast(nation), F.col('s_nationkey') == F.col('n_nationkey'))
+        .join(orders, F.col('o_orderkey') == F.col('l_orderkey'))
+        .groupBy(
+            F.col('n_name').alias('nation'), F.year('o_orderdate').alias('o_year')
+        )
+        .agg(dsum(amount).alias('sum_profit'))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape (adapted): suppliers carrying the a dominant share (>12.5%) of a
+# part's shipped volume. Correlated share-of-total as two aggregates + join;
+# the 0.125 multiplier is a power of two, so the threshold compare is exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q20_dominant_part_suppliers',
+    oracle=f"""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey, {sql_dsum('l_quantity')} AS qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+        SELECT l_partkey, {sql_dsum('l_quantity')} AS total
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT s_name, COUNT(*) AS n_dominant_parts
+    FROM ps
+    JOIN pt USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty > 0.125 * total
+    GROUP BY s_name
+    """,
+)
+def q20_dominant_part_suppliers(spark, sf_dir):
+    li = table(spark, sf_dir, 'lineitem')
+    supp = table(spark, sf_dir, 'supplier')
+    ps = li.groupBy('l_partkey', 'l_suppkey').agg(dsum('l_quantity').alias('qty'))
+    pt = li.groupBy('l_partkey').agg(dsum('l_quantity').alias('total'))
+    return (
+        ps.join(pt, 'l_partkey')
+        .filter(F.col('qty') > 0.125 * F.col('total'))
+        .join(supp, F.col('s_suppkey') == F.col('l_suppkey'))
+        .groupBy('s_name')
+        .agg(F.count(F.lit(1)).alias('n_dominant_parts'))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit NULL ordering in window sorts. Spark defaults to NULLS FIRST for
+# ASC / NULLS LAST for DESC; other engines differ — the explicit modifier is
+# the only portable spelling, and this query pins the parity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'window_nulls_ordering',
+    oracle="""
+    SELECT o_orderkey, o_custkey, delta_prev,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY delta_prev DESC NULLS LAST, o_orderkey
+           ) AS BIGINT) AS rk_nulls_last,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY delta_prev ASC NULLS FIRST, o_orderkey
+           ) AS BIGINT) AS rk_nulls_first
+    FROM (
+        SELECT o_orderkey, o_custkey,
+               o_totalprice - LAG(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS delta_prev
+        FROM orders
+    ) d
+    """,
+)
+def window_nulls_ordering(spark, sf_dir):
+    orders = table(spark, sf_dir, 'orders')
+    wl = Window.partitionBy('o_custkey').orderBy('o_orderdate', 'o_orderkey')
+    d = orders.select(
+        'o_orderkey',
+        'o_custkey',
+        (F.col('o_totalprice') - F.lag('o_totalprice').over(wl)).alias('delta_prev'),
+    )
+    w_last = Window.partitionBy('o_custkey').orderBy(
+        F.col('delta_prev').desc_nulls_last(), F.col('o_orderkey').asc()
+    )
+    w_first = Window.partitionBy('o_custkey').orderBy(
+        F.col('delta_prev').asc_nulls_first(), F.col('o_orderkey').asc()
+    )
+    return d.select(
+        'o_orderkey',
+        'o_custkey',
+        'delta_prev',
+        F.row_number().over(w_last).cast('long').alias('rk_nulls_last'),
+        F.row_number().over(w_first).cast('long').alias('rk_nulls_first'),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Analytic window functions: ntile / percent_rank / cume_dist / dense_rank.
 # Scale: one shuffle on the partition key; all four functions share a single
 # sort (identical window spec), so Spark evaluates them in one pass.

@@ -150,6 +150,56 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    'text_tfidf_top_terms',
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, term, tf, score, rk FROM (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+                            tf.term
+               ) AS rk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ) ranked WHERE rk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 distinguishing terms per document by tf x (N/df).
+
+    The score is the rational tf*N/df rather than the log-scaled classic —
+    a monotone transform per term that keeps the cross-engine comparison
+    exact (ln() differs by an ulp between libm implementations). Scale: one
+    explode (no shuffle), two hash aggs, and a broadcast of the tiny
+    (term, df) side if AQE sizes it so; the rank window partitions by doc.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    toks = docs.select(
+        'doc_id', F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('term')
+    )
+    tf = toks.groupBy('doc_id', 'term').agg(F.count(F.lit(1)).alias('tf'))
+    df = toks.groupBy('term').agg(F.count_distinct('doc_id').alias('df'))
+    n = docs.agg(F.count(F.lit(1)).alias('n'))
+    score = (F.col('tf') * F.col('n')).cast('double') / F.col('df').cast('double')
+    w = Window.partitionBy('doc_id').orderBy(F.desc('score'), F.asc('term'))
+    return (
+        tf.join(df, 'term')
+        .join(F.broadcast(n))
+        .select('doc_id', 'term', 'tf', score.alias('score'))
+        .withColumn('rk', F.row_number().over(w).cast('long'))
+        .filter(F.col('rk') <= 3)
+    )
+
+
+@register(
     'text_token_count_pandas_udf',
     oracle=r"""
     SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
