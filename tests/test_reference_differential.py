@@ -250,6 +250,81 @@ def test_attrs_preserved_through_map_and_reduce():
     check(build)
 
 
+def test_type_object_node_keys():
+    """Node names may be arbitrary Hashables — the reference's own tests use
+    Python ``type`` objects as keys (reference tests/graph_test.py:237-258)."""
+
+    class Raw: ...
+
+    class Clean: ...
+
+    class Result: ...
+
+    def build(G):
+        g = G(nx.DiGraph([(Raw, Clean), (Clean, Result)]))
+        g = g.map({Raw: [1, 2, 3]})
+        return g.reduce(Result, name='total')
+
+    check(build)
+
+
+def test_empty_map_is_noop():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        return g.map({})
+
+    check(build)
+
+
+def test_indices_and_index_names_parity():
+    """The dimension-catalog properties agree with the reference."""
+    ng = nx.DiGraph([('a', 'c'), ('b', 'c')])
+    ours = Graph(ng).map({'a': [1, 2]}).map({'b': pd.Series([7, 8, 9], name='s')})
+    theirs = ref_cb.Graph(ng).map({'a': [1, 2]}).map(
+        {'b': pd.Series([7, 8, 9], name='s')}
+    )
+    assert [str(k) for k in ours.index_names] == [
+        str(k) for k in theirs.index_names
+    ]
+    assert {str(k): [str(v) for v in vs] for k, vs in ours.indices.items()} == {
+        str(k): [str(v) for v in vs] for k, vs in theirs.indices.items()
+    }
+
+
+def test_setitem_mapped_branch_with_mapped_graft_same_dim():
+    """Graft a mapped graph onto a mapped branch: both sinks are mapped, the
+    replacement re-keys the graft's values to the branch name and the dims
+    must line up (reference graph.py:494-535)."""
+
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b'), ('b', 'c')]))
+        g = g.map({'a': [1, 2]})
+        other = G(nx.DiGraph([('p', 'q'), ('q', 'b')]))
+        other = other.map({'p': [5, 6]})
+        g['b'] = other
+        return g
+
+    check(build)
+
+
+def test_numpy_3d_map_middle_axis_reduce():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': np.arange(24).reshape(2, 3, 4)})
+        return g.reduce('b', axis=1, name='r')
+
+    check(build)
+
+
+def test_copy_shares_values_and_structure():
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': [1, 2]})
+        return g.copy().reduce('b', name='r')
+
+    check(build)
+
+
 # -- error-surface parity ----------------------------------------------------
 
 
