@@ -53,7 +53,42 @@ NOTES = {
         'one shuffle on user_id; session assembly is a window cumsum,',
         'the batch statement of the streaming session_window operator',
     ],
+    'q19_disjunctive_predicates': [
+        'brand/size conjuncts extracted from the OR land in PushedFilters;',
+        'the residual cross-table disjunction evaluates post-join in codegen',
+    ],
+    'q15_top_supplier': [
+        'scalar max is a one-row BroadcastExchange joined back — no global',
+        'sort, no TakeOrdered; ties kept exactly',
+    ],
+    'events_gap_fill': [
+        'dense grid generated executor-side (sequence+explode per user);',
+        'forward fill is one sorted window pass per user partition',
+    ],
+    'events_multi_grain_rollup': [
+        'GROUPING SETS expands map-side (Expand) — one scan, one exchange',
+        'for hour+day+total simultaneously',
+    ],
+    'text_tfidf_top_terms': [
+        'one explode, two hash aggs; tiny (term, df) side broadcast;',
+        'rank window partitions by doc only',
+    ],
+    'window_analytics_suite': [
+        'all four analytic functions share one window spec: a single',
+        'Exchange and a single Sort evaluate ntile/percent_rank/cume_dist/',
+        'dense_rank in one pass',
+    ],
 }
+
+# Non-headline queries whose plan shape is load-bearing enough to publish.
+EXTRA = (
+    'q19_disjunctive_predicates',
+    'q15_top_supplier',
+    'window_analytics_suite',
+    'events_gap_fill',
+    'events_multi_grain_rollup',
+    'text_tfidf_top_terms',
+)
 
 
 def compact(plan: str) -> str:
@@ -100,7 +135,7 @@ def main() -> None:
         '',
     ]
     for name, q in registry().items():
-        if not q.headline:
+        if not q.headline and name not in EXTRA:
             continue
         df = q.fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
