@@ -150,6 +150,97 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    'text_chunking',
+    oracle="""
+    SELECT doc_id,
+           CAST((pos - 1) // 150 AS BIGINT) AS chunk_idx,
+           pos AS chunk_start,
+           substr(text, pos, 200) AS chunk,
+           length(substr(text, pos, 200)) AS chunk_len
+    FROM (
+        SELECT doc_id, text,
+               CAST(unnest(generate_series(1, greatest(length(text), 1), 150)) AS BIGINT) AS pos
+        FROM documents
+    ) positions
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Overlapping document chunking (200-char windows, stride 150) — the
+    standard LLM-ingest split, fully distributed.
+
+    Scale: chunk offsets are generated executor-side per row
+    (``sequence`` + ``explode``); no shuffle at all — the op is a pure
+    projection fan-out, embarrassingly parallel over any corpus size.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length('text'), F.lit(1)), F.lit(150))
+    )
+    chunk = F.substring(F.col('text'), F.col('pos'), 200)
+    return (
+        docs.select('doc_id', 'text', pos.alias('pos'))
+        .withColumn('pos', F.col('pos').cast('long'))
+        .select(
+            'doc_id',
+            ((F.col('pos') - 1) / F.lit(150)).cast('long').alias('chunk_idx'),
+            F.col('pos').alias('chunk_start'),
+            chunk.alias('chunk'),
+            F.length(chunk).cast('long').alias('chunk_len'),
+        )
+    )
+
+
+@register(
+    'text_greedy_packing',
+    oracle=r"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 2048 AS BIGINT) AS bin_id
+        FROM sized
+    )
+    SELECT bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY bin_id
+    """,
+)
+def text_greedy_packing(spark, sf_dir):
+    """Sequential sequence-packing: assign documents (in doc_id order) to
+    2048-token context bins by cumulative token count — the deterministic
+    packing used for LLM pre-training batches.
+
+    Scale: one global ordered cumsum. On a real cluster this is range-
+    partitioned by the sort key (Spark's Window over a global ORDER BY plans
+    a single-partition pass — for 100 TB, pack per shard: add a shard key to
+    the partitionBy and bins stay shard-local, which is what training
+    pipelines do anyway). Integer arithmetic throughout -> exact parity.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    sized = docs.select(
+        'doc_id',
+        F.size(F.split(F.trim(F.col('text')), r'\s+')).cast('long').alias('n_tokens'),
+    )
+    w = Window.orderBy('doc_id').rowsBetween(Window.unboundedPreceding, -1)
+    packed = sized.select(
+        'doc_id',
+        'n_tokens',
+        F.floor(
+            F.coalesce(F.sum('n_tokens').over(w), F.lit(0)) / F.lit(2048)
+        ).cast('long').alias('bin_id'),
+    )
+    return packed.groupBy('bin_id').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum('n_tokens').alias('total_tokens'),
+    )
+
+
+@register(
     'text_tfidf_top_terms',
     oracle=r"""
     WITH toks AS (
