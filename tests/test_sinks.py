@@ -60,6 +60,20 @@ def test_json_roundtrip(spark, tmp_path):
     )
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    orders = spark.read.parquet(f'{SF_DIR}/orders.parquet')
+    out = str(tmp_path / 'orders_orc')
+    orders.write.mode('overwrite').orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    # ORC scans support predicate pushdown too
+    plan = back.filter(F.col('o_orderkey') < 100)._jdf.queryExecution()
+    assert 'LessThan(o_orderkey,100)' in plan.executedPlan().toString()
+    got = back.filter(F.col('o_orderkey') < 100).count()
+    assert got == orders.filter(F.col('o_orderkey') < 100).count()
+
+
 def test_approx_count_distinct_error_bound(spark):
     li = spark.read.parquet(f'{SF_DIR}/lineitem.parquet')
     exact = {
