@@ -150,6 +150,70 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    'pipeline_training_data',
+    oracle=r"""
+    WITH sized AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), kept AS (
+        SELECT * FROM sized WHERE n_tokens BETWEEN 10 AND 5000
+    ), deduped AS (
+        SELECT * FROM kept
+        WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY fp)
+    ), chunked AS (
+        SELECT doc_id, lang, n_tokens,
+               unnest(generate_series(1, greatest(length(text), 1), 150)) AS pos
+        FROM deduped
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) / COUNT(*) AS tokens_per_chunk_x
+    FROM chunked GROUP BY lang
+    """,
+)
+def pipeline_training_data(spark, sf_dir):
+    """End-to-end training-data pipeline in ONE lazy plan: quality gate ->
+    exact dedup (canonical = min doc_id per fingerprint) -> overlapping
+    chunking -> per-language corpus stats.
+
+    Scale: the quality gate is a scan-level filter; dedup is one hash
+    aggregate on the md5 fingerprint plus a semi join (no fan-out); chunk
+    offsets explode executor-side; the final rollup is a tiny hash agg.
+    Four stages, two shuffles (dedup agg + final agg) — this is the shape a
+    100 TB corpus prep runs nightly.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    sized = docs.select(
+        'doc_id',
+        'lang',
+        'text',
+        F.size(F.split(F.trim(F.col('text')), r'\s+')).cast('long').alias('n_tokens'),
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col('text')), r'\s+', ' '))
+        ).alias('fp'),
+    )
+    kept = sized.filter(F.col('n_tokens').between(10, 5000))
+    canonical = kept.groupBy('fp').agg(F.min('doc_id').alias('doc_id'))
+    deduped = kept.join(canonical, ['fp', 'doc_id'], 'left_semi')
+    chunked = deduped.select(
+        'doc_id',
+        'lang',
+        'n_tokens',
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length('text'), F.lit(1)), F.lit(150))
+        ).alias('pos'),
+    )
+    return chunked.groupBy('lang').agg(
+        F.count_distinct('doc_id').alias('n_docs'),
+        F.count(F.lit(1)).alias('n_chunks'),
+        (F.sum('n_tokens') / F.count(F.lit(1))).alias('tokens_per_chunk_x'),
+    )
+
+
+@register(
     'text_chunking',
     oracle="""
     SELECT doc_id,
