@@ -195,6 +195,34 @@ def sample_hash_based(spark, sf_dir):
 
 
 @register(
+    'sample_stratified',
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CASE WHEN lang = 'en'
+               THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+               ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+          END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: 50% of 'en' documents, 12.5% of
+    every other language — per-stratum rates from the same content hash.
+
+    The standard corpus-rebalancing op (upweight scarce languages / downweight
+    dominant ones). Same scale story as `sample_hash_based`: a pure filter,
+    no shuffle, reproducible under any re-partitioning.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    nib = F.substring(F.md5(F.col('doc_id').cast('string')), 1, 1)
+    keep = F.when(
+        F.col('lang') == 'en', nib.isin(*'01234567')
+    ).otherwise(nib.isin('0', '1'))
+    return docs.filter(keep).select('doc_id', 'lang')
+
+
+@register(
     'count_distinct_exact',
     oracle="""
     SELECT l_returnflag,

@@ -90,6 +90,94 @@ def ann_bruteforce_topk(spark, sf_dir):
     return _ranked(F.broadcast(q).crossJoin(c), 'query_id')
 
 
+def _rademacher_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — identical constants are
+    embedded as literals in the Spark plan and the DuckDB oracle, so no
+    engine evaluates any hashing at query time."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f'{p}:{i}'.encode()).hexdigest()[0] in '02468ace'
+            else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+_PLANES = _rademacher_planes()
+
+
+def _sql_plane_dot(plane: list[float]) -> str:
+    lit = '[' + ', '.join(f'{w:.1f}' for w in plane) + ']'
+    return (
+        f'list_sum(list_transform(range(1, 65), '
+        f'i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]))'
+    )
+
+
+_SQL_BUCKET = 'concat(' + ', '.join(
+    f"CASE WHEN {_sql_plane_dot(p)} >= 0 THEN '1' ELSE '0' END" for p in _PLANES
+) + ')'
+
+
+@register(
+    'ann_rp_lsh_topk',
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm,
+               {_SQL_BUCKET} AS bucket
+        FROM embeddings
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_SQL_COS} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_SQL_COS} DESC, c.vec_id
+               ) AS rk
+        FROM n q JOIN n c
+          ON q.bucket = c.bucket AND q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_rp_lsh_topk(spark, sf_dir):
+    """Random-hyperplane (sign) LSH ANN: 8 Rademacher projections hash each
+    vector to an 8-bit bucket; candidates are restricted to the query's
+    bucket (expected collision rate (1 - theta/pi)^8 for angle theta).
+
+    Scale: bucketing is a projection over the scan (the plane constants live
+    in the plan — nothing is joined or hashed at runtime); the candidate
+    join becomes an equi-join on the bucket string, shuffle-partitionable
+    exactly like the IVF variant but requiring NO trained quantizer.
+    Probe multiple buckets (flip lowest-margin bits) to trade cost for
+    recall.
+    """
+    emb = table(spark, sf_dir, 'embeddings')
+    bits = [
+        F.when(
+            _spark_dot(
+                F.col('embedding'), F.array(*[F.lit(w) for w in plane])
+            ) >= 0,
+            '1',
+        ).otherwise('0')
+        for plane in _PLANES
+    ]
+    n = emb.select(
+        'vec_id',
+        'embedding',
+        F.sqrt(_spark_dot(F.col('embedding'), F.col('embedding'))).alias('nrm'),
+        F.concat(*bits).alias('bucket'),
+    )
+    q = n.filter(F.col('vec_id') < N_QUERIES).alias('q')
+    c = n.filter(F.col('vec_id') >= N_QUERIES).alias('c')
+    joined = q.join(c, F.col('q.bucket') == F.col('c.bucket'))
+    return _ranked(joined, 'query_id')
+
+
 @register(
     'explode_embedding_components',
     oracle="""
