@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -79,6 +80,7 @@ class SyntheticEventsReader(DataSourceReader):
     def pushFilters(self, filters: 'Sequence') -> 'Iterator':
         """Accept EqualTo on part_id (partition pruning); yield the rest
         back to Spark for post-scan evaluation."""
+        self.keep_parts = None  # reader instances can be re-planned: reset
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ('part_id',):
                 self.keep_parts = {int(f.value)}
@@ -104,6 +106,36 @@ class SyntheticEventsReader(DataSourceReader):
             yield _row(i, partition.part_id)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic row space.
+
+    Offsets are plain row positions ({'pos': n}); each trigger serves up to
+    ``batch_rows`` new rows. Replays (``readBetweenOffsets``) regenerate the
+    identical rows from the md5 derivation — exactly-once without a log,
+    because the source is a pure function of the offset range.
+    """
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get('batch_rows', 100))
+        self.max_rows = int(options.get('rows', 1000))
+
+    def initialOffset(self) -> dict:
+        return {'pos': 0}
+
+    def _rows(self, start: int, end: int):
+        # lists, not generators: the driver-side prefetch cache copies the
+        # iterator between read() and the planned batch
+        return [_row(i, 0) for i in range(start, end)]
+
+    def read(self, start: dict):
+        lo = start['pos']
+        hi = min(lo + self.batch_rows, self.max_rows)
+        return iter(self._rows(lo, hi)), {'pos': hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start['pos'], end['pos']))
+
+
 class SyntheticEventsSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -114,3 +146,6 @@ class SyntheticEventsSource(DataSource):
 
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
