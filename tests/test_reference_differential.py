@@ -501,7 +501,7 @@ def _random_groupby_workflow(G, rng: np.random.Generator):
     return g
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(100))
 def test_randomized_groupby_workflows_match_reference(seed):
     ours = canon(
         _random_groupby_workflow(
@@ -516,7 +516,7 @@ def test_randomized_groupby_workflows_match_reference(seed):
     assert ours == theirs
 
 
-@pytest.mark.parametrize("seed", range(50))
+@pytest.mark.parametrize("seed", range(100))
 def test_randomized_workflows_match_reference(seed):
     ours = canon(
         _random_workflow(Graph, np.random.Generator(np.random.PCG64(seed))).to_networkx()
