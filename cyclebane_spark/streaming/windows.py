@@ -177,6 +177,51 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """The same running per-user counters on Spark 4's transformWithState
+    API — typed per-key ValueState instead of a single opaque tuple.
+
+    transformWithState supersedes applyInPandasWithState for new code:
+    composable named state variables (value/list/map), timers, TTL, and
+    initial-state bootstrap. Same scale shape: one shuffle on the key, state
+    store holds O(distinct keys).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                'totals', 'n long, total double'
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf['value'].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {'user_id': [key[0]], 'n_events': [n], 'total_value': [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select('user_id', 'value')
+        .groupBy('user_id')
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType='user_id long, n_events long, total_value double',
+            outputMode='Update',
+            timeMode='None',
+        )
+    )
+
+
 def view_click_join(stream: DataFrame, *, horizon: str = '1 hour') -> DataFrame:
     """Watermarked stream-stream interval join: each view matched to the
     same user's clicks landing within ``horizon`` after it.
