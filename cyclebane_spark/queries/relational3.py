@@ -504,11 +504,21 @@ def q9_product_type_profit(spark, sf_dir):
 def q20_dominant_part_suppliers(spark, sf_dir):
     li = table(spark, sf_dir, 'lineitem')
     supp = table(spark, sf_dir, 'supplier')
-    ps = li.groupBy('l_partkey', 'l_suppkey').agg(dsum('l_quantity').alias('qty'))
-    pt = li.groupBy('l_partkey').agg(dsum('l_quantity').alias('total'))
+    # ONE lineitem scan (the oracle's two-CTE formulation would scan twice):
+    # aggregate per (part, supplier) keeping the DECIMAL accumulator, then a
+    # window sum over the part gives the part total — decimal addition is
+    # associative, so sum-of-group-sums == the oracle's direct sum exactly,
+    # and both sides compare in double with identical operands.
+    ps = li.groupBy('l_partkey', 'l_suppkey').agg(
+        F.sum(F.col('l_quantity').cast('decimal(28,6)')).alias('qty_dec')
+    )
+    w = Window.partitionBy('l_partkey')
     return (
-        ps.join(pt, 'l_partkey')
-        .filter(F.col('qty') > 0.125 * F.col('total'))
+        ps.withColumn('total_dec', F.sum('qty_dec').over(w))
+        .filter(
+            F.col('qty_dec').cast('double')
+            > 0.125 * F.col('total_dec').cast('double')
+        )
         .join(supp, F.col('s_suppkey') == F.col('l_suppkey'))
         .groupBy('s_name')
         .agg(F.count(F.lit(1)).alias('n_dominant_parts'))

@@ -175,6 +175,15 @@ def test_multi_grain_rollup_single_shuffle(spark):
     assert 'Expand' in raw
 
 
+def test_q20_single_lineitem_scan(spark):
+    """Share-of-total must derive the part total from the per-(part,supp)
+    aggregate via a window — never a second lineitem scan."""
+    raw = raw_plan_of(spark, 'q20_dominant_part_suppliers')
+    assert raw.count('lineitem.parquet') <= raw.count('Scan parquet') <= 2
+    assert sum('lineitem' in l for l in raw.splitlines() if 'Scan parquet' in l) == 1
+    assert 'Window' in raw
+
+
 def test_connected_components_converges_and_broadcasts_labels(spark):
     # CC is iterative; just assert the result frame exists and is resolvable
     df = queries()['dedup_connected_components'](spark, SF_DIR)
