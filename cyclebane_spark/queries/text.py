@@ -196,8 +196,13 @@ def pipeline_training_data(spark, sf_dir):
         ).alias('fp'),
     )
     kept = sized.filter(F.col('n_tokens').between(10, 5000))
-    canonical = kept.groupBy('fp').agg(F.min('doc_id').alias('doc_id'))
-    deduped = kept.join(canonical, ['fp', 'doc_id'], 'left_semi')
+    # canonical-per-fingerprint via a window min, NOT an agg + self-semi-join:
+    # the join formulation re-reads the corpus for the second side (plan
+    # diamonds duplicate subtrees); the window keeps the plan linear — one
+    # scan, one shuffle on fp.
+    deduped = kept.withColumn(
+        'min_doc', F.min('doc_id').over(Window.partitionBy('fp'))
+    ).filter(F.col('doc_id') == F.col('min_doc'))
     chunked = deduped.select(
         'doc_id',
         'lang',
@@ -341,12 +346,17 @@ def text_tfidf_top_terms(spark, sf_dir):
         'doc_id', F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('term')
     )
     tf = toks.groupBy('doc_id', 'term').agg(F.count(F.lit(1)).alias('tf'))
-    df = toks.groupBy('term').agg(F.count_distinct('doc_id').alias('df'))
-    n = docs.agg(F.count(F.lit(1)).alias('n'))
+    # df derived from tf itself: tf rows are unique (doc, term) pairs, so a
+    # count over the term partition IS the document frequency. One explode,
+    # one corpus scan — no tf-vs-df diamond re-reading the corpus twice
+    # (DataFrame plans duplicate shared subtrees; a linear window chain
+    # doesn't need the sharing).
+    df = F.count(F.lit(1)).over(Window.partitionBy('term'))
+    n = docs.agg(F.count(F.lit(1)).alias('n'))  # tiny 1-column side scan
     score = (F.col('tf') * F.col('n')).cast('double') / F.col('df').cast('double')
     w = Window.partitionBy('doc_id').orderBy(F.desc('score'), F.asc('term'))
     return (
-        tf.join(df, 'term')
+        tf.withColumn('df', df.cast('long'))
         .join(F.broadcast(n))
         .select('doc_id', 'term', 'tf', score.alias('score'))
         .withColumn('rk', F.row_number().over(w).cast('long'))

@@ -175,6 +175,21 @@ def test_multi_grain_rollup_single_shuffle(spark):
     assert 'Expand' in raw
 
 
+def test_pipeline_single_corpus_scan(spark):
+    """Window-based dedup keeps the pipeline linear: exactly one documents
+    scan (the agg+semi-join formulation would read the corpus twice)."""
+    raw = raw_plan_of(spark, 'pipeline_training_data')
+    assert sum('documents' in l for l in raw.splitlines() if 'Scan parquet' in l) == 1
+
+
+def test_tfidf_single_heavy_scan(spark):
+    """df derives from tf via a window — the corpus is tokenized once; the
+    only second scan is the 1-column doc count."""
+    raw = raw_plan_of(spark, 'text_tfidf_top_terms')
+    assert sum('documents' in l for l in raw.splitlines() if 'Scan parquet' in l) <= 2
+    assert raw.count('Generate explode') == 1
+
+
 def test_q20_single_lineitem_scan(spark):
     """Share-of-total must derive the part total from the per-(part,supp)
     aggregate via a window — never a second lineitem scan."""
