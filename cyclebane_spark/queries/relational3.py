@@ -208,6 +208,11 @@ def q13_customer_distribution(spark, sf_dir):
     """,
 )
 def q15_top_supplier(spark, sf_dir):
+    """The revenue aggregate appears in two plan subtrees (join side + max
+    side) and DataFrames don't share subplans — at 100 TB you persist() the
+    aggregate (sized #suppliers, trivially cacheable) so lineitem is scanned
+    once; a global-window max would instead funnel #suppliers rows through
+    one partition."""
     li = table(spark, sf_dir, 'lineitem')
     supp = table(spark, sf_dir, 'supplier')
     lts = li.schema['l_shipdate'].dataType
@@ -354,6 +359,11 @@ def q19_disjunctive_predicates(spark, sf_dir):
     """,
 )
 def q21_sole_returning_supplier(spark, sf_dir):
+    """per_order could come from a window over the returned-items side, but
+    n_supp must count ALL suppliers (not just returners), so the aggregate
+    genuinely needs the unfiltered fact table: two scans is the honest
+    minimum without persist(). Still two shuffles vs the reference SQL's two
+    correlated-EXISTS self-joins."""
     li = table(spark, sf_dir, 'lineitem')
     supp = table(spark, sf_dir, 'supplier')
     per_order = li.groupBy('l_orderkey').agg(
