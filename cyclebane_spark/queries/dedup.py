@@ -387,11 +387,22 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard >= 0.5 via inverted-index co-occurrence join."""
+    """Exact 3-gram Jaccard >= 0.5 via inverted-index co-occurrence join.
+
+    Shingle-set sizes ride ON the index rows (a doc_id-partition window over
+    the already-doc_id-partitioned index — no exchange, just a sort) instead
+    of a separate sizes aggregate joined back twice: that formulation
+    re-tokenized the corpus in two extra plan subtrees. Two corpus scans
+    remain — the a/b sides of the self-join, the honest minimum.
+    """
+    from pyspark.sql import Window
+
     docs = spread(table(spark, sf_dir, 'documents'), 'doc_id')
     sh = docs.select('doc_id', F.explode(_spark_shingles(3)).alias('s'))
-    sizes = sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n'))
-    a, b = sh.alias('a'), sh.alias('b')
+    shn = sh.withColumn(
+        'n', F.count(F.lit(1)).over(Window.partitionBy('doc_id'))
+    )
+    a, b = shn.alias('a'), shn.alias('b')
     co = (
         a.join(
             b,
@@ -401,17 +412,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .groupBy(
             F.col('a.doc_id').alias('doc_a'), F.col('b.doc_id').alias('doc_b')
         )
-        .agg(F.count(F.lit(1)).alias('c'))
+        .agg(
+            F.count(F.lit(1)).alias('c'),
+            F.min(F.col('a.n')).alias('n_a'),  # constant per doc
+            F.min(F.col('b.n')).alias('n_b'),
+        )
     )
-    sa = sizes.alias('sa')
-    sb = sizes.alias('sb')
-    jac = F.col('c').cast('double') / (
-        F.col('sa.n') + F.col('sb.n') - F.col('c')
-    )
+    jac = F.col('c').cast('double') / (F.col('n_a') + F.col('n_b') - F.col('c'))
     return (
-        co.join(sa, F.col('sa.doc_id') == F.col('doc_a'))
-        .join(sb, F.col('sb.doc_id') == F.col('doc_b'))
-        .select('doc_a', 'doc_b', jac.alias('jaccard'))
+        co.select('doc_a', 'doc_b', jac.alias('jaccard'))
         .filter(F.col('jaccard') >= 0.5)
     )
 

@@ -247,29 +247,42 @@ def events_gap_fill(spark, sf_dir):
         ev.groupBy('user_id', F.date_trunc('hour', 'ts').cast(tt).alias('h'))
         .agg(F.count(F.lit(1)).alias('n'), dsum('value').alias('total'))
     )
-    grid = (
-        hourly.groupBy('user_id')
-        .agg(F.min('h').alias('lo'), F.max('h').alias('hi'))
-        .select(
-            'user_id',
-            F.explode(
-                F.sequence('lo', 'hi', F.expr("INTERVAL '1' HOUR"))
-            ).alias('h'),
-        )
+    # Linear plan, ONE scan: instead of a bounds-derived grid LEFT JOINed
+    # back onto hourly (a plan diamond — hourly would be computed twice),
+    # each observed bucket emits itself plus the gap buckets since its
+    # predecessor: sequence(lag(h)+1h .. h). The union of those ranges is
+    # exactly [min(h), max(h)] per user.
+    wlag = Window.partitionBy('user_id').orderBy('h')
+    prev = F.lag('h').over(wlag)
+    with_start = hourly.select(
+        'user_id',
+        'n',
+        'total',
+        F.col('h').alias('obs_h'),
+        F.coalesce(prev + F.expr("INTERVAL '1' HOUR"), F.col('h')).alias('start'),
     )
-    w = (
+    filled = with_start.select(
+        'user_id',
+        'n',
+        'total',
+        'obs_h',
+        F.explode(
+            F.sequence('start', 'obs_h', F.expr("INTERVAL '1' HOUR"))
+        ).alias('h'),
+    )
+    wfill = (
         Window.partitionBy('user_id')
         .orderBy('h')
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(hourly, ['user_id', 'h'], 'left')
-        .select(
-            'user_id',
-            'h',
-            F.coalesce(F.col('n'), F.lit(0)).alias('n_events'),
-            F.last('total', ignorenulls=True).over(w).alias('carried_total'),
-        )
+    is_obs = F.col('h') == F.col('obs_h')
+    return filled.select(
+        'user_id',
+        'h',
+        F.when(is_obs, F.col('n')).otherwise(0).alias('n_events'),
+        F.last(F.when(is_obs, F.col('total')), ignorenulls=True)
+        .over(wfill)
+        .alias('carried_total'),
     )
 
 

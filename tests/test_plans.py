@@ -162,9 +162,18 @@ def test_unpivot_no_shuffle(spark):
 
 def test_gap_fill_grid_is_distributed(spark):
     """The grid must come from sequence+explode (per-user, executor-side) —
-    no driver-side calendar cross join."""
+    no driver-side calendar cross join, and no plan diamond: one events
+    scan, gaps emitted from each bucket's lag-distance."""
     raw = raw_plan_of(spark, 'events_gap_fill')
     assert 'Generate explode' in raw or 'Generate' in raw
+    assert sum('events' in l for l in raw.splitlines() if 'Scan parquet' in l) == 1
+
+
+def test_ngram_jaccard_two_scans_only(spark):
+    """Set sizes ride on the inverted index via a window — only the self-
+    join's two corpus scans remain."""
+    raw = raw_plan_of(spark, 'dedup_ngram_jaccard')
+    assert sum('documents' in l for l in raw.splitlines() if 'Scan parquet' in l) == 2
 
 
 def test_multi_grain_rollup_single_shuffle(spark):
