@@ -84,12 +84,20 @@ class SparkPlan:
         spark: Any,
         graph: Graph,
         impls: Mapping[Hashable, Any] | None = None,
+        *,
+        persist_shared: bool = False,
     ):
         self._spark = spark
         self._graph = graph
         self._impls = dict(impls or {})
         self._dims = DimNames()
         self._frames: dict[Hashable, Any] = {}
+        # Spark plans duplicate shared subtrees (no subplan sharing), so a
+        # node feeding >1 children is recomputed once per consumer. With
+        # persist_shared=True such frames are persist()ed — compute-once at
+        # the cost of executor storage. Off by default: at small scale
+        # recompute is cheaper than materialization.
+        self._persist_shared = persist_shared
 
     # -- public -----------------------------------------------------------
     def frame(self, node: Hashable):
@@ -107,6 +115,8 @@ class SparkPlan:
         if key in self._frames:
             return self._frames[key]
         df = self._build(key)
+        if self._persist_shared and self._graph.dag.out_degree(key) > 1:
+            df = df.persist()
         self._frames[key] = df
         return df
 
@@ -350,12 +360,16 @@ def compile_graph(
     spark: Any,
     graph: Graph,
     impls: Mapping[Hashable, Any] | None = None,
+    *,
+    persist_shared: bool = False,
 ) -> SparkPlan:
-    return SparkPlan(spark, graph, impls)
+    return SparkPlan(spark, graph, impls, persist_shared=persist_shared)
 
 
-def _graph_compile(self: Graph, spark: Any, impls=None) -> SparkPlan:
-    return SparkPlan(spark, self, impls)
+def _graph_compile(
+    self: Graph, spark: Any, impls=None, *, persist_shared: bool = False
+) -> SparkPlan:
+    return SparkPlan(spark, self, impls, persist_shared=persist_shared)
 
 
 # Attach as a method so users write graph.compile(spark, impls={...}).

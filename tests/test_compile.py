@@ -77,6 +77,29 @@ def test_2d_numpy_reduce_axis(spark):
     ]
 
 
+def test_persist_shared_caches_fanout_node(spark):
+    """A node feeding two children is planned once per consumer (Spark has
+    no subplan sharing); persist_shared=True materializes it instead."""
+    g = nx.DiGraph([('a', 'b'), ('b', 'c'), ('b', 'd')])
+    graph = cb.Graph(g).map({'a': [1, 2, 3]})
+    impls = {
+        'b': lambda a: a * 10,
+        'c': lambda b: b + 1,
+        'd': lambda b: b + 2,
+    }
+    plan = graph.compile(spark, impls=impls, persist_shared=True)
+    c_rows = rows(plan['c'], 'value')
+    d_rows = rows(plan['d'], 'value')
+    assert c_rows == [(11,), (21,), (31,)]
+    assert d_rows == [(12,), (22,), (32,)]
+    # the shared frame really is storage-backed
+    assert plan.frame('b').storageLevel.useMemory
+    plan.frame('b').unpersist()
+    # default stays unpersisted
+    plan2 = graph.compile(spark, impls=impls)
+    assert not plan2.frame('b').storageLevel.useMemory
+
+
 def test_spark_column_source_scales_without_expansion(spark, sf_dir):
     """A node family backed by a parquet table: reduce = groupBy, no expansion."""
     li = spark.read.parquet(f'{sf_dir}/lineitem.parquet')
