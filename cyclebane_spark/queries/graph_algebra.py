@@ -311,6 +311,52 @@ def graph_branch_replacement(spark, sf_dir):
 
 
 @register(
+    'graph_branch_pruning',
+    oracle="""
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS kept_total
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def graph_branch_pruning(spark, sf_dir):
+    """__delitem__ removes a branch's exclusive ancestors, keeps the node as
+    an unbound placeholder, and the surviving branch still executes.
+
+    Reference: delete clears the subtree feeding only the key and the key's
+    data, but the node itself remains (graph.py:463-478); here the pruned
+    placeholder gets a fresh impl and the kept mapped branch compiles
+    unchanged — its parquet source is scanned, the deleted branch's never.
+    """
+    cust = table(spark, sf_dir, 'customer')
+    building = cust.filter(F.col('c_mktsegment') == 'BUILDING')
+    g = Graph(
+        [
+            ('aux_src', 'aux'),
+            ('bal', 'kept'),
+            ('kept', 'report'),
+            ('aux', 'report'),
+        ]
+    )
+    g = g.map(
+        {'bal': SparkColumn(building, index=['c_custkey'], values='c_acctbal')}
+    )
+    # delete the unmapped aux branch: 'aux_src' (its exclusive ancestor) is
+    # removed, 'aux' survives as an unbound placeholder (reference refuses
+    # deleting MAPPED nodes — that error is covered by the differential
+    # suite)
+    del g['aux']
+    g = g.reduce('report', name='kept_total')
+    plan = g.compile(
+        spark,
+        impls={
+            'aux': 0.0,  # fresh impl for the placeholder source
+            'report': lambda kept, aux: kept + aux,
+            'kept_total': _dsum_agg,
+        },
+    )
+    return plan.frame('kept_total').select(F.col('value').alias('kept_total'))
+
+
+@register(
     'graph_branch_projection',
     oracle="""
     SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS branch_total
