@@ -107,7 +107,16 @@ def graph_map_reduce_partial(spark, sf_dir):
     'graph_param_sweep_broadcast',
     headline=True,
     oracle=f"""
-    WITH params(dim_2, extra_disc) AS (VALUES (0, 0.00), (1, 0.05), (2, 0.10))
+    WITH params(dim_2, extra_disc) AS (
+        -- DOUBLE (not DuckDB's default DECIMAL literal), and sweep values
+        -- whose complement is a dyadic rational: (1 - x) is then EXACT in
+        -- double and the product keeps a bounded decimal scale, so the
+        -- decimal(28,6) quantization can never land on a tie where Spark
+        -- (shortest-string) and DuckDB (exact-binary) round apart
+        VALUES (0, CAST(0.00 AS DOUBLE)),
+               (1, CAST(0.25 AS DOUBLE)),
+               (2, CAST(0.50 AS DOUBLE))
+    )
     SELECT CAST(dim_2 AS BIGINT) AS dim_2,
            {sql_dsum('l_extendedprice * (1 - l_discount) * (1 - extra_disc)')} AS value
     FROM lineitem CROSS JOIN params
@@ -132,15 +141,20 @@ def graph_param_sweep_broadcast(spark, sf_dir):
             )
         }
     )
-    g = g.map({'extra_disc': [0.00, 0.05, 0.10]})
+    g = g.map({'extra_disc': [0.00, 0.25, 0.50]})
     g = g.reduce('swept', index='l_orderkey', name='per_order')
     g = g.reduce('per_order', index='l_linenumber', name='per_param')
+    # The DECIMAL accumulator flows through BOTH reduce stages and only the
+    # final stage casts to double: decimal addition is associative, so the
+    # chained partial reduces equal the oracle's one-shot sum bit-exactly at
+    # every SF. (Casting back to double between stages rounds each order
+    # subtotal — exact at sf0.01 by luck, off by an ulp at sf0.1.)
     plan = g.compile(
         spark,
         impls={
             'swept': lambda price, extra: price * (1 - extra),
-            'per_order': _dsum_agg,
-            'per_param': _dsum_agg,
+            'per_order': lambda c: F.sum(c.cast('decimal(28,6)')),
+            'per_param': lambda c: F.sum(c).cast('double'),
         },
     )
     return plan.frame('per_param')
