@@ -77,6 +77,40 @@ def with_fake_images(docs: DataFrame) -> DataFrame:
     return docs.withColumn('image', build('doc_id', 'n_chars'))
 
 
+def with_fake_videos(docs: DataFrame) -> DataFrame:
+    """Deterministic fake video column: frame count derives from doc_id."""
+
+    @F.pandas_udf('binary')
+    def build(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                fake_video(
+                    16 + int(n) % 9, 16 + int(d) % 7, 4 + int(d) % 5, int(d)
+                )
+                for d, n in zip(doc_id, n_chars)
+            ]
+        )
+
+    return docs.withColumn('video', build('doc_id', 'n_chars'))
+
+
+def with_fake_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic fake audio column: rate/length derive from doc fields."""
+
+    @F.pandas_udf('binary')
+    def build(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                fake_audio(
+                    8000 + (int(d) % 3) * 4000, 256 + int(n) % 100, int(d)
+                )
+                for d, n in zip(doc_id, n_chars)
+            ]
+        )
+
+    return docs.withColumn('audio', build('doc_id', 'n_chars'))
+
+
 # -- operators ----------------------------------------------------------------
 
 

@@ -12,7 +12,15 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ..multimodal.media import decode_images, image_metadata, with_fake_images
+from ..multimodal.media import (
+    audio_features,
+    decode_images,
+    image_metadata,
+    sample_frames,
+    with_fake_audio,
+    with_fake_images,
+    with_fake_videos,
+)
 from ..tables import table
 from . import register
 
@@ -46,3 +54,46 @@ def multimodal_decode_stats(spark, sf_dir):
     """Full decode path through mapInPandas (deterministic stub decoder)."""
     docs = table(spark, sf_dir, 'documents')
     return decode_images(with_fake_images(docs))
+
+
+@register(
+    'multimodal_frame_sample',
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, CAST(4 + doc_id % 5 AS INT) - 1, 2))
+                AS INT) AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling (every 2nd frame): the decoder parses each
+    payload and fans out one row per kept frame inside mapInPandas.
+
+    The (doc_id, frame_idx) skeleton has an exact relational oracle because
+    frame counts derive from document fields; the per-frame pixel means are
+    numpy-only and asserted in tests/test_multimodal.py. Scale: fan-out
+    happens per Arrow batch on executors — no shuffle at all.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    return sample_frames(with_fake_videos(docs), every_n=2).select(
+        'doc_id', 'frame_idx'
+    )
+
+
+@register(
+    'multimodal_audio_features',
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(256 + n_chars % 100 AS INT) AS n_samples
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio feature extraction: the UDF parses the waveform header and
+    computes rms/zero-crossings; the structural columns round-trip exactly
+    against the oracle (the numpy features are covered by unit tests)."""
+    docs = table(spark, sf_dir, 'documents')
+    return audio_features(with_fake_audio(docs)).select(
+        'doc_id', 'sample_rate', 'n_samples'
+    )

@@ -111,9 +111,11 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures, exact_misses, no_oracle = [], [], []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         sql = oracles.get(name)
         try:
             ours = fn(spark, sf_dir).toPandas()
@@ -163,7 +165,7 @@ def main() -> int:
             print(f'ok   {name} ({len(orows)} rows, exact)')
 
     print(
-        f'\n{len(qs) - len(failures) - len(no_oracle)} matched '
+        f'\n{n_checked - len(failures) - len(no_oracle)} matched '
         f'({len(exact_misses)} tolerance-only), {len(failures)} failed, '
         f'{len(no_oracle)} rows-only'
     )
