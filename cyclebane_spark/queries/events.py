@@ -211,6 +211,74 @@ def events_pivot_type_counts(spark, sf_dir):
 
 
 @register(
+    'events_funnel_3step',
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS fv
+        FROM events
+    ), w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                           THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS fc
+        FROM w1
+    )
+    SELECT user_id,
+           min(fv) AS first_view,
+           min(fc) AS first_click_after_view,
+           min(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+                    THEN ts END) AS first_full_funnel,
+           min(CASE WHEN event_type = 'purchase' AND fc IS NOT NULL
+                    THEN ts END) IS NOT NULL AS completed
+    FROM w2 GROUP BY user_id
+    """,
+)
+def events_funnel_3step(spark, sf_dir):
+    """Ordered funnel detection (view -> click -> purchase): per user, the
+    first view, the first click at-or-after it, and the first purchase
+    at-or-after that.
+
+    The scalable formulation: ONE shuffle on user_id, then two running-min
+    window passes (each row sees only its prefix, so stage k's timestamp is
+    provably after stage k-1's) and a final per-user aggregate — no
+    self-joins, no fan-out, state O(1) per row. The same chain runs under
+    Structured Streaming with applyInPandasWithState at unbounded scale.
+    """
+    ev = table(spark, sf_dir, 'events')
+    w = (
+        Window.partitionBy('user_id')
+        .orderBy('ts', 'event_id')
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fv = F.min(F.when(F.col('event_type') == 'view', F.col('ts'))).over(w)
+    w1 = ev.select('user_id', 'event_id', 'ts', 'event_type').withColumn('fv', fv)
+    fc = F.min(
+        F.when(
+            (F.col('event_type') == 'click') & F.col('fv').isNotNull(),
+            F.col('ts'),
+        )
+    ).over(w)
+    w2 = w1.withColumn('fc', fc)
+    fp = F.min(
+        F.when(
+            (F.col('event_type') == 'purchase') & F.col('fc').isNotNull(),
+            F.col('ts'),
+        )
+    )
+    return w2.groupBy('user_id').agg(
+        F.min('fv').alias('first_view'),
+        F.min('fc').alias('first_click_after_view'),
+        fp.alias('first_full_funnel'),
+        fp.isNotNull().alias('completed'),
+    )
+
+
+@register(
     'events_gap_fill',
     oracle=f"""
     WITH hourly AS (
