@@ -211,6 +211,49 @@ def events_pivot_type_counts(spark, sf_dir):
 
 
 @register(
+    'events_retention_cohorts',
+    oracle="""
+    WITH fd AS (
+        SELECT user_id, date_trunc('day', ts) AS activity_day,
+               min(date_trunc('day', ts)) OVER (PARTITION BY user_id)
+                   AS cohort_day
+        FROM events
+    )
+    SELECT cohort_day,
+           CAST(DATE_DIFF('day', cohort_day, activity_day) AS INT) AS day_offset,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM fd GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted on each
+    subsequent activity day — the standard retention triangle.
+
+    Single pass: a whole-partition window min assigns each event its user's
+    cohort day (one shuffle on user_id), then one distinct-count aggregate.
+    No self-join of events against first-activity — the formulation that
+    survives 100 TB of events.
+    """
+    ev = table(spark, sf_dir, 'events')
+    tt = ev.schema['ts'].dataType
+    day = F.date_trunc('day', 'ts').cast(tt)
+    w = Window.partitionBy('user_id')
+    fd = ev.select('user_id', day.alias('activity_day')).withColumn(
+        'cohort_day', F.min('activity_day').over(w)
+    )
+    return (
+        fd.groupBy(
+            'cohort_day',
+            F.datediff(
+                F.col('activity_day').cast('date'),
+                F.col('cohort_day').cast('date'),
+            ).alias('day_offset'),
+        )
+        .agg(F.count_distinct('user_id').alias('active_users'))
+    )
+
+
+@register(
     'events_funnel_3step',
     oracle="""
     WITH w1 AS (
