@@ -70,8 +70,12 @@ NOTES = {
         'for hour+day+total simultaneously',
     ],
     'text_tfidf_top_terms': [
-        'one explode, two hash aggs; tiny (term, df) side broadcast;',
-        'rank window partitions by doc only',
+        'ONE corpus tokenization: df rides on tf via a term-partition window',
+        '(no tf-join-df diamond); rank window partitions by doc only',
+    ],
+    'events_funnel_3step': [
+        'ordered funnel in one shuffle: chained running-min windows prove',
+        'stage order row-locally, no self-joins',
     ],
     'window_analytics_suite': [
         'all four analytic functions share one window spec: a single',
@@ -82,6 +86,7 @@ NOTES = {
 
 # Non-headline queries whose plan shape is load-bearing enough to publish.
 EXTRA = (
+    'events_funnel_3step',
     'q19_disjunctive_predicates',
     'q15_top_supplier',
     'window_analytics_suite',
