@@ -173,3 +173,44 @@ def test_hypothesis_differential_matches_reference(values, labels_src, second, o
         return
     ours = _canon(build(Graph).to_networkx())
     assert ours == theirs
+
+
+_TOPOLOGIES = {
+    'chain': [('v', 'm'), ('m', 'w'), ('u', 'w')],
+    'diamond': [('v', 'l'), ('v', 'r'), ('l', 'w'), ('r', 'w'), ('u', 'w')],
+    'wide': [('v', 'w'), ('u', 'w'), ('t', 'w')],
+}
+
+
+@given(
+    topo=st.sampled_from(sorted(_TOPOLOGIES)),
+    values=st.lists(st.integers(-9, 9), min_size=1, max_size=5),
+    labels_src=st.lists(st.sampled_from('pq'), min_size=5, max_size=5),
+    extra=st.one_of(st.none(), st.lists(st.integers(0, 3), min_size=1, max_size=2)),
+    op=_OPS,
+)
+@settings(max_examples=60, deadline=None)
+def test_hypothesis_differential_topologies(topo, values, labels_src, extra, op):
+    labels = labels_src[: len(values)]
+
+    def build(G):
+        g = G(nx.DiGraph(_TOPOLOGIES[topo]))
+        g = g.map(pd.DataFrame({'v': values, 'lab': labels}))
+        if extra is not None:
+            g = g.map({'u': extra})
+        if op == 'reduce_all':
+            return g.reduce('w', name='out')
+        if op == 'reduce_dim0':
+            return g.reduce('w', index='dim_0', name='out')
+        if op == 'groupby':
+            return g.groupby('lab').reduce('w', name='out')
+        g = g.by_position('dim_0')[0:2]
+        return g.reduce('w', name='out')
+
+    try:
+        theirs = _canon(build(_ref_cb.Graph).to_networkx())
+    except ValueError:
+        build(Graph).to_networkx()  # ours must not crash (empty-dim artifact)
+        return
+    ours = _canon(build(Graph).to_networkx())
+    assert ours == theirs
