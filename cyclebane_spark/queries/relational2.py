@@ -285,6 +285,29 @@ def sql_interface_q10(spark, sf_dir):
     return spark.sql(_Q10_SQL)
 
 
+_PORTABLE_SQL = """
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS seq
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(seq AS BIGINT) AS seq
+    FROM ranked WHERE seq <= 2
+"""
+
+
+@register('sql_interface_portable', oracle=_PORTABLE_SQL)
+def sql_interface_portable(spark, sf_dir):
+    """Byte-identical ANSI SQL on both engines: the string passed to
+    spark.sql IS the oracle string — CTE + window + filter with zero
+    dialect edits. The strongest statement that the SQL entry point is
+    standard, not a dialect."""
+    table(spark, sf_dir, 'orders').createOrReplaceTempView('orders')
+    return spark.sql(_PORTABLE_SQL)
+
+
 @register(
     'skew_salted_agg',
     oracle=f"""
