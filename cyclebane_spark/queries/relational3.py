@@ -713,6 +713,49 @@ def argmax_per_group(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# RANGE window frame: trailing 7-day spend per customer. ROWS frames count
+# rows; RANGE frames bound by the ORDER-BY VALUE — peers at the same instant
+# aggregate together and gaps matter. Spark's rangeBetween needs a numeric
+# sort key, so the frame runs over epoch seconds (integer, timezone-free).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'window_range_frame_trailing',
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_spend
+    FROM orders
+    """,
+)
+def window_range_frame_trailing(spark, sf_dir):
+    orders = table(spark, sf_dir, 'orders')
+    epoch = F.unix_timestamp(
+        F.col('o_orderdate').cast('timestamp')
+    ).alias('epoch_s')
+    w = (
+        Window.partitionBy('o_custkey')
+        .orderBy('epoch_s')
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        orders.select('o_custkey', 'o_orderkey', 'o_totalprice', epoch)
+        .select(
+            'o_custkey',
+            'o_orderkey',
+            F.sum(F.col('o_totalprice').cast('decimal(28,6)'))
+            .over(w)
+            .cast('double')
+            .alias('trailing_7d_spend'),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statistical aggregates from exact moments: stddev and correlation derived
 # from decimal-exact sums with an identical IEEE op sequence on both engines
 # (native STDDEV/CORR differ across engines in summation order — the exact-
