@@ -713,6 +713,47 @@ def argmax_per_group(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Full-row argmin per group (TPC-H Q2 shape on this schema): the cheapest
+# observed (price, supplier) per part, as ONE hash aggregate over a struct —
+# no window sort, no aggregate-join-back diamond. The struct's field order
+# (price, then unique tiebreakers) IS the comparison order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'argmin_cheapest_supplier',
+    oracle="""
+    SELECT l_partkey,
+           (m).p AS best_price,
+           (m).s AS best_suppkey,
+           (m).o AS best_orderkey
+    FROM (
+        SELECT l_partkey,
+               min({'p': l_extendedprice / l_quantity,
+                    's': l_suppkey, 'o': l_orderkey}) AS m
+        FROM lineitem
+        GROUP BY l_partkey
+    ) best
+    """,
+)
+def argmin_cheapest_supplier(spark, sf_dir):
+    li = table(spark, sf_dir, 'lineitem')
+    unit_price = F.col('l_extendedprice') / F.col('l_quantity')
+    m = F.min(
+        F.struct(
+            unit_price.alias('p'),
+            F.col('l_suppkey').alias('s'),
+            F.col('l_orderkey').alias('o'),
+        )
+    )
+    return li.groupBy('l_partkey').agg(
+        m.getField('p').alias('best_price'),
+        m.getField('s').alias('best_suppkey'),
+        m.getField('o').alias('best_orderkey'),
+    )
+
+
+# ---------------------------------------------------------------------------
 # RANGE window frame: trailing 7-day spend per customer. ROWS frames count
 # rows; RANGE frames bound by the ORDER-BY VALUE — peers at the same instant
 # aggregate together and gaps matter. Spark's rangeBetween needs a numeric
