@@ -124,6 +124,33 @@ _SQL_BUCKET = 'concat(' + ', '.join(
 
 
 @register(
+    'explode_outer_long_tokens',
+    oracle=r"""
+    SELECT doc_id,
+           unnest(CASE WHEN len(long_toks) = 0
+                       THEN [CAST(NULL AS VARCHAR)] ELSE long_toks END) AS tok
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           t -> length(t) > 6) AS long_toks
+        FROM documents
+    ) t
+    """,
+)
+def explode_outer_long_tokens(spark, sf_dir):
+    """explode_outer: documents with NO long tokens survive as a null row
+    (plain explode silently drops them — the classic lost-rows bug in
+    flatten pipelines). Scale: projection-only fan-out, no shuffle."""
+    docs = table(spark, sf_dir, 'documents')
+    long_toks = F.filter(
+        F.split(F.trim(F.col('text')), r'\s+'), lambda t: F.length(t) > 6
+    )
+    return docs.select(
+        'doc_id', F.explode_outer(long_toks).alias('tok')
+    )
+
+
+@register(
     'ann_rp_lsh_topk',
     oracle=f"""
     WITH n AS (
