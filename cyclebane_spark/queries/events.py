@@ -211,6 +211,53 @@ def events_pivot_type_counts(spark, sf_dir):
 
 
 @register(
+    'events_consecutive_errors',
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        FROM events
+    ), runs AS (
+        SELECT user_id, event_id, ts, is_err,
+               SUM(is_err) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS err_window
+        FROM flagged
+    )
+    SELECT user_id, event_id AS third_error_id, ts AS third_error_ts
+    FROM runs WHERE is_err = 1 AND err_window = 3
+    """,
+)
+def events_consecutive_errors(spark, sf_dir):
+    """Pattern detection (MATCH_RECOGNIZE-style CEP): flag every event that
+    completes a run of 3 consecutive errors for a user.
+
+    A 3-row sliding count over the user's ordered stream — one shuffle, one
+    sorted pass, O(1) state per row; the same predicate chain runs under
+    Structured Streaming. No self-joins (the naive 3-way join formulation
+    fans out quadratically on error bursts).
+    """
+    ev = table(spark, sf_dir, 'events')
+    w = (
+        Window.partitionBy('user_id')
+        .orderBy('ts', 'event_id')
+        .rowsBetween(-2, Window.currentRow)
+    )
+    is_err = F.when(F.col('event_type') == 'error', 1).otherwise(0)
+    return (
+        ev.select('user_id', 'event_id', 'ts', is_err.alias('is_err'))
+        .withColumn('err_window', F.sum('is_err').over(w))
+        .filter((F.col('is_err') == 1) & (F.col('err_window') == 3))
+        .select(
+            'user_id',
+            F.col('event_id').alias('third_error_id'),
+            F.col('ts').alias('third_error_ts'),
+        )
+    )
+
+
+@register(
     'events_retention_cohorts',
     oracle="""
     WITH fd AS (
