@@ -141,24 +141,17 @@ def spread(df, *cols):
     return df.repartition(sc.defaultParallelism, *cols)
 
 
-def _minhash_pairs(spark, sf_dir):
-    """MinHash(16 perms = 4 seeded md5s x 4 chunks) + LSH(4 bands x 4).
+def _minhash_bands(docs):
+    """(doc_id, band_id, bh) LSH band rows for a documents DataFrame.
 
+    MinHash(16 perms = 4 seeded md5s x 4 chunks) + LSH(4 bands x 4).
     md5 hex ordering is identical across engines, so signatures (and
     therefore candidate pairs) match the oracle exactly.
 
     Signatures are computed per document with array higher-order functions
     (shingle array -> md5 array -> 16 chunk-mins) — one narrow projection,
-    NO shingle explode and NO signature shuffle. The only shuffles left are
-    the bucket groupBy and the final pair distinct, both keyed on data that
-    is ~#docs sized, never #shingles sized. Skewed buckets (boilerplate)
-    would be capped or salted at scale.
+    NO shingle explode and NO signature shuffle.
     """
-    # No size()>0 filter here: explode-equivalent row parity needs none (the
-    # shingle expression yields >=1 element for ANY text, even null/empty),
-    # and a filter on the shingle array gets pushed below the repartition —
-    # recomputing every shingle inside the single pre-shuffle scan task.
-    docs = spread(table(spark, sf_dir, 'documents'), 'doc_id')
     sh = docs.select('doc_id', _spark_shingles(3).alias('sh'))
     # NB: factories, not `lambda s, i=i`: a 2-arg lambda makes F.transform
     # pass the array index as the second argument.
@@ -191,9 +184,20 @@ def _minhash_pairs(spark, sf_dir):
         for b in range(N_BANDS)
     ]
     stack_args = ', '.join(f'{b}, b{b}' for b in range(N_BANDS))
-    bands = sig.select('doc_id', *band_cols).selectExpr(
+    return sig.select('doc_id', *band_cols).selectExpr(
         'doc_id', f'stack({N_BANDS}, {stack_args}) AS (band_id, bh)'
     )
+
+
+def _pairs_from_bands(bands):
+    """Candidate pairs via per-bucket collect_list + array-HOF pair fan-out.
+
+    The bucket groupBy and the final pair distinct are the only shuffles,
+    both keyed on data that is ~#docs sized, never #shingles sized. A
+    bucket with K members yields K*(K-1)/2 pairs inside ONE task — fine for
+    organic near-dup buckets (K small), quadratic-single-task for
+    boilerplate-heavy corpora; those use :func:`_salted_pairs_from_bands`.
+    """
     buckets = (
         bands.groupBy('band_id', 'bh')
         .agg(F.sort_array(F.collect_list('doc_id')).alias('ids'))
@@ -220,10 +224,87 @@ def _minhash_pairs(spark, sf_dir):
     )
 
 
+def _salted_pairs_from_bands(bands, n_salt: int = 8):
+    """Skew-resistant candidate pairs: triangle-decomposed salted self-join.
+
+    Each doc gets a deterministic salt g in [0, n_salt); the unordered
+    salt-pair (ga, gb) joins docs of salt ga with docs of salt gb, so a hot
+    bucket with K members is processed by n_salt*(n_salt+1)/2 independent
+    tasks of ~(K/n_salt)^2 work instead of one K^2 task.  The join key is
+    (band_id, bh, ga, gb) — the salt is IN the shuffle key, which is what
+    actually spreads the hot bucket (AQE skew-join can split a skewed
+    partition too, but only for sort-merge joins it replans; this shape
+    is deterministic and engine-version-independent).
+
+    Replication cost: each band row appears (n_salt - g) times on the left
+    and (g + 1) times on the right — (n_salt + 1) copies total, the classic
+    salted-join tradeoff.  Production would gate this on bucket-size stats
+    (salt only hot buckets); here the fully-salted variant doubles as the
+    bit-exactness proof against the unsalted path.
+
+    Exactness: pair {a, b} in bucket (band, bh) with salts s1 <= s2 is
+    emitted exactly at key (band, bh, s1, s2) — by a (left, salt s1,
+    exploded j = s2) x (right, salt s2, exploded i = s1) match; same-salt
+    pairs arrive in both orders and collapse via least/greatest + distinct
+    (the distinct already exists to merge multi-band hits).
+    """
+    salted = bands.withColumn(
+        'g', F.pmod(F.xxhash64(F.col('doc_id')), F.lit(n_salt)).cast('int')
+    )
+    left = salted.select(
+        'band_id',
+        'bh',
+        F.col('g').alias('ga'),
+        F.explode(F.sequence(F.col('g'), F.lit(n_salt - 1))).alias('gb'),
+        F.col('doc_id').alias('da'),
+    )
+    right = salted.select(
+        'band_id',
+        'bh',
+        F.explode(F.sequence(F.lit(0), F.col('g'))).alias('ga'),
+        F.col('g').alias('gb'),
+        F.col('doc_id').alias('db'),
+    )
+    return (
+        left.join(right, on=['band_id', 'bh', 'ga', 'gb'])
+        .filter(F.col('da') != F.col('db'))
+        .select(
+            F.least('da', 'db').alias('doc_a'),
+            F.greatest('da', 'db').alias('doc_b'),
+        )
+        .distinct()
+    )
+
+
+def _minhash_docs(spark, sf_dir):
+    # No size()>0 filter here: explode-equivalent row parity needs none (the
+    # shingle expression yields >=1 element for ANY text, even null/empty),
+    # and a filter on the shingle array gets pushed below the repartition —
+    # recomputing every shingle inside the single pre-shuffle scan task.
+    return spread(table(spark, sf_dir, 'documents'), 'doc_id')
+
+
+def _minhash_pairs(spark, sf_dir):
+    return _pairs_from_bands(_minhash_bands(_minhash_docs(spark, sf_dir)))
+
+
 @register('dedup_minhash_lsh', oracle=_minhash_oracle(), headline=True)
 def dedup_minhash_lsh(spark, sf_dir):
     """Near-duplicate candidate pairs from MinHash + LSH banding."""
     return _minhash_pairs(spark, sf_dir)
+
+
+@register('dedup_minhash_lsh_salted', oracle=_minhash_oracle())
+def dedup_minhash_lsh_salted(spark, sf_dir):
+    """Skew-resistant LSH candidate generation (salted self-join).
+
+    Identical pair set to ``dedup_minhash_lsh`` (same oracle) — the
+    boilerplate-skew scale path: see :func:`_salted_pairs_from_bands`.
+    tests/test_dedup_skew.py additionally proves bit-exact equality on a
+    synthesized boilerplate-heavy corpus where one bucket holds 60% of all
+    docs.
+    """
+    return _salted_pairs_from_bands(_minhash_bands(_minhash_docs(spark, sf_dir)))
 
 
 def _cc_oracle() -> str:
@@ -258,8 +339,12 @@ def dedup_connected_components(spark, sf_dir):
     cluster diameter — tiny for near-dup clusters. localCheckpoint()
     truncates the per-round lineage growth; on a real cluster this would be
     checkpoint() to durable storage so failures don't replay all rounds.
+    The convergence check piggybacks on the checkpoint job as an observe()
+    metric — ONE job per round, no second scan of the labels.
     The oracle is the same computation as a DuckDB recursive CTE.
     """
+    from pyspark.sql import Observation
+
     pairs = _minhash_pairs(spark, sf_dir)
     fwd = pairs.select(F.col('doc_a').alias('s'), F.col('doc_b').alias('d'))
     rev = pairs.select(F.col('doc_b').alias('s'), F.col('doc_a').alias('d'))
@@ -280,6 +365,7 @@ def dedup_connected_components(spark, sf_dir):
             .agg(F.min('d_cl').alias('nb_cl'))
             .select(F.col('s').alias('doc_id'), 'nb_cl')
         )
+        obs = Observation()
         new = (
             labels.join(nb, on='doc_id', how='left')
             .select(
@@ -287,19 +373,16 @@ def dedup_connected_components(spark, sf_dir):
                 F.least(
                     'cluster_id', F.coalesce('nb_cl', 'cluster_id')
                 ).alias('cluster_id'),
+                (F.coalesce('nb_cl', 'cluster_id') < F.col('cluster_id'))
+                .cast('long')
+                .alias('_changed'),
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new.join(
-                labels.withColumnRenamed('cluster_id', 'old'), on='doc_id'
-            )
-            .filter(F.col('cluster_id') != F.col('old'))
-            .limit(1)
-            .count()
+            .observe(obs, F.sum('_changed').alias('n_changed'))
+            .select('doc_id', 'cluster_id')
+            .localCheckpoint()  # eager: materializes + collects the metric
         )
         labels = new
-        if changed == 0:
+        if obs.get['n_changed'] == 0:
             break
     return labels
 

@@ -243,11 +243,21 @@ def graph_slice_positional(spark, sf_dir):
     g = g.map({'size': SparkColumn(docs, index=['doc_id'], values='n_chars')})
     g = g.by_position('doc_id')[10:60]
     g = g.reduce('size', name='total')
-    plan = g.compile(spark, impls={'total': 'sum'})
-    counted = g.compile(spark, impls={'total': 'count'})
-    out = plan.frame('total').select(F.col('value').alias('sliced_chars'))
-    n = counted.frame('total').select(F.col('value').alias('n_docs'))
-    return out.crossJoin(n)
+    # ONE compile with a struct-valued reduce impl: sum and count come out
+    # of the same aggregation, so the sliced scan runs exactly once (plan
+    # shape pinned by tests/test_plans.py).
+    plan = g.compile(
+        spark,
+        impls={
+            'total': lambda c: F.struct(
+                F.sum(c).alias('s'), F.count(c).alias('n')
+            )
+        },
+    )
+    return plan.frame('total').select(
+        F.col('value.s').alias('sliced_chars'),
+        F.col('value.n').alias('n_docs'),
+    )
 
 
 @register(

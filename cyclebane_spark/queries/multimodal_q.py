@@ -4,8 +4,8 @@ The fake payload generator derives image dimensions from stable document
 fields, so the metadata-extraction pipeline (build binary -> parse binary in
 a pandas UDF) has a real SQL oracle: the oracle recomputes the dimensions
 relationally while Spark recovers them by actually parsing the bytes.
-Decode statistics (numpy inside mapInPandas) are not SQL-expressible and
-register as a rows-only check.
+Decode statistics (numpy inside mapInPandas) check their structural columns
+exactly plus a deterministic in-bounds flag for the numpy-only pixel mean.
 """
 
 from __future__ import annotations
@@ -49,11 +49,38 @@ def multimodal_image_metadata(spark, sf_dir):
     )
 
 
-@register('multimodal_decode_stats')  # numpy decode: rows-only check
+@register(
+    'multimodal_decode_stats',
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + n_chars % 17 AS INT) AS width,
+           CAST(16 + doc_id % 13 AS INT) AS height,
+           CAST((16 + n_chars % 17) * (16 + doc_id % 13) AS BIGINT) AS n_pixels,
+           TRUE AS mean_in_bounds
+    FROM documents
+    """,
+)
 def multimodal_decode_stats(spark, sf_dir):
-    """Full decode path through mapInPandas (deterministic stub decoder)."""
+    """Full decode path through mapInPandas (deterministic stub decoder).
+
+    The numpy pixel mean itself is not SQL-expressible, so the checkable
+    contract mirrors ``approx_count_distinct_hll``: the structural stats
+    (dims, pixel count — recomputable relationally because payload headers
+    derive from document fields) are compared exactly, plus a deterministic
+    flag that the decoded mean of >=256 uniform[0,1) pixels landed in
+    [0.4, 0.6] (>5 sigma; the stub decoder is seeded, so the flag is stable
+    run-to-run).  Exact per-image means are asserted in
+    tests/test_multimodal.py against an independent numpy reference.
+    """
     docs = table(spark, sf_dir, 'documents')
-    return decode_images(with_fake_images(docs))
+    decoded = decode_images(with_fake_images(docs))
+    return decoded.select(
+        'doc_id',
+        'width',
+        'height',
+        (F.col('width').cast('long') * F.col('height')).alias('n_pixels'),
+        F.col('mean_intensity').between(0.4, 0.6).alias('mean_in_bounds'),
+    )
 
 
 @register(

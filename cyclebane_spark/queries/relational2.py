@@ -28,13 +28,18 @@ from ._helpers import dsum, sql_dsum
 def subquery_scalar_avg(spark, sf_dir):
     """Scalar subquery: compare against a global aggregate.
 
-    Spark computes the scalar once (its own tiny job) and folds it into the
-    filter — at scale this is a broadcast of one value, not a join.
+    One lazy plan: the 1-row global aggregate is broadcast-cross-joined
+    into the scan and folded into the filter.  No driver round-trip — at
+    100 TB a ``collect()`` here would serialize a full scan barrier before
+    the real query starts; the broadcast version lets both sides schedule
+    under one job (and the aggregate arm prunes to the single p_size
+    column).
     """
     part = table(spark, sf_dir, 'part')
-    avg_size = part.agg(F.avg('p_size')).collect()[0][0]
+    avg_size = part.agg(F.avg('p_size').alias('_avg_size'))
     return (
-        part.filter(F.col('p_size') < avg_size)
+        part.crossJoin(F.broadcast(avg_size))
+        .filter(F.col('p_size') < F.col('_avg_size'))
         .groupBy('p_brand')
         .agg(
             F.count(F.lit(1)).alias('n_small'),
@@ -240,16 +245,44 @@ def count_distinct_exact(spark, sf_dir):
     )
 
 
-@register('approx_count_distinct_hll')  # sketch values are engine-specific
+@register(
+    'approx_count_distinct_hll',
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_count_distinct_hll(spark, sf_dir):
     """HyperLogLog distinct sketch — the 100 TB path (no expand, tiny state).
 
-    rows-only check: HLL estimates differ across engines by construction;
-    the test suite bounds the relative error against the exact count.
+    The raw HLL estimate is engine-specific (Spark's and DuckDB's sketches
+    never hash-match), so the checkable contract is: the exact count plus a
+    deterministic flag asserting the sketch landed within 3 sigma (3 * rsd)
+    of it.  Spark's HLL is deterministic for a given input, so the flag is
+    stable; the oracle recomputes the exact counts and expects TRUE.
+
+    Both aggregates run in ONE grouped aggregation (one shuffle); at 100 TB
+    you would drop the exact arm and ship the sketch alone — this query's
+    job is to prove the sketch path against ground truth.
     """
     li = table(spark, sf_dir, 'lineitem')
-    return li.groupBy('l_returnflag').agg(
-        F.approx_count_distinct('l_partkey', rsd=0.02).alias('n_parts_approx')
+    return (
+        li.groupBy('l_returnflag')
+        .agg(
+            F.count_distinct('l_partkey').alias('n_parts_exact'),
+            F.approx_count_distinct('l_partkey', rsd=0.02).alias('_approx'),
+        )
+        .select(
+            'l_returnflag',
+            'n_parts_exact',
+            (
+                F.abs(F.col('_approx') - F.col('n_parts_exact'))
+                <= 3 * 0.02 * F.col('n_parts_exact')
+            ).alias('within_bound'),
+        )
     )
 
 

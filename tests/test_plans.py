@@ -81,6 +81,15 @@ def test_graph_slice_loc_pushes_range_predicate(spark):
     assert 'LessThan(l_orderkey,600)' in plan
 
 
+def test_graph_slice_positional_single_scan(spark):
+    # sum and count come from ONE struct-valued aggregation — the sliced
+    # documents scan must appear exactly once (no compile-twice-and-join).
+    raw = raw_plan_of(spark, 'graph_slice_positional')
+    assert sum(
+        'documents' in l for l in raw.splitlines() if 'Scan parquet' in l
+    ) == 1
+
+
 def test_graph_param_sweep_broadcasts_param_dim(spark):
     plan = plan_of(spark, 'graph_param_sweep_broadcast')
     # the 3-row param dim is broadcast, never shuffled
