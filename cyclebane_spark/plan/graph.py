@@ -107,9 +107,14 @@ class LabelIndexer(PositionalIndexer):
     ValueArray level, value_array.py:60-67): on Spark-backed arrays this is
     the scale path — range predicates pushed down to the scan instead of a
     global positional sort.
+
+    Bounds are stop-EXCLUSIVE for EVERY backend (``lslice_excl``): a graph
+    mixing pandas- and Spark-backed arrays on a shared dim gets one
+    consistent row set.  Array-level ``DimArray.loc`` keeps each backend's
+    native convention (pandas stop-inclusive) for reference parity.
     """
 
-    _method = 'lslice'
+    _method = 'lslice_excl'
 
 
 class Graph:
@@ -190,8 +195,11 @@ class Graph:
         ``axis`` is node-relative (counts the node family's dims in prepend
         order), not graph-relative.
         """
-        key = key if key is not None else _unique_sink(self._dag)
-        name = name if name is not None else _fresh_name(self._dag)
+        # falsy coalescing ('or', not 'is None') is bug-for-bug parity with
+        # the reference (graph.py:308-309): a key/name of 0, '' or False
+        # falls back to the unique sink / a generated uuid name there too
+        key = key or _unique_sink(self._dag)
+        name = name or _fresh_name(self._dag)
         attrs = attrs or {}
         if index is not None and axis is not None:
             raise ValueError('Only one of index and axis can be given')
@@ -312,8 +320,15 @@ class Graph:
 
         store = self._store.merge(other._store)
         if _base(sink) in store:
+            # Re-key the grafted sink's values through the VALIDATED set()
+            # path (not rename): grafting onto an already-mapped node with
+            # different dims/indices must raise like the reference
+            # (NodeValues.__setitem__, node_values.py:54-92 via
+            # graph.py:530-537), not silently desync store and dag.
             store = store.copy()
-            store.rename(_base(sink), _base(branch))
+            array = store[_base(sink)]
+            store.discard(_base(sink))
+            store.set(_base(branch), array)
         self._store = store
         self._dag = dag.compose(new_branch)
 
@@ -448,7 +463,8 @@ class GroupbyGraph:
         attrs: dict[str, Any] | None = None,
     ) -> Graph:
         """Per-group fan-in: one reduce instance per distinct label value."""
-        name = name if name is not None else _fresh_name(self._dag)
+        # 'or' (falsy) coalescing mirrors reference graph.py:580
+        name = name or _fresh_name(self._dag)
         store = self._store.merge({name: self._groups})
         return Graph(self._dag, node_values=store).reduce(
             key=key,

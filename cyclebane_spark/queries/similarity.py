@@ -131,7 +131,7 @@ _SQL_BUCKET = 'concat(' + ', '.join(
                        THEN [CAST(NULL AS VARCHAR)] ELSE long_toks END) AS tok
     FROM (
         SELECT doc_id,
-               list_filter(string_split_regex(trim(text), '\s+'),
+               list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
                            t -> length(t) > 6) AS long_toks
         FROM documents
     ) t
@@ -140,10 +140,17 @@ _SQL_BUCKET = 'concat(' + ', '.join(
 def explode_outer_long_tokens(spark, sf_dir):
     """explode_outer: documents with NO long tokens survive as a null row
     (plain explode silently drops them — the classic lost-rows bug in
-    flatten pipelines). Scale: projection-only fan-out, no shuffle."""
+    flatten pipelines). Scale: projection-only fan-out, no shuffle.
+
+    NULL-safe by construction: coalesce(text, '') on BOTH sides, because
+    Spark's explode_outer(NULL array) emits a null row while the oracle's
+    CASE WHEN len(...) is NULL for a NULL list (unnest(NULL) emits zero
+    rows) — without the coalesce the two sides agree only on corpora with
+    no NULL text."""
     docs = table(spark, sf_dir, 'documents')
     long_toks = F.filter(
-        F.split(F.trim(F.col('text')), r'\s+'), lambda t: F.length(t) > 6
+        F.split(F.trim(F.coalesce(F.col('text'), F.lit(''))), r'\s+'),
+        lambda t: F.length(t) > 6,
     )
     return docs.select(
         'doc_id', F.explode_outer(long_toks).alias('tok')

@@ -72,13 +72,27 @@ class DimArray:
         raise NotImplementedError
 
     def lslice(self, key: Mapping[IndexName, slice]) -> 'DimArray':
-        """Label-based slice along named dims.
+        """Label-based slice along named dims (backend-native convention).
 
         Default: identical to positional slicing, which is correct for
         arrays with default ``range`` indices (lists, numpy). Adapters with
         real labels (pandas, Spark) override.
         """
         return self.islice(key)
+
+    def lslice_excl(self, key: Mapping[IndexName, slice]) -> 'DimArray':
+        """Label slice with stop-EXCLUSIVE bounds — the one convention the
+        graph-level ``graph.loc(dim)[lo:hi]`` exposes for every backend.
+
+        ``lslice`` keeps each backend's native convention (pandas ``.loc``
+        is stop-inclusive) for ValueArray.loc reference parity; a graph
+        mixing driver-backed and Spark-backed arrays on a shared dim must
+        not get different row sets from one slice call, so the indexer
+        routes through this normalized form instead.  Default: ``lslice``,
+        already stop-exclusive for range-indexed and Spark backends;
+        pandas overrides with a half-open mask.
+        """
+        return self.lslice(key)
 
     def loc(self, key: Mapping[IndexName, slice]) -> 'DimArray':
         """Label-based slice; only slices are accepted (parity with reference
@@ -286,6 +300,18 @@ class SeriesArray(DimArray):
         (sl,) = key.values()
         # pandas label slicing (stop-inclusive, pandas convention)
         return SeriesArray(self._series.loc[sl], axis_zero=self._axis_zero)
+
+    def lslice_excl(self, key: Mapping[IndexName, slice]) -> 'SeriesArray':
+        (sl,) = key.values()
+        if sl.step is not None:
+            raise ValueError('label slicing does not support step')
+        # half-open [start, stop) mask — matches the SQL/Spark convention the
+        # graph-level loc normalizes to; works for any comparable index
+        idx = self._series.index
+        mask = (idx >= sl.start if sl.start is not None else idx == idx) & (
+            idx < sl.stop if sl.stop is not None else idx == idx
+        )
+        return SeriesArray(self._series[mask], axis_zero=self._axis_zero)
 
     def equals(self, other: DimArray) -> bool:
         return (
@@ -516,6 +542,16 @@ class SparkColumn(DimArray):
         for dim, sl in key.items():
             if sl.step is not None and sl.step <= 0:
                 raise ValueError('slice step must be positive')
+            if (sl.start is not None and sl.start < 0) or (
+                sl.stop is not None and sl.stop < 0
+            ):
+                # translating from-the-end bounds needs a count() action;
+                # fail loudly rather than silently filtering on a negative
+                # position (which returns all rows / no rows)
+                raise ValueError(
+                    'SparkColumn positional slicing does not support negative '
+                    'bounds; use label slicing (graph.loc) instead'
+                )
             w = Window.orderBy(*[F.col(c) for c in self.index_cols])
             pos = F.row_number().over(w) - 1
             df = df.withColumn('__pos', pos)

@@ -400,6 +400,33 @@ def test_setitem_mapped_on_unmapped_raises():
     check_raises(build, NotImplementedError)
 
 
+def test_setitem_mapped_graft_conflicting_dims_raises():
+    # Grafting a branch whose mapped sink has MORE dims than the target's
+    # existing values must fail validation (reference: NodeValues.__setitem__
+    # "Node 'a' has already been mapped"), not silently desync store and dag.
+    def build(G):
+        g = G(nx.DiGraph([('a', 'b')]))
+        g = g.map({'a': [1, 2]})
+        single = nx.DiGraph()
+        single.add_node('x')
+        other = G(single).map({'x': np.zeros((2, 3))})
+        g['a'] = other
+        return g
+
+    check_raises(build, ValueError)
+
+
+def test_reduce_falsy_key_falls_back_to_sink():
+    # key=0 is falsy: the reference's `key or _get_unique_sink(...)` ignores
+    # the literal node 0 and reduces the sink instead — bug-for-bug parity.
+    def build(G):
+        g = G(nx.DiGraph([(0, 'b')]))
+        g = g.map({0: [1, 2]})
+        return g.reduce(0, name='r')
+
+    check(build)
+
+
 def test_positional_int_index_raises():
     def build(G):
         g = G(nx.DiGraph([('a', 'b')]))

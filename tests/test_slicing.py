@@ -1,0 +1,76 @@
+"""Slice-convention contracts across array backends.
+
+Array-level ``lslice`` keeps each backend's native convention (pandas .loc
+is stop-INCLUSIVE — reference ValueArray parity); the graph-level
+``graph.loc(dim)[lo:hi]`` routes through ``lslice_excl`` so every backend
+agrees on ONE half-open [lo, hi) row set.  Positional slicing on Spark
+columns rejects negative bounds loudly instead of mis-translating them to
+filters on a nonnegative row_number.
+"""
+
+import pandas as pd
+import pytest
+
+from cyclebane_spark.plan.graph import LabelIndexer
+from cyclebane_spark.sources.arrays import SeriesArray, SparkColumn
+
+
+@pytest.fixture(scope='module')
+def kv_df(spark):
+    return spark.createDataFrame(
+        [(k, k * 10.0) for k in range(10)], 'k long, v double'
+    )
+
+
+def series_array():
+    return SeriesArray(
+        pd.Series([k * 10.0 for k in range(10)], index=pd.RangeIndex(10)),
+        axis_zero=0,
+    )
+
+
+def test_graph_loc_routes_through_the_exclusive_convention():
+    assert LabelIndexer._method == 'lslice_excl'
+
+
+def test_pandas_lslice_keeps_native_inclusive_convention():
+    out = series_array().lslice({'dim_0': slice(2, 5)})
+    assert list(out._series.index) == [2, 3, 4, 5]  # pandas .loc includes 5
+
+
+def test_pandas_lslice_excl_is_half_open():
+    out = series_array().lslice_excl({'dim_0': slice(2, 5)})
+    assert list(out._series.index) == [2, 3, 4]
+
+
+def test_pandas_lslice_excl_open_bounds():
+    assert list(
+        series_array().lslice_excl({'dim_0': slice(None, 3)})._series.index
+    ) == [0, 1, 2]
+    assert list(
+        series_array().lslice_excl({'dim_0': slice(7, None)})._series.index
+    ) == [7, 8, 9]
+
+
+def test_spark_and_pandas_agree_under_lslice_excl(spark, kv_df):
+    col = SparkColumn(kv_df, index=['k'], values='v')
+    spark_keys = sorted(
+        r[0] for r in col.lslice_excl({'k': slice(2, 5)}).df.select('k').collect()
+    )
+    pandas_keys = list(
+        series_array().lslice_excl({'dim_0': slice(2, 5)})._series.index
+    )
+    assert spark_keys == pandas_keys == [2, 3, 4]
+
+
+@pytest.mark.parametrize('sl', [slice(-5, None), slice(None, -2), slice(-5, -2)])
+def test_spark_islice_rejects_negative_bounds(spark, kv_df, sl):
+    col = SparkColumn(kv_df, index=['k'], values='v')
+    with pytest.raises(ValueError, match='negative'):
+        col.islice({'k': sl})
+
+
+def test_spark_islice_positive_bounds_still_work(spark, kv_df):
+    col = SparkColumn(kv_df, index=['k'], values='v')
+    out = col.islice({'k': slice(2, 5)})
+    assert sorted(r[0] for r in out.df.select('k').collect()) == [2, 3, 4]

@@ -129,6 +129,20 @@ def test_running_user_totals_final_state(spark, stream):
         assert total == pytest.approx(etotal, rel=1e-9)
 
 
+def test_transform_with_state_plan_constructs(spark, stream):
+    """transformWithStateInPandas analyzes without protobuf: the processor
+    wiring, output schema and streaming-ness of the plan are checkable in
+    ANY environment — only state (de)serialization at execution time needs
+    google.protobuf (covered by the env-gated parity test below)."""
+    from cyclebane_spark.streaming.windows import running_user_totals_tws
+
+    df = running_user_totals_tws(stream)
+    assert df.isStreaming
+    assert df.schema.simpleString() == (
+        'struct<user_id:bigint,n_events:bigint,total_value:double>'
+    )
+
+
 def test_transform_with_state_matches_batch(spark, stream):
     """Same counters through Spark 4's transformWithState (typed ValueState):
     final per-user state equals the batch aggregate."""
