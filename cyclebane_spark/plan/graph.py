@@ -531,10 +531,7 @@ def _collect_column(col: SparkColumn) -> DimArray:
     import pandas as pd
 
     if len(col.index_cols) != 1:
-        raise NotImplementedError(
-            'Parity expansion of multi-index SparkColumn is not supported; '
-            'use the Spark compiler for execution.'
-        )
+        return _collect_multi_index_column(col)
     pdf = col.df.select(col.index_cols[0], col.value_col).toPandas()
     series = pd.Series(
         list(pdf[col.value_col]),
@@ -543,3 +540,39 @@ def _collect_column(col: SparkColumn) -> DimArray:
     from ..sources.arrays import SeriesArray
 
     return SeriesArray(series)
+
+
+def _collect_multi_index_column(col: SparkColumn) -> DimArray:
+    """Parity expansion of a multi-index SparkColumn: dense N-D pivot.
+
+    The reference's multi-dim arrays (numpy/xarray/scipp) are DENSE — every
+    coord combination holds a value — so parity mode requires the collected
+    index to be a full cross product; a sparse index (e.g. ragged
+    (orderkey, linenumber) pairs) has no reference-model equivalent and
+    fails loudly.  Production execution compiles the sparse form natively
+    (the Spark compiler joins on index columns and never densifies).
+    """
+    import itertools
+
+    import numpy as np
+
+    from ..sources.arrays import NdArray
+
+    dims = list(col.index_cols)
+    pdf = (
+        col.df.select(*dims, col.value_col).toPandas().sort_values(dims)
+    )
+    coords = {d: sorted(pdf[d].unique().tolist()) for d in dims}
+    sizes = [len(coords[d]) for d in dims]
+    got = [tuple(t) for t in pdf[dims].itertuples(index=False, name=None)]
+    want = list(itertools.product(*(coords[d] for d in dims)))
+    if got != want:
+        raise ValueError(
+            f'Multi-index SparkColumn over {dims} is sparse (has '
+            f'{len(got)} rows, dense cross product needs {len(want)}); '
+            'parity expansion requires a dense index — use the Spark '
+            'compiler for execution instead.'
+        )
+    values = np.empty(len(got), dtype=object)
+    values[:] = list(pdf[col.value_col])
+    return NdArray(values.reshape(sizes), coords=coords)

@@ -427,6 +427,34 @@ def test_reduce_falsy_key_falls_back_to_sink():
     check(build)
 
 
+def test_multi_index_spark_column_parity_expansion(spark):
+    # A dense 2-index SparkColumn must expand to the SAME instance DAG as
+    # the reference's 2-D numpy map (dims named dim_0/dim_1, range coords).
+    from cyclebane_spark.sources.arrays import SparkColumn
+
+    vals = [[1.5, 2.5, 3.5], [4.5, 5.5, 6.5]]
+    rows = [(i, j, vals[i][j]) for i in range(2) for j in range(3)]
+    df = spark.createDataFrame(rows, 'dim_0 long, dim_1 long, v double')
+    g = Graph(nx.DiGraph([('a', 'b')]))
+    g = g.map({'a': SparkColumn(df, index=['dim_0', 'dim_1'], values='v')})
+    ours = canon(g.to_networkx())
+    ref = ref_cb.Graph(nx.DiGraph([('a', 'b')])).map({'a': np.array(vals)})
+    assert ours == canon(ref.to_networkx())
+
+
+def test_multi_index_spark_column_sparse_raises(spark):
+    # ragged index: (0,0),(0,1),(1,0) — no dense reference-model equivalent
+    from cyclebane_spark.sources.arrays import SparkColumn
+
+    df = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 2.0), (1, 0, 3.0)], 'dim_0 long, dim_1 long, v double'
+    )
+    g = Graph(nx.DiGraph([('a', 'b')]))
+    g = g.map({'a': SparkColumn(df, index=['dim_0', 'dim_1'], values='v')})
+    with pytest.raises(ValueError, match='sparse'):
+        g.to_networkx()
+
+
 def test_positional_int_index_raises():
     def build(G):
         g = G(nx.DiGraph([('a', 'b')]))

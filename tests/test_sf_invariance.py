@@ -1,0 +1,65 @@
+"""Scale-factor invariance for the SF-sensitive query classes.
+
+Exactness failures that only appear at larger row counts (decimal-cast
+rounding ties, double accumulation order, RANGE-frame boundaries at denser
+timestamps) never show up at sf0.001 — this suite re-proves oracle
+exactness for the trap-prone queries at sf0.01 AND sf0.1 on every CI run.
+The full 103-query sweep at all three SFs stays a per-round manual step
+(python tests/oracle_check.py <sf_dir>); this is the always-on subset.
+"""
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+from cyclebane_spark.queries import registry
+
+_spec = importlib.util.spec_from_file_location(
+    'oracle_check', os.path.join(os.path.dirname(__file__), 'oracle_check.py')
+)
+oracle_check = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(oracle_check)
+
+# The SF-trap classes (one representative each):
+QUERIES = (
+    'graph_param_sweep_broadcast',  # chained decimal reduces (r1 ulp trap)
+    'stats_exact_moments',          # double->decimal cast near rounding ties
+    'window_range_frame_trailing',  # RANGE frame boundaries at denser ts
+    'text_tfidf_top_terms',         # log() doubles + rank ties
+    'text_zscore_by_lang',          # variance via exact integer moments
+    'percentile_exact',             # even-count interpolation of doubles
+    'q1_pricing_summary',           # core decimal aggregation
+    'dedup_minhash_lsh',            # md5 signature volume
+)
+
+SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')
+
+
+@pytest.mark.parametrize('sf_dir', SFS, ids=['sf0.01', 'sf0.1'])
+@pytest.mark.parametrize('name', QUERIES)
+def test_oracle_exact_across_sfs(spark, sf_dir, name):
+    q = registry()[name]
+    con = duckdb.connect()
+    for t in oracle_check.TABLES:
+        p = f'{sf_dir}/{t}.parquet'
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    prev_tz = spark.conf.get('spark.sql.session.timeZone')
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    try:
+        ours = q.fn(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set('spark.sql.session.timeZone', prev_tz)
+    theirs = con.execute(q.oracle).df()
+    ocols, okinds, orows = oracle_check.canon(ours)
+    tcols, tkinds, trows = oracle_check.canon(theirs)
+    assert ocols == tcols
+    assert okinds == tkinds
+    assert len(orows) == len(trows)
+    for i, (ra, rb) in enumerate(zip(orows, trows)):
+        ok, exact = oracle_check.cells_equal(ra, rb)
+        assert ok and exact, f'{name}@{sf_dir} row {i}: {ra!r} != {rb!r}'

@@ -82,6 +82,20 @@ NOTES = {
         'Exchange and a single Sort evaluate ntile/percent_rank/cume_dist/',
         'dense_rank in one pass',
     ],
+    'subquery_scalar_avg': [
+        'the 1-row global average is a BroadcastExchange cross-joined in —',
+        'one lazy plan, no driver collect barrier; aggregate arm prunes to',
+        'p_size only',
+    ],
+    'graph_slice_positional': [
+        'sum+count from ONE struct-valued aggregate: the sliced scan runs',
+        'exactly once (no compile-twice-and-crossjoin)',
+    ],
+    'dedup_minhash_lsh_salted': [
+        'salt-pair (ga, gb) is part of the join key: a hot boilerplate',
+        'bucket spreads over n_salt*(n_salt+1)/2 shuffle partitions instead',
+        'of one quadratic task',
+    ],
 }
 
 # Non-headline queries whose plan shape is load-bearing enough to publish.
@@ -93,6 +107,9 @@ EXTRA = (
     'events_gap_fill',
     'events_multi_grain_rollup',
     'text_tfidf_top_terms',
+    'subquery_scalar_avg',
+    'graph_slice_positional',
+    'dedup_minhash_lsh_salted',
 )
 
 
