@@ -48,9 +48,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(link_dir)
-    return stream.withColumn('ts', F.expr('ts div 1000')).withColumn(
-        'ts', F.timestamp_micros('ts')
-    )
+    # Mirror the batch loader's type detection (tables.events_table): the
+    # testdata has shipped ts as nanos-as-long and as plain us timestamps.
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema['ts'].dataType, LongType):
+        stream = stream.withColumn('ts', F.expr('ts div 1000')).withColumn(
+            'ts', F.timestamp_micros('ts')
+        )
+    else:
+        # Watermarks reject NTZ; with the session pinned to UTC this cast is
+        # a wall-clock no-op.
+        stream = stream.withColumn('ts', F.col('ts').cast('timestamp'))
+    return stream
 
 
 def run_to_memory(result: DataFrame, *, output_mode: str) -> DataFrame:

@@ -39,24 +39,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as TIMESTAMP_NTZ.
 
-    The parquet file stores nanosecond timestamps, which Spark's vectorized
-    reader rejects; read them as raw longs (legacy conf) and truncate to
-    microseconds — the same ns->us truncation DuckDB applies — then convert
-    to a naive (NTZ) timestamp so no result depends on the session timezone.
+    The testdata generator has shipped ``ts`` two ways across rounds:
+    nanosecond timestamps (which Spark's vectorized reader rejects — read as
+    raw longs via the legacy conf and truncate to microseconds, matching
+    DuckDB's ns->us truncation) or plain microsecond timestamps.  Detect
+    which from the loaded type so either generation works; both paths end at
+    a naive (NTZ) timestamp so no result depends on the session timezone.
     """
     import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set('spark.sql.legacy.parquet.nanosAsLong', 'true')
-    # Pin the session to UTC: the instant->NTZ cast below renders in the
+    # Pin the session to UTC: any instant->NTZ cast below renders in the
     # session TZ at *execution* time, so this must hold for the DataFrame's
     # lifetime (not just during construction).
     spark.conf.set('spark.sql.session.timeZone', 'UTC')
     ev = spark.read.parquet(f'{sf_dir}/events.parquet')
-    # `div` (integer division): epoch-nanos exceed double's exact range, so
-    # `/ 1000` through double would round the microsecond.
-    return ev.withColumn(
-        'ts', F.expr('ts div 1000')
-    ).withColumn('ts', F.timestamp_micros('ts').cast('timestamp_ntz'))
+    if isinstance(ev.schema['ts'].dataType, LongType):
+        # Nanos-as-long: `div` (integer division) because epoch-nanos exceed
+        # double's exact range, so `/ 1000` through double would round the
+        # microsecond.
+        ev = ev.withColumn('ts', F.expr('ts div 1000')).withColumn(
+            'ts', F.timestamp_micros('ts').cast('timestamp_ntz')
+        )
+    else:
+        ev = ev.withColumn('ts', F.col('ts').cast('timestamp_ntz'))
+    return ev
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
