@@ -81,15 +81,25 @@ def dedup_exact(spark, sf_dir):
 # -- MinHash + LSH -----------------------------------------------------------
 
 
-# 16 permutations from 4 md5 calls: md5('i:'||shingle) yields 128 independent
-# bits; its four 8-hex-char chunks are four independent 32-bit hash functions.
-# 4x fewer md5 evaluations than one-md5-per-permutation, same LSH quality.
-N_SEEDS = N_PERM // 4
+# 16 permutations from ONE md5 call per shingle (Carter–Wegman): md5 yields
+# two independent 32-bit words h1, h2; perm_p(x) = (h1 + p*h2) mod 2^32 is a
+# pairwise-independent family, the standard minwise-hashing construction.
+# 16x fewer md5 evaluations than one-md5-per-permutation and 4x fewer than
+# the seeded-chunk scheme, same LSH quality; the arithmetic is exact in
+# BIGINT on both engines (max value 16 * 2^32 < 2^63), so signatures match
+# the oracle bit-for-bit.
+_PERM_MOD = 1 << 32
 
 
 def _perm_min_sql(p: int) -> str:
-    seed, chunk = divmod(p, 4)
-    return f"MIN(substring(md5('{seed}:' || s), {chunk * 8 + 1}, 8)) AS h{p}"
+    return f'MIN((h1 + {p} * h2) % {_PERM_MOD}) AS h{p}'
+
+
+_SQL_H12 = """
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substring(md5(s), 9, 8)) AS BIGINT) AS h2
+        FROM sh"""
 
 
 def _minhash_ctes(recursive: bool = False) -> str:
@@ -113,7 +123,7 @@ def _minhash_ctes(recursive: bool = False) -> str:
     ),
     sig AS (
         SELECT doc_id, {mins}
-        FROM sh GROUP BY doc_id
+        FROM ({_SQL_H12}) GROUP BY doc_id
     ),
     bands AS (
         {band_selects}
@@ -144,34 +154,35 @@ def spread(df, *cols):
 def _minhash_bands(docs):
     """(doc_id, band_id, bh) LSH band rows for a documents DataFrame.
 
-    MinHash(16 perms = 4 seeded md5s x 4 chunks) + LSH(4 bands x 4).
-    md5 hex ordering is identical across engines, so signatures (and
-    therefore candidate pairs) match the oracle exactly.
+    MinHash(16 Carter–Wegman perms from ONE md5 per shingle) + LSH(4x4).
+    md5 and BIGINT arithmetic are identical across engines, so signatures
+    (and therefore candidate pairs) match the oracle exactly.
 
     Signatures are computed per document with array higher-order functions
-    (shingle array -> md5 array -> 16 chunk-mins) — one narrow projection,
-    NO shingle explode and NO signature shuffle.
+    (shingle array -> (h1, h2) word array -> 16 perm-mins) — one narrow
+    projection, NO shingle explode and NO signature shuffle. The md5 runs
+    once per shingle; each permutation is one multiply-add-mod over the
+    cached words, so widening N_PERM costs arithmetic, not hashing.
     """
     sh = docs.select('doc_id', _spark_shingles(3).alias('sh'))
-    # NB: factories, not `lambda s, i=i`: a 2-arg lambda makes F.transform
+
+    def _h12(s):
+        m = F.md5(s)
+        return F.struct(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast('bigint').alias('h1'),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast('bigint').alias('h2'),
+        )
+
+    # NB: factories, not `lambda t, p=p`: a 2-arg lambda makes F.transform
     # pass the array index as the second argument.
-    def _seed_md5(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f'{i}:'), s))
+    def _perm(p: int):
+        return lambda t: (t['h1'] + F.lit(p) * t['h2']) % F.lit(_PERM_MOD)
 
-    def _chunk(p: int):
-        return lambda x: F.substring(x, (p % 4) * 8 + 1, 8)
-
-    md5s = sh.select(
+    words = sh.select('doc_id', F.transform('sh', _h12).alias('hs'))
+    sig = words.select(
         'doc_id',
         *[
-            F.transform('sh', _seed_md5(i)).alias(f'm{i}')
-            for i in range(N_SEEDS)
-        ],
-    )
-    sig = md5s.select(
-        'doc_id',
-        *[
-            F.array_min(F.transform(f'm{p // 4}', _chunk(p))).alias(f'h{p}')
+            F.array_min(F.transform('hs', _perm(p))).alias(f'h{p}')
             for p in range(N_PERM)
         ],
     )

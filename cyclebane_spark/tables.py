@@ -30,10 +30,24 @@ TABLE_NAMES = (
 SMALL_DIMS = frozenset({'region', 'nation'})
 
 
+# Resolved-relation cache, the local analog of a metastore's table cache:
+# ``spark.read.parquet`` lists files and reads footers on every call, a
+# driver-side round-trip that would otherwise be paid per query construction.
+# DataFrames are immutable plans, so handing the same object out is safe; the
+# cache is keyed by applicationId so entries die with their session.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == 'events':
-        return events_table(spark, sf_dir)
-    return spark.read.parquet(f'{sf_dir}/{name}.parquet')
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _RELATION_CACHE.get(key)
+    if df is None:
+        if name == 'events':
+            df = events_table(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f'{sf_dir}/{name}.parquet')
+        _RELATION_CACHE[key] = df
+    return df
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
