@@ -267,3 +267,192 @@ def ann_ivf_blocked_topk(spark, sf_dir):
     c = n.filter(F.col('vec_id') >= N_QUERIES).alias('c')
     joined = q.join(c, F.col('q.label') == F.col('c.label'))
     return _ranked(joined, 'query_id')
+
+
+# ---------------------------------------------------------------------------
+# k-means-trained IVF: the production ANN shape. `ann_ivf_blocked_topk`
+# borrows the pre-existing `label` column as its coarse quantizer; this query
+# TRAINS the quantizer — 2 unrolled Lloyd iterations of k-means — and then
+# searches the nearest trained cell (nprobe=1).
+#
+# Exactness across engines is the interesting part: float k-means is
+# order-dependent (centroid means sum doubles in shuffle order), so the whole
+# computation runs in QUANTIZED INTEGER space — components are scaled to
+# BIGINT (round(v * 2^14); |v| < 1 so diffs fit 2^15), distances are exact
+# integer sums (64 * (2^15)^2 < 2^63), and centroid updates floor-divide
+# exact integer sums (sum <= n * 2^14 << 2^53, so the double divide + floor
+# is exact). Integer-quantized training is also what real vector indexes do
+# (PQ/SQ train on int8/int16 codes) — determinism and scale economy align.
+#
+# Scale: centroids are K x DIM = 512 rows — broadcast to every assignment
+# join; the corpus explodes to (vec_id, pos, q) once and co-partitions on
+# vec_id for every groupBy; each Lloyd iteration is one broadcast join + two
+# partial-aggregable shuffles. Iterations are a Python loop over lazy plans
+# (no driver action per iteration — one job at the end).
+# ---------------------------------------------------------------------------
+
+KM_K = 8  # clusters
+KM_ITERS = 2  # unrolled Lloyd iterations
+KM_SCALE = 1 << 14  # component quantization
+KM_TOPK = 10
+
+
+def _sql_kmeans_ctes() -> str:
+    """CTE chain: quantized explode -> seed -> (assign, centroid) x 2."""
+    parts = [
+        f"""e AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    seed AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+        FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id >= {N_QUERIES})
+        ORDER BY vec_id LIMIT {KM_K}
+    ),
+    c0 AS (
+        SELECT seed.cl, e.pos, e.q AS c
+        FROM e JOIN seed ON e.vec_id = seed.vec_id
+    )"""
+    ]
+    for i in range(1, KM_ITERS + 1):
+        parts.append(f"""a{i} AS (
+        SELECT vec_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
+                   ) AS rk
+            FROM e JOIN c{i - 1} c ON e.pos = c.pos
+            WHERE e.vec_id >= {N_QUERIES}
+            GROUP BY e.vec_id, c.cl
+        ) WHERE rk = 1
+    ),
+    c{i} AS (
+        SELECT a.cl, e.pos,
+               CAST(floor(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM e JOIN a{i} a ON e.vec_id = a.vec_id
+        GROUP BY a.cl, e.pos
+    )""")
+    return 'WITH ' + ',\n    '.join(parts)
+
+
+@register(
+    'ann_ivf_kmeans_topk',
+    oracle=f"""{_sql_kmeans_ctes()},
+    qa AS (
+        SELECT vec_id AS query_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
+                   ) AS rk
+            FROM e JOIN c{KM_ITERS} c ON e.pos = c.pos
+            WHERE e.vec_id < {N_QUERIES}
+            GROUP BY e.vec_id, c.cl
+        ) WHERE rk = 1
+    ),
+    cand AS (
+        SELECT qa.query_id, a.vec_id AS neighbor_id,
+               SUM((eq.q - ec.q) * (eq.q - ec.q)) AS dist2
+        FROM qa
+        JOIN a{KM_ITERS} a ON a.cl = qa.cl
+        JOIN e eq ON eq.vec_id = qa.query_id
+        JOIN e ec ON ec.vec_id = a.vec_id AND ec.pos = eq.pos
+        GROUP BY qa.query_id, a.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2, rk FROM (
+        SELECT query_id, neighbor_id, dist2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY dist2, neighbor_id
+               ) AS rk
+        FROM cand
+    ) WHERE rk <= {KM_TOPK}
+    """,
+)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer: 2 Lloyd iterations of integer
+    k-means, then nprobe=1 search of the winning cell. See the module note
+    for why quantized-integer training is exact across engines."""
+    emb = table(spark, sf_dir, 'embeddings')
+    e = emb.select(
+        'vec_id', F.posexplode('embedding').alias('pos', 'v')
+    ).select(
+        'vec_id',
+        'pos',
+        F.round(F.col('v').cast('double') * KM_SCALE, 0)
+        .cast('bigint')
+        .alias('q'),
+    )
+    corpus = e.filter(F.col('vec_id') >= N_QUERIES)
+
+    seed_w = Window.orderBy('vec_id')
+    seed = (
+        corpus.select('vec_id')
+        .distinct()
+        .withColumn('cl', F.row_number().over(seed_w) - 1)
+        .filter(F.col('cl') < KM_K)
+    )
+    cent = corpus.join(seed, 'vec_id').select(
+        'cl', 'pos', F.col('q').alias('c')
+    )
+
+    def assign(points, cent):
+        """argmin-by-(distance, cl) cluster for each vec_id in points."""
+        d2 = F.sum(
+            (F.col('q') - F.col('c')) * (F.col('q') - F.col('c'))
+        ).alias('dist2')
+        w = Window.partitionBy('vec_id').orderBy('dist2', 'cl')
+        return (
+            points.join(F.broadcast(cent), 'pos')
+            .groupBy('vec_id', 'cl')
+            .agg(d2)
+            .withColumn('rk', F.row_number().over(w))
+            .filter(F.col('rk') == 1)
+            .select('vec_id', 'cl', 'dist2')
+        )
+
+    assigned = None
+    for _ in range(KM_ITERS):
+        assigned = assign(corpus, cent)
+        cent = (
+            corpus.join(assigned.select('vec_id', 'cl'), 'vec_id')
+            .groupBy('cl', 'pos')
+            .agg(
+                F.floor(
+                    F.sum('q').cast('double') / F.count(F.lit(1))
+                )
+                .cast('bigint')
+                .alias('c')
+            )
+        )
+
+    qa = assign(e.filter(F.col('vec_id') < N_QUERIES), cent).select(
+        F.col('vec_id').alias('query_id'), 'cl'
+    )
+    cand = (
+        qa.join(assigned.select(F.col('vec_id').alias('neighbor_id'), 'cl'), 'cl')
+        .join(
+            e.select(F.col('vec_id').alias('query_id'), 'pos', F.col('q').alias('qq')),
+            'query_id',
+        )
+        .join(
+            e.select(
+                F.col('vec_id').alias('neighbor_id'), 'pos', F.col('q').alias('qc')
+            ),
+            ['neighbor_id', 'pos'],
+        )
+        .groupBy('query_id', 'neighbor_id')
+        .agg(
+            F.sum((F.col('qq') - F.col('qc')) * (F.col('qq') - F.col('qc'))).alias(
+                'dist2'
+            )
+        )
+    )
+    w = Window.partitionBy('query_id').orderBy('dist2', 'neighbor_id')
+    return (
+        cand.withColumn('rk', F.row_number().over(w).cast('long'))
+        .filter(F.col('rk') <= KM_TOPK)
+        .select('query_id', 'neighbor_id', 'dist2', 'rk')
+    )

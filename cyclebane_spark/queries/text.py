@@ -507,3 +507,212 @@ def text_sentences_udtf(spark, sf_dir):
         FROM __docs_for_udtf d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1): documents whose
+# content is dominated by a few repeated tokens/n-grams are low-quality
+# boilerplate. The public heuristics: type-token ratio, fraction of tokens
+# that are the single most frequent token, fraction of bigram instances
+# belonging to repeated bigrams.
+# Scale: two partial-aggregable groupBys keyed on (doc_id, gram) + one join
+# on doc_id — every shuffle key carries the doc_id prefix, so at 100 TB the
+# whole thing co-partitions on doc_id and the gram aggregations combine
+# map-side (each doc's grams live in one input split).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'text_gopher_repetition',
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, t AS g, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS t FROM t)
+        GROUP BY doc_id, g
+    ),
+    uni AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(MAX(cnt) AS BIGINT) AS top_cnt
+        FROM u GROUP BY doc_id
+    ),
+    b AS (
+        SELECT doc_id, g, COUNT(*) AS cnt
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS g
+            FROM t
+        )
+        GROUP BY doc_id, g
+    ),
+    bi AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bg
+        FROM b GROUP BY doc_id
+    )
+    SELECT uni.doc_id,
+           uni.n_tokens,
+           CAST(uni.n_types AS DOUBLE) / uni.n_tokens AS type_token_ratio,
+           CAST(uni.top_cnt AS DOUBLE) / uni.n_tokens AS top_token_frac,
+           CASE WHEN coalesce(bi.n_bigrams, 0) > 0
+                THEN CAST(bi.dup_bg AS DOUBLE) / bi.n_bigrams
+                ELSE 0.0 END AS dup_bigram_frac,
+           (CAST(uni.n_types AS DOUBLE) / uni.n_tokens >= 0.5
+            AND CAST(uni.top_cnt AS DOUBLE) / uni.n_tokens <= 0.125
+            AND (CASE WHEN coalesce(bi.n_bigrams, 0) > 0
+                      THEN CAST(bi.dup_bg AS DOUBLE) / bi.n_bigrams
+                      ELSE 0.0 END) <= 0.25) AS gopher_pass
+    FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+    """,
+)
+def text_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters: TTR, top-token fraction, dup-bigram mass.
+
+    Every ratio is a single BIGINT/BIGINT divide (one IEEE op — exact
+    cross-engine); the boolean gate composes three deterministic compares.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    t = docs.select('doc_id', toks.alias('toks'))
+
+    u = (
+        t.select('doc_id', F.explode('toks').alias('g'))
+        .groupBy('doc_id', 'g')
+        .agg(F.count(F.lit(1)).alias('cnt'))
+    )
+    uni = u.groupBy('doc_id').agg(
+        F.sum('cnt').alias('n_tokens'),
+        F.count(F.lit(1)).alias('n_types'),
+        F.max('cnt').alias('top_cnt'),
+    )
+
+    bigrams = F.transform(
+        # range(1, len) in DuckDB is [1, len-1]: bigram i pairs toks[i],
+        # toks[i+1] (1-based). Spark mirrors with a 0-based sequence slice.
+        F.slice('toks', 1, F.greatest(F.size('toks') - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(' ', x, F.col('toks')[i + 1]),
+    )
+    b = (
+        t.select('doc_id', F.explode(bigrams).alias('g'))
+        .groupBy('doc_id', 'g')
+        .agg(F.count(F.lit(1)).alias('cnt'))
+    )
+    bi = b.groupBy('doc_id').agg(
+        F.sum('cnt').alias('n_bigrams'),
+        F.sum(F.when(F.col('cnt') > 1, F.col('cnt')).otherwise(0)).alias('dup_bg'),
+    )
+
+    ttr = F.col('n_types').cast('double') / F.col('n_tokens')
+    top_frac = F.col('top_cnt').cast('double') / F.col('n_tokens')
+    dup_frac = F.when(
+        F.coalesce(F.col('n_bigrams'), F.lit(0)) > 0,
+        F.col('dup_bg').cast('double') / F.col('n_bigrams'),
+    ).otherwise(0.0)
+    return uni.join(bi, 'doc_id', 'left').select(
+        'doc_id',
+        'n_tokens',
+        ttr.alias('type_token_ratio'),
+        top_frac.alias('top_token_frac'),
+        dup_frac.alias('dup_bigram_frac'),
+        ((ttr >= 0.5) & (top_frac <= 0.125) & (dup_frac <= 0.25)).alias(
+            'gopher_pass'
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap): before training, every corpus
+# document is checked for verbatim n-gram overlap against the evaluation
+# benchmarks (the public method used for GPT-3/PaLM/Llama training sets —
+# typically 8-13 token n-grams; 5 here because the synthetic docs are ~50
+# tokens). A deterministic md5 split of doc_id stands in for the benchmark
+# corpus.
+# Scale: the join is keyed on md5(gram) — fixed-width keys, benchmark side
+# is tiny relative to the corpus (broadcast), corpus side never shuffles;
+# per-doc aggregation carries doc_id as shuffle key with map-side combine.
+# ---------------------------------------------------------------------------
+
+
+def _sql_5grams() -> str:
+    from .dedup import _sql_shingles
+
+    return _sql_shingles(5)
+
+
+@register(
+    'text_decontamination',
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, md5(unnest({{grams}})) AS gh
+        FROM t
+    ),
+    bm AS (
+        SELECT doc_id, gh FROM g
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    ),
+    cp AS (
+        SELECT doc_id, gh FROM g
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) NOT IN ('0','1','2','3')
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM cp GROUP BY doc_id),
+    hits AS (
+        SELECT cp.doc_id,
+               COUNT(DISTINCT cp.gh) AS n_shared,
+               COUNT(DISTINCT bm.doc_id) AS n_bench_docs
+        FROM cp JOIN bm ON cp.gh = bm.gh
+        GROUP BY cp.doc_id
+    )
+    SELECT h.doc_id,
+           s.n_grams,
+           h.n_shared,
+           h.n_bench_docs,
+           CAST(h.n_shared AS DOUBLE) / s.n_grams AS contamination
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """.format(grams=_sql_5grams()),
+)
+def text_decontamination(spark, sf_dir):
+    """Training-set decontamination: corpus docs sharing 5-grams with the
+    benchmark split, with overlap counts and contaminated fraction."""
+    from .. import functions as CF
+
+    docs = table(spark, sf_dir, 'documents')
+    is_bench = F.substring(F.md5(F.col('doc_id').cast('string')), 1, 1).isin(
+        '0', '1', '2', '3'
+    )
+    g = docs.select(
+        'doc_id',
+        is_bench.alias('bench'),
+        F.explode(CF.shingles('text', 5)).alias('gram'),
+    ).select('doc_id', 'bench', F.md5('gram').alias('gh'))
+    bm = g.filter('bench').select(F.col('doc_id').alias('b_doc'), 'gh')
+    cp = g.filter(~F.col('bench')).select('doc_id', 'gh')
+    sizes = cp.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n_grams'))
+    hits = (
+        cp.join(F.broadcast(bm), 'gh')
+        .groupBy('doc_id')
+        .agg(
+            F.countDistinct('gh').alias('n_shared'),
+            F.countDistinct('b_doc').alias('n_bench_docs'),
+        )
+    )
+    return hits.join(sizes, 'doc_id').select(
+        'doc_id',
+        'n_grams',
+        'n_shared',
+        'n_bench_docs',
+        (F.col('n_shared').cast('double') / F.col('n_grams')).alias(
+            'contamination'
+        ),
+    )
