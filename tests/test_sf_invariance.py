@@ -32,6 +32,8 @@ QUERIES = (
     'percentile_exact',             # even-count interpolation of doubles
     'q1_pricing_summary',           # core decimal aggregation
     'dedup_minhash_lsh',            # md5 signature volume
+    'ann_ivf_kmeans_topk',          # quantized k-means: denser clusters
+    'text_gopher_repetition',       # gram-count ratios at longer docs
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

@@ -96,6 +96,19 @@ NOTES = {
         'bucket spreads over n_salt*(n_salt+1)/2 shuffle partitions instead',
         'of one quadratic task',
     ],
+    'ann_ivf_kmeans_topk': [
+        'both Lloyd iterations in ONE lazy plan (no per-iteration driver',
+        'action); K x DIM centroid sides BroadcastExchange into every',
+        'assignment join; integer distances keep the whole loop in codegen',
+    ],
+    'text_gopher_repetition': [
+        'both gram aggregations carry doc_id in the shuffle key and combine',
+        'map-side; final join co-partitions on doc_id',
+    ],
+    'text_decontamination': [
+        'benchmark gram side broadcast — the corpus side never shuffles for',
+        'the overlap join; per-doc counts partial-aggregate on doc_id',
+    ],
 }
 
 # Non-headline queries whose plan shape is load-bearing enough to publish.
@@ -110,6 +123,9 @@ EXTRA = (
     'subquery_scalar_avg',
     'graph_slice_positional',
     'dedup_minhash_lsh_salted',
+    'ann_ivf_kmeans_topk',
+    'text_gopher_repetition',
+    'text_decontamination',
 )
 
 
