@@ -716,3 +716,240 @@ def text_decontamination(spark, sf_dir):
             'contamination'
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-proportional importance sampling (the data-mixing primitive behind
+# DoReMi / quality-weighted corpus sampling): each document is kept with
+# probability equal to its quality score, using an md5-derived uniform so the
+# "coin flip" is deterministic, reproducible, and embarrassingly parallel —
+# the property a 100 TB sampling pass needs (no RNG state, no driver
+# coordination, resampling a shard re-derives identical decisions).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'text_importance_sampling',
+    oracle=r"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+               CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        x -> x IN """ + _STOP_SQL + r""")) AS DOUBLE) AS n_stop,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+               CAST(length(text) AS DOUBLE) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END
+            * (1.0 - n_punct / n_chars)
+            * least(1.0, 4.0 * n_stop / n_tokens)) AS quality,
+           CAST(('0x' || substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) / 4294967296.0 AS u_sample,
+           (CAST(('0x' || substring(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0
+            < (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END
+               * (1.0 - n_punct / n_chars)
+               * least(1.0, 4.0 * n_stop / n_tokens))) AS accepted
+    FROM q
+    """,
+)
+def text_importance_sampling(spark, sf_dir):
+    """Keep each doc with probability = quality score, via an md5 uniform.
+
+    The uniform is ``hex32(md5('samp:' || doc_id)) / 2^32`` — one exact
+    integer-to-double convert and one IEEE divide, so the accept decision
+    is bit-deterministic on both engines and across reruns/shards.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    n_tokens = F.size(toks).cast('double')
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast('double')
+    n_punct = F.length(F.regexp_replace('text', r'[^.,;:!?]', '')).cast('double')
+    n_chars = F.length('text').cast('double')
+    quality = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+        * (F.lit(1.0) - n_punct / n_chars)
+        * F.least(F.lit(1.0), F.lit(4.0) * n_stop / n_tokens)
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit('samp:'), F.col('doc_id').cast('string'))), 1, 8
+        ),
+        16,
+        10,
+    ).cast('bigint') / F.lit(4294967296.0)
+    return docs.select(
+        'doc_id',
+        quality.alias('quality'),
+        u.alias('u_sample'),
+        (u < quality).alias('accepted'),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The composed corpus-prep flagship: Gopher repetition gate -> benchmark
+# decontamination -> exact dedup -> per-language stats, ONE lazy plan.
+# Each stage reuses the standalone operator's exact semantics (same
+# thresholds, same 5-gram overlap, same fingerprint canon), so this query
+# demonstrates operator COMPOSITION: Catalyst fuses the per-doc metrics into
+# shared scans, the contamination check stays a broadcast semi/anti join,
+# and nothing materializes between stages.
+# Scale: gram aggregations shuffle on doc_id-prefixed keys (map-side
+# combine), the benchmark side broadcasts, dedup is one fp-window — the
+# number of corpus-sized shuffles is 3 end to end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'pipeline_clean_corpus',
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, t AS g, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS t FROM t)
+        GROUP BY doc_id, g
+    ),
+    uni AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(MAX(cnt) AS BIGINT) AS top_cnt
+        FROM u GROUP BY doc_id
+    ),
+    b AS (
+        SELECT doc_id, g, COUNT(*) AS cnt
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i+1])) AS g
+            FROM t
+        )
+        GROUP BY doc_id, g
+    ),
+    bi AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bg
+        FROM b GROUP BY doc_id
+    ),
+    gop AS (
+        SELECT uni.doc_id, uni.n_tokens, uni.n_types
+        FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+        WHERE CAST(uni.n_types AS DOUBLE) / uni.n_tokens >= 0.5
+          AND CAST(uni.top_cnt AS DOUBLE) / uni.n_tokens <= 0.125
+          AND (CASE WHEN coalesce(bi.n_bigrams, 0) > 0
+                    THEN CAST(bi.dup_bg AS DOUBLE) / bi.n_bigrams
+                    ELSE 0.0 END) <= 0.25
+    ),
+    g5 AS (
+        SELECT doc_id, md5(unnest({{grams}})) AS gh,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3') AS bench
+        FROM t
+    ),
+    contaminated AS (
+        SELECT DISTINCT cp.doc_id
+        FROM g5 cp JOIN g5 bm ON cp.gh = bm.gh
+        WHERE NOT cp.bench AND bm.bench
+    ),
+    clean AS (
+        SELECT d.doc_id, d.lang, d.text, gop.n_tokens, gop.n_types
+        FROM documents d JOIN gop ON d.doc_id = gop.doc_id
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+                  NOT IN ('0','1','2','3')
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT clean.*,
+                   MIN(doc_id) OVER (
+                       PARTITION BY md5(lower(regexp_replace(trim(text),
+                                                             '\s+', ' ', 'g')))
+                   ) AS min_doc
+            FROM clean
+        ) WHERE doc_id = min_doc
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_types) AS DOUBLE) / SUM(n_tokens) AS micro_ttr
+    FROM deduped GROUP BY lang
+    """.format(grams=_sql_5grams()),
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """Gopher gate -> decontamination -> exact dedup -> per-lang stats."""
+    from .. import functions as CF
+
+    docs = table(spark, sf_dir, 'documents')
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    t = docs.select('doc_id', toks.alias('toks'))
+
+    u = (
+        t.select('doc_id', F.explode('toks').alias('g'))
+        .groupBy('doc_id', 'g')
+        .agg(F.count(F.lit(1)).alias('cnt'))
+    )
+    uni = u.groupBy('doc_id').agg(
+        F.sum('cnt').alias('n_tokens'),
+        F.count(F.lit(1)).alias('n_types'),
+        F.max('cnt').alias('top_cnt'),
+    )
+    bigrams = F.transform(
+        F.slice('toks', 1, F.greatest(F.size('toks') - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(' ', x, F.col('toks')[i + 1]),
+    )
+    b = (
+        t.select('doc_id', F.explode(bigrams).alias('g'))
+        .groupBy('doc_id', 'g')
+        .agg(F.count(F.lit(1)).alias('cnt'))
+    )
+    bi = b.groupBy('doc_id').agg(
+        F.sum('cnt').alias('n_bigrams'),
+        F.sum(F.when(F.col('cnt') > 1, F.col('cnt')).otherwise(0)).alias('dup_bg'),
+    )
+    ttr = F.col('n_types').cast('double') / F.col('n_tokens')
+    top_frac = F.col('top_cnt').cast('double') / F.col('n_tokens')
+    dup_frac = F.when(
+        F.coalesce(F.col('n_bigrams'), F.lit(0)) > 0,
+        F.col('dup_bg').cast('double') / F.col('n_bigrams'),
+    ).otherwise(0.0)
+    gop = (
+        uni.join(bi, 'doc_id', 'left')
+        .filter((ttr >= 0.5) & (top_frac <= 0.125) & (dup_frac <= 0.25))
+        .select('doc_id', 'n_tokens', 'n_types')
+    )
+
+    is_bench = F.substring(F.md5(F.col('doc_id').cast('string')), 1, 1).isin(
+        '0', '1', '2', '3'
+    )
+    g5 = docs.select(
+        'doc_id',
+        is_bench.alias('bench'),
+        F.explode(CF.shingles('text', 5)).alias('gram'),
+    ).select('doc_id', 'bench', F.md5('gram').alias('gh'))
+    contaminated = (
+        g5.filter(~F.col('bench'))
+        .join(F.broadcast(g5.filter('bench').select('gh')), 'gh')
+        .select('doc_id')
+        .distinct()
+    )
+
+    clean = (
+        docs.filter(~is_bench)
+        .join(gop, 'doc_id')
+        .join(contaminated, 'doc_id', 'left_anti')
+        .select('doc_id', 'lang', 'text', 'n_tokens', 'n_types')
+    )
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col('text')), r'\s+', ' ')))
+    deduped = clean.withColumn(
+        'min_doc', F.min('doc_id').over(Window.partitionBy(fp))
+    ).filter(F.col('doc_id') == F.col('min_doc'))
+    return deduped.groupBy('lang').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum('n_tokens').alias('total_tokens'),
+        (F.sum('n_types').cast('double') / F.sum('n_tokens')).alias('micro_ttr'),
+    )
