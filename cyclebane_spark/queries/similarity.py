@@ -375,6 +375,8 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     """IVF with a TRAINED coarse quantizer: 2 Lloyd iterations of integer
     k-means, then nprobe=1 search of the winning cell. See the module note
     for why quantized-integer training is exact across engines."""
+    from pyspark import StorageLevel
+
     emb = table(spark, sf_dir, 'embeddings')
     e = emb.select(
         'vec_id', F.posexplode('embedding').alias('pos', 'v')
@@ -385,6 +387,14 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
         .cast('bigint')
         .alias('q'),
     )
+    # The Lloyd loop references the quantized table 2*ITERS + 3 times; each
+    # reference is a plan diamond that would re-scan the parquet (14 scans
+    # at ITERS=2). Persisting collapses them to one compute + cache reads —
+    # the standard Spark iterative-algorithm idiom (MLlib k-means does the
+    # same). CacheManager keys on the canonical plan, so repeated runs of
+    # this query share one entry; MEMORY_AND_DISK spills rather than OOMs
+    # at scale.
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     corpus = e.filter(F.col('vec_id') >= N_QUERIES)
 
     seed_w = Window.orderBy('vec_id')

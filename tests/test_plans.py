@@ -223,3 +223,32 @@ def test_connected_components_converges_and_broadcasts_labels(spark):
     rows = df.count()
     docs = spark.read.parquet(f'{SF_DIR}/documents.parquet').count()
     assert rows == docs  # every document labeled exactly once
+
+
+def test_kmeans_ivf_caches_quantized_table(spark):
+    """The Lloyd loop must not re-scan the corpus per reference: the
+    quantized exploded table is persisted, so every one of its plan
+    references is an in-memory read (the parquet is read once to fill the
+    cache). Centroid sides broadcast into the assignment joins."""
+    raw = raw_plan_of(spark, 'ann_ivf_kmeans_topk')
+    cache_reads = raw.count('InMemoryTableScan') + raw.count(
+        'TableCacheQueryStage'
+    )
+    assert cache_reads >= 7  # 2 iters x (assign+centroid) + query/cand refs
+    assert 'BroadcastExchange' in raw
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The benchmark gram side is the small one — it must broadcast; the
+    corpus side must not shuffle for the overlap join."""
+    raw = raw_plan_of(spark, 'text_decontamination')
+    assert 'BroadcastExchange' in raw
+    assert 'BroadcastHashJoin' in raw
+
+
+def test_gopher_gram_aggs_combine_map_side(spark):
+    """Both gram aggregations must show partial (map-side) aggregation
+    before their exchange — the property that keeps the shuffle ~doc-sized
+    at 100 TB."""
+    raw = raw_plan_of(spark, 'text_gopher_repetition')
+    assert raw.count('partial_count') >= 2
