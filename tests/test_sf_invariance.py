@@ -4,7 +4,7 @@ Exactness failures that only appear at larger row counts (decimal-cast
 rounding ties, double accumulation order, RANGE-frame boundaries at denser
 timestamps) never show up at sf0.001 — this suite re-proves oracle
 exactness for the trap-prone queries at sf0.01 AND sf0.1 on every CI run.
-The full 103-query sweep at all three SFs stays a per-round manual step
+The full registry sweep at all three SFs stays a per-round manual step
 (python tests/oracle_check.py <sf_dir>); this is the always-on subset.
 """
 
