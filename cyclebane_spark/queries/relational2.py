@@ -469,3 +469,63 @@ def percentile_exact(spark, sf_dir):
         F.expr('percentile(l_quantity, 0.9)').alias('qty_p90'),
         F.expr('percentile(l_extendedprice, 0.9)').alias('price_p90'),
     )
+
+
+@register(
+    'approx_percentile_bounds',
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_exact,
+           quantile_cont(l_quantity, 0.9) AS p90_exact,
+           TRUE AS p50_rank_ok,
+           TRUE AS p90_rank_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def approx_percentile_bounds(spark, sf_dir):
+    """Mergeable percentile sketch (the 100 TB path), verified in RANK space.
+
+    ``approx_percentile``'s GK summary guarantees rank error <= eps = 
+    1/accuracy REGARDLESS of partition/merge order, so the checkable
+    contract (cf. ``approx_count_distinct_hll``) is: the exact interpolated
+    percentiles plus flags asserting the sketch value's exact rank lands in
+    [q - eps, q + eps]. A value-space bound would be fragile (an element
+    value can sit below the interpolated percentile at q - eps on a value
+    jump); counting rows <= / < the sketch value is exact and robust. The
+    rank count needs a second pass over the group — verification-only cost;
+    production ships the sketch alone.
+    """
+    li = table(spark, sf_dir, 'lineitem')
+    eps = 1.0 / 1000
+    ap = li.groupBy('l_returnflag').agg(
+        F.percentile_approx('l_quantity', 0.5, 1000).alias('a50'),
+        F.percentile_approx('l_quantity', 0.9, 1000).alias('a90'),
+        F.expr('percentile(l_quantity, 0.5)').alias('p50_exact'),
+        F.expr('percentile(l_quantity, 0.9)').alias('p90_exact'),
+    )
+    j = li.select('l_returnflag', 'l_quantity').join(
+        F.broadcast(ap), 'l_returnflag'
+    )
+    agg = j.groupBy('l_returnflag').agg(
+        F.first('p50_exact').alias('p50_exact'),
+        F.first('p90_exact').alias('p90_exact'),
+        F.count(F.lit(1)).alias('n'),
+        F.sum(F.when(F.col('l_quantity') <= F.col('a50'), 1).otherwise(0)).alias('le50'),
+        F.sum(F.when(F.col('l_quantity') < F.col('a50'), 1).otherwise(0)).alias('lt50'),
+        F.sum(F.when(F.col('l_quantity') <= F.col('a90'), 1).otherwise(0)).alias('le90'),
+        F.sum(F.when(F.col('l_quantity') < F.col('a90'), 1).otherwise(0)).alias('lt90'),
+    )
+
+    def rank_ok(le, lt, q):
+        lo = F.floor((F.lit(q) - F.lit(eps)) * F.col('n'))
+        hi = F.ceil((F.lit(q) + F.lit(eps)) * F.col('n'))
+        return (F.col(le) >= lo) & (F.col(lt) <= hi)
+
+    return agg.select(
+        'l_returnflag',
+        'p50_exact',
+        'p90_exact',
+        rank_ok('le50', 'lt50', 0.5).alias('p50_rank_ok'),
+        rank_ok('le90', 'lt90', 0.9).alias('p90_rank_ok'),
+    )
