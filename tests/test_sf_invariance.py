@@ -34,6 +34,8 @@ QUERIES = (
     'dedup_minhash_lsh',            # md5 signature volume
     'ann_ivf_kmeans_topk',          # quantized k-means: denser clusters
     'text_gopher_repetition',       # gram-count ratios at longer docs
+    'approx_percentile_bounds',     # sketch rank bounds at larger n
+    'pipeline_clean_corpus',        # composed gate/decon/dedup chain
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')
