@@ -131,6 +131,14 @@ _PRIORITY = (
     # re-verified locally by tests/oracle_check.py at 3 SFs)
     'multimodal_frame_sample',
     'multimodal_audio_features',
+    # positions 53+: round-2 additions (all oracle-exact at 3 SFs locally),
+    # ordered so a wider driver window picks up the new flagships first
+    'ann_ivf_kmeans_topk',
+    'text_gopher_repetition',
+    'text_decontamination',
+    'text_importance_sampling',
+    'pipeline_clean_corpus',
+    'approx_percentile_bounds',
 )
 
 
