@@ -173,8 +173,17 @@ class SparkPlan:
         Parents that are SparkColumn bindings onto the *same* DataFrame with
         the same index columns are coalesced into one projection of that
         DataFrame — no self-join, no shuffle, and no fan-out if the index
-        isn't unique. Cross joins implement the broadcast of independent map
-        dims; Spark's AQE/broadcast rules pick the physical strategy.
+        isn't unique.
+
+        Broadcast direction is chosen HERE, not left to the planner: a
+        driver-backed source family (a swept param list, a label vector) was
+        literally in driver memory, so it is always the build side —
+        ``F.broadcast`` pins it. Left to itself the planner sees the
+        createDataFrame side as unknown-size (defaultSizeInBytes) and
+        happily builds the *parquet* side of a cross join instead; harmless
+        on test data, fatal at 100 TB (it would broadcast the fact table).
+        Cluster-backed (SparkColumn) and computed families are never hinted
+        — AQE decides those from runtime stats.
         """
         frames = []
         consumed: set[int] = set()
@@ -204,21 +213,36 @@ class SparkPlan:
                             arr.df[qa.value_col].alias(self._value_alias(q))
                         )
                         consumed.add(j)
-                    frames.append((arr.df.select(*sel), set(cols)))
+                    frames.append((arr.df.select(*sel), set(cols), False))
                     continue
             df = self._frame(p)
             pdims = [self._dims.col(d) for d in _dims(p)]
+            # Driver-backed SOURCE families are known-small (they sat in
+            # driver memory; only mapped sources have a store entry) —
+            # computed and cluster-backed frames are not.
+            small = arr is not None and not isinstance(arr, SparkColumn)
             frames.append(
-                (df.select(*pdims, df[VALUE_COL].alias(self._value_alias(p))), set(pdims))
+                (
+                    df.select(*pdims, df[VALUE_COL].alias(self._value_alias(p))),
+                    set(pdims),
+                    small,
+                )
             )
-        out, out_dims = frames[0]
-        for df, pdims in frames[1:]:
+        import pyspark.sql.functions as F
+
+        out, out_dims, out_small = frames[0]
+        for df, pdims, small in frames[1:]:
             shared = sorted(out_dims & pdims)
+            if small and not out_small:
+                df = F.broadcast(df)
+            elif out_small and not small:
+                out = F.broadcast(out)
             if shared:
                 out = out.join(df, on=shared, how='inner')
             else:
                 out = out.crossJoin(df)
             out_dims |= pdims
+            out_small = out_small and small
         return out, [self._value_alias(p) for p in parents]
 
     def _value_alias(self, parent: Hashable) -> str:

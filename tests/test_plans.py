@@ -252,3 +252,20 @@ def test_gopher_gram_aggs_combine_map_side(spark):
     at 100 TB."""
     raw = raw_plan_of(spark, 'text_gopher_repetition')
     assert raw.count('partial_count') >= 2
+
+
+def test_param_sweep_broadcasts_dim_side_not_fact_side(spark):
+    """The cross join's build side must be the driver-backed param family,
+    never the cluster-backed fact table: without the explicit hint the
+    planner sees the createDataFrame side as unknown-size and broadcasts
+    the PARQUET side — fatal at 100 TB."""
+    raw = raw_plan_of(spark, 'graph_param_sweep_broadcast')
+    i = raw.find('BroadcastNestedLoopJoin')
+    assert i != -1
+    # The broadcast subtree (everything under the BroadcastExchange) must
+    # hold the in-memory param family, never the parquet scan.
+    b = raw.find('BroadcastExchange', i)
+    assert b != -1
+    broadcast_subtree = raw[b:]
+    assert 'FileScan parquet' not in broadcast_subtree
+    assert 'ExistingRDD' in broadcast_subtree
