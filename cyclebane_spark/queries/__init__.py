@@ -62,14 +62,41 @@ _MODULES = (
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
-# in iteration order (the round-1 gate checked the first 50 entries), so the
-# queries that exercise the SURVEY-§2 graph algebra and the LLM-pipeline
-# extensions — the operators this engine exists for — are listed first.  The
-# relational/TPC-H surface follows; it was fully gate-verified in round 1
-# (CORRECTNESS_r01.json: 49/50 green, the one red being the then-oracle-less
-# HLL query, which is in the priority block now that it has an oracle).
+# in iteration order (rounds 1 and 2 each checked the first 50 entries), so
+# the window is rotated per round to retire unverified queries.  Round-3
+# rotation (per VERDICT_r02 "Next round #1"): positions 1-10 are the ten
+# queries that have never had a driver CORRECTNESS row in any round; 11-16
+# are queries changed after their round-1 gate pass (plan-diamond
+# eliminations in q15/q20/q21, the tfidf/pipeline dedup rework) plus SQL
+# interface spot checks; new round-3 queries follow so they get driver rows
+# immediately; the rest backfills with the SURVEY-§2.1 graph-algebra block
+# and the dedup/ANN/stream flagships to keep them continuously verified.
+# Everything below position 50 was driver-green in round 1 or 2 and is
+# unchanged since (local oracle gate re-verifies all 109 each session).
 _PRIORITY = (
-    # SURVEY §2.1 graph algebra (10)
+    # never driver-seen in any round (10)
+    'multimodal_frame_sample',
+    'multimodal_audio_features',
+    'ann_ivf_kmeans_topk',
+    'text_gopher_repetition',
+    'text_decontamination',
+    'text_importance_sampling',
+    'pipeline_clean_corpus',
+    'approx_percentile_bounds',
+    'stats_exact_moments',
+    'dedup_minhash_lsh_salted',
+    # changed after their round-1 gate pass (4) + SQL-interface spot checks (2)
+    'q15_top_supplier',
+    'q20_dominant_part_suppliers',
+    'q21_sole_returning_supplier',
+    'text_tfidf_top_terms',
+    'sql_interface_portable',
+    'sql_interface_q10',
+    # round-3 additions (driver has never seen these)
+    'text_packing_two_level',
+    'ann_ivf_kmeans_nprobe2',
+    'stream_stateful_counters',
+    # SURVEY §2.1 graph algebra block — keep continuously driver-verified (10)
     'graph_map_reduce_all',
     'graph_map_reduce_partial',
     'graph_param_sweep_broadcast',
@@ -80,65 +107,34 @@ _PRIORITY = (
     'graph_branch_replacement',
     'graph_branch_pruning',
     'graph_branch_projection',
-    # dedup (6)
+    # dedup flagships (6)
     'dedup_exact',
     'dedup_minhash_lsh',
     'dedup_connected_components',
     'dedup_simhash',
     'dedup_ngram_jaccard',
     'dedup_embedding_cosine',
-    # similarity / ANN (5)
+    # ANN flagships (3)
     'ann_bruteforce_topk',
     'ann_ivf_blocked_topk',
     'ann_rp_lsh_topk',
-    'explode_outer_long_tokens',
-    'explode_embedding_components',
-    # text analysis (12)
-    'text_token_stats',
-    'text_quality_score',
-    'text_language_id',
-    'text_fingerprint',
-    'pipeline_training_data',
-    'text_chunking',
-    'text_greedy_packing',
-    'text_tfidf_top_terms',
-    'text_token_count_pandas_udf',
-    'text_zscore_by_lang',
-    'text_bpe_token_count',
-    'text_sentences_udtf',
-    # events (11)
-    'events_hourly_agg',
-    'events_sessionization',
-    'events_sliding_windows',
-    'events_asof_join',
-    'events_pivot_type_counts',
-    'events_consecutive_errors',
-    'events_retention_cohorts',
-    'events_funnel_3step',
-    'events_gap_fill',
-    'events_multi_grain_rollup',
-    'events_json_extract',
     # streaming restatements (3)
     'stream_tumbling_hourly',
     'stream_session_windows',
     'stream_view_click_join',
-    # multimodal representatives (2; frame_sample/audio_features follow at 51+)
+    # multimodal representatives (2)
     'multimodal_image_metadata',
     'multimodal_decode_stats',
-    # round-1's only red gate row, now oracle-backed (1) — total 50
+    # text/pipeline flagships + as-of join + HLL — total 50
+    'pipeline_training_data',
+    'text_greedy_packing',
+    'text_chunking',
+    'text_token_count_pandas_udf',
+    'text_sentences_udtf',
+    'events_asof_join',
     'approx_count_distinct_hll',
-    # positions 51-52: remaining multimodal (oracle-exact since round 1,
-    # re-verified locally by tests/oracle_check.py at 3 SFs)
-    'multimodal_frame_sample',
-    'multimodal_audio_features',
-    # positions 53+: round-2 additions (all oracle-exact at 3 SFs locally),
-    # ordered so a wider driver window picks up the new flagships first
-    'ann_ivf_kmeans_topk',
-    'text_gopher_repetition',
-    'text_decontamination',
-    'text_importance_sampling',
-    'pipeline_clean_corpus',
-    'approx_percentile_bounds',
+    # positions 51+: driver-green in r1/r2 and unchanged; ordered so a wider
+    # window re-covers the relational/TPC-H surface first
 )
 
 

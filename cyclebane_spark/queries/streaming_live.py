@@ -9,6 +9,7 @@ from __future__ import annotations
 from ..streaming.windows import (
     events_stream,
     run_to_memory,
+    running_user_counters,
     session_windows,
     tumbling_hourly,
 )
@@ -62,6 +63,38 @@ def stream_session_windows(spark, sf_dir):
     """Streaming session_window == batch gap-based sessionization."""
     return run_to_memory(
         session_windows(events_stream(spark, sf_dir)), output_mode='complete'
+    )
+
+
+@register(
+    'stream_stateful_counters',
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_counters(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) == batch
+    GROUP BY counts.
+
+    The counters are integers, so the running state is exact whatever the
+    arrival/batch order; the final emission per key equals the batch
+    aggregate. The max() post-aggregation collapses the one-row-per-batch
+    update stream to the final value per user — counters are monotone, so
+    this is exact even if the file source ever splits the backlog into
+    multiple micro-batches.
+    """
+    import pyspark.sql.functions as F
+
+    out = run_to_memory(
+        running_user_counters(events_stream(spark, sf_dir)),
+        output_mode='update',
+    )
+    return out.groupBy('user_id').agg(
+        F.max('n_events').alias('n_events'),
+        F.max('n_clicks').alias('n_clicks'),
     )
 
 

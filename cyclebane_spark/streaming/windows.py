@@ -187,6 +187,42 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_counters(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState with PURE INTEGER
+    state: running per-user event and click counts, emitted on every update.
+
+    The integer-only twin of :func:`running_user_totals` used by the
+    correctness gate — integer accumulation is associative and exact, so the
+    final counters hash-match a batch GROUP BY regardless of arrival order
+    or batch boundaries (float running totals would drift in the low bits).
+    Scale: one shuffle on the key; state is two longs per distinct user.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, clicks = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            clicks += int((pdf['event_type'] == 'click').sum())
+        state.update((n, clicks))
+        yield pd.DataFrame(
+            {'user_id': [key[0]], 'n_events': [n], 'n_clicks': [clicks]}
+        )
+
+    return (
+        stream.select('user_id', 'event_type')
+        .groupBy('user_id')
+        .applyInPandasWithState(
+            update,
+            outputStructType='user_id long, n_events long, n_clicks long',
+            stateStructType='n long, clicks long',
+            outputMode='update',
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     """The same running per-user counters on Spark 4's transformWithState
     API — typed per-key ValueState instead of a single opaque tuple.
@@ -195,6 +231,13 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     composable named state variables (value/list/map), timers, TTL, and
     initial-state bootstrap. Same scale shape: one shuffle on the key, state
     store holds O(distinct keys).
+
+    Documented-optional in this container: the tWS state protocol speaks
+    protobuf (`google.protobuf`), which is not installed and cannot be.
+    Plan construction and output schema are tested; execution parity is
+    carried by the applyInPandasWithState twin
+    (:func:`running_user_counters`), which is a driver-gated query with an
+    exact oracle (``stream_stateful_counters``).
     """
     import pandas as pd
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle

@@ -39,7 +39,13 @@ _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    # Entries for stopped sessions can never be handed out again (their
+    # applicationId no longer matches) — drop them so plans don't accumulate
+    # for the process lifetime across session restarts.
+    for k in [k for k in _RELATION_CACHE if k[0] != app_id]:
+        del _RELATION_CACHE[k]
+    key = (app_id, sf_dir, name)
     df = _RELATION_CACHE.get(key)
     if df is None:
         if name == 'events':
@@ -47,6 +53,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         else:
             df = spark.read.parquet(f'{sf_dir}/{name}.parquet')
         _RELATION_CACHE[key] = df
+    elif name == 'events':
+        # The two session confs the events plan depends on are asserted in
+        # events_table on cache miss; intervening code could have un-pinned
+        # them since. Re-assert on the cached path — cheap idempotent sets.
+        spark.conf.set('spark.sql.legacy.parquet.nanosAsLong', 'true')
+        spark.conf.set('spark.sql.session.timeZone', 'UTC')
     return df
 
 

@@ -254,18 +254,40 @@ def test_gopher_gram_aggs_combine_map_side(spark):
     assert raw.count('partial_count') >= 2
 
 
+def _tree_depth(line: str) -> int:
+    """Offset of the operator name within a plan tree line (its depth)."""
+    return re.match(r'^[\s:+*|-]*', line).end()
+
+
+def subtrees_of(raw: str, op: str) -> list[str]:
+    """Every subtree rooted at a node whose line mentions ``op``, bounded by
+    indentation — not by a suffix slice of the plan string, which would leak
+    sibling subtrees printed after the node (r2 ADVICE)."""
+    lines = raw.splitlines()
+    found = []
+    for i, line in enumerate(lines):
+        if op in line:
+            d = _tree_depth(line)
+            sub = [line]
+            for nxt in lines[i + 1 :]:
+                if nxt.strip() and _tree_depth(nxt) <= d:
+                    break
+                sub.append(nxt)
+            found.append('\n'.join(sub))
+    return found
+
+
 def test_param_sweep_broadcasts_dim_side_not_fact_side(spark):
     """The cross join's build side must be the driver-backed param family,
     never the cluster-backed fact table: without the explicit hint the
     planner sees the createDataFrame side as unknown-size and broadcasts
     the PARQUET side — fatal at 100 TB."""
     raw = raw_plan_of(spark, 'graph_param_sweep_broadcast')
-    i = raw.find('BroadcastNestedLoopJoin')
-    assert i != -1
-    # The broadcast subtree (everything under the BroadcastExchange) must
-    # hold the in-memory param family, never the parquet scan.
-    b = raw.find('BroadcastExchange', i)
-    assert b != -1
-    broadcast_subtree = raw[b:]
-    assert 'FileScan parquet' not in broadcast_subtree
-    assert 'ExistingRDD' in broadcast_subtree
+    assert 'BroadcastNestedLoopJoin' in raw
+    subs = subtrees_of(raw, 'BroadcastExchange')
+    assert subs, raw
+    # NO broadcast subtree may hold the parquet scan, and the param family
+    # (driver-backed ExistingRDD) must be the thing broadcast.
+    for sub in subs:
+        assert 'FileScan parquet' not in sub, sub
+    assert any('ExistingRDD' in sub for sub in subs), raw

@@ -1,0 +1,82 @@
+"""Recall assertions for the trained-IVF ANN family.
+
+The exact quantized-space top-k (brute force over all (query, corpus) pairs)
+is the ground truth; probing more inverted lists must strictly improve
+recall@10 while keeping every returned neighbor's distance exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.select('query_id', 'neighbor_id').collect()}
+
+
+@pytest.fixture(scope='module')
+def ground_truth(spark, sf_dir):
+    """Exact top-10 by quantized L2 over the full corpus (no cells)."""
+    from cyclebane_spark.queries.similarity import (
+        KM_SCALE,
+        KM_TOPK,
+        N_QUERIES,
+        _spark_dot,
+    )
+    from cyclebane_spark.tables import table
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, 'embeddings')
+    qv = F.transform(
+        'embedding', lambda v: F.round(v.cast('double') * KM_SCALE, 0).cast('bigint')
+    )
+    n = emb.select('vec_id', qv.alias('qe'))
+    q = n.filter(F.col('vec_id') < N_QUERIES).alias('q')
+    c = n.filter(F.col('vec_id') >= N_QUERIES).alias('c')
+    diff = F.zip_with('q.qe', 'c.qe', lambda a, b: (a - b) * (a - b))
+    dist2 = F.aggregate(diff, F.lit(0).cast('bigint'), lambda acc, x: acc + x)
+    w = Window.partitionBy('query_id').orderBy('dist2', 'neighbor_id')
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            F.col('q.vec_id').alias('query_id'),
+            F.col('c.vec_id').alias('neighbor_id'),
+            dist2.alias('dist2'),
+        )
+        .withColumn('rk', F.row_number().over(w))
+        .filter(F.col('rk') <= KM_TOPK)
+        .collect()
+    )
+
+
+def test_nprobe2_strictly_improves_recall(spark, sf_dir, ground_truth):
+    from cyclebane_spark.queries.similarity import (
+        ann_ivf_kmeans_nprobe2,
+        ann_ivf_kmeans_topk,
+    )
+
+    truth = {(r.query_id, r.neighbor_id) for r in ground_truth}
+    got1 = _pairs(ann_ivf_kmeans_topk(spark, sf_dir))
+    got2 = _pairs(ann_ivf_kmeans_nprobe2(spark, sf_dir))
+    recall1 = len(got1 & truth) / len(truth)
+    recall2 = len(got2 & truth) / len(truth)
+    # nprobe=1 candidates are a subset of nprobe=2's (same quantizer, one
+    # more probed cell), so recall can only go up; assert it strictly does
+    # on this corpus (0.26 -> 0.52 at sf0.001, 0.24 -> 0.48 at sf0.01).
+    assert recall2 > recall1, (recall1, recall2)
+
+
+def test_ivf_distances_are_exact(spark, sf_dir, ground_truth):
+    """Every neighbor the IVF returns carries the same quantized distance
+    the brute-force path computes — the cell restriction changes WHICH
+    pairs are scored, never the score."""
+    from cyclebane_spark.queries.similarity import ann_ivf_kmeans_nprobe2
+
+    truth_d = {(r.query_id, r.neighbor_id): r.dist2 for r in ground_truth}
+    got = ann_ivf_kmeans_nprobe2(spark, sf_dir).collect()
+    overlap = [r for r in got if (r.query_id, r.neighbor_id) in truth_d]
+    assert overlap, 'IVF found none of the true top-k'
+    for r in overlap:
+        assert r.dist2 == truth_d[(r.query_id, r.neighbor_id)]

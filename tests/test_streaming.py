@@ -143,46 +143,29 @@ def test_transform_with_state_plan_constructs(spark, stream):
     )
 
 
-def test_transform_with_state_matches_batch(spark, stream):
-    """Same counters through Spark 4's transformWithState (typed ValueState):
-    final per-user state equals the batch aggregate."""
-    # the transformWithState state protocol speaks protobuf; gate on it
-    pytest.importorskip('google.protobuf.descriptor')
-    from cyclebane_spark.streaming.windows import running_user_totals_tws
+def test_running_user_counters_match_batch_exactly(spark, stream):
+    """The integer-state twin (the driver-gated ``stream_stateful_counters``
+    exercise): final counters EQUAL the batch GROUP BY — no float tolerance
+    needed, integer accumulation is exact in any arrival order."""
+    from cyclebane_spark.streaming.windows import running_user_counters
 
-    # transformWithState requires the RocksDB state store
-    key = 'spark.sql.streaming.stateStore.providerClass'
-    prev = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        'org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider',
+    got = run_to_memory(running_user_counters(stream), output_mode='update')
+    final = (
+        got.groupBy('user_id')
+        .agg(F.max('n_events').alias('n'), F.max('n_clicks').alias('c'))
+        .collect()
     )
-    try:
-        got = run_to_memory(
-            running_user_totals_tws(stream), output_mode='update'
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-    final = {}
-    for r in got.collect():
-        prev = final.get(r.user_id)
-        if prev is None or r.n_events > prev[0]:
-            final[r.user_id] = (r.n_events, r.total_value)
     expected = {
-        r.user_id: (r.n, r.total)
+        r.user_id: (r.n, r.c)
         for r in _batch_events(spark)
         .groupBy('user_id')
-        .agg(F.count(F.lit(1)).alias('n'), F.sum('value').alias('total'))
+        .agg(
+            F.count(F.lit(1)).alias('n'),
+            F.sum((F.col('event_type') == 'click').cast('long')).alias('c'),
+        )
         .collect()
     }
-    assert set(final) == set(expected)
-    for uid, (n, total) in final.items():
-        en, etotal = expected[uid]
-        assert n == en
-        assert total == pytest.approx(etotal, rel=1e-9)
+    assert {r.user_id: (r.n, r.c) for r in final} == expected
 
 
 def test_view_click_join_matches_batch_interval_join(spark, stream):
