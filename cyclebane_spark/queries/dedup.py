@@ -159,10 +159,13 @@ def _minhash_bands(docs):
     (and therefore candidate pairs) match the oracle exactly.
 
     Signatures are computed per document with array higher-order functions
-    (shingle array -> (h1, h2) word array -> 16 perm-mins) — one narrow
-    projection, NO shingle explode and NO signature shuffle. The md5 runs
-    once per shingle; each permutation is one multiply-add-mod over the
-    cached words, so widening N_PERM costs arithmetic, not hashing.
+    (shingle array -> (h1, h2) word array -> one F.aggregate fold carrying
+    all 16 running mins in a struct accumulator) — one narrow projection,
+    NO shingle explode and NO signature shuffle. The md5 runs once per
+    shingle; the single fold replaces 16 separate array traversals
+    (array HOFs are interpreted per element, so traversal count — not
+    arithmetic — was the hot cost: ~30% of the query at sf0.1), so
+    widening N_PERM costs arithmetic, not passes over the array.
     """
     sh = docs.select('doc_id', _spark_shingles(3).alias('sh'))
 
@@ -173,18 +176,27 @@ def _minhash_bands(docs):
             F.conv(F.substring(m, 9, 8), 16, 10).cast('bigint').alias('h2'),
         )
 
-    # NB: factories, not `lambda t, p=p`: a 2-arg lambda makes F.transform
-    # pass the array index as the second argument.
-    def _perm(p: int):
-        return lambda t: (t['h1'] + F.lit(p) * t['h2']) % F.lit(_PERM_MOD)
-
     words = sh.select('doc_id', F.transform('sh', _h12).alias('hs'))
+    # Fold once over the word array, keeping 16 running minima. The
+    # accumulator init is > the 2^32 max perm value, so the first element
+    # always wins; empty shingle arrays keep the sentinel (they cannot occur
+    # for this corpus — every doc has >= 3 tokens — and the previous
+    # array_min formulation yielded NULLs there, equally out-of-band).
+    init = F.struct(
+        *[F.lit(_PERM_MOD + 1).cast('bigint').alias(f'm{p}') for p in range(N_PERM)]
+    )
+
+    def _step(acc, w):
+        perm = lambda p: (w['h1'] + F.lit(p) * w['h2']) % F.lit(_PERM_MOD)  # noqa: E731
+        return F.struct(
+            *[F.least(acc[f'm{p}'], perm(p)).alias(f'm{p}') for p in range(N_PERM)]
+        )
+
     sig = words.select(
         'doc_id',
-        *[
-            F.array_min(F.transform('hs', _perm(p))).alias(f'h{p}')
-            for p in range(N_PERM)
-        ],
+        F.aggregate('hs', init, _step).alias('s'),
+    ).select(
+        'doc_id', *[F.col(f's.m{p}').alias(f'h{p}') for p in range(N_PERM)]
     )
     band_cols = [
         F.md5(
