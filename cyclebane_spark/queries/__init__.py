@@ -96,6 +96,9 @@ _PRIORITY = (
     'text_packing_two_level',
     'ann_ivf_kmeans_nprobe2',
     'stream_stateful_counters',
+    'q2_min_cost_supplier',
+    'q11_important_parts',
+    'q16_supplier_part_counts',
     # SURVEY §2.1 graph algebra block — keep continuously driver-verified (10)
     'graph_map_reduce_all',
     'graph_map_reduce_partial',
@@ -125,10 +128,7 @@ _PRIORITY = (
     # multimodal representatives (2)
     'multimodal_image_metadata',
     'multimodal_decode_stats',
-    # text/pipeline flagships + as-of join + HLL — total 50
-    'pipeline_training_data',
-    'text_greedy_packing',
-    'text_chunking',
+    # UDF/UDTF + as-of join + HLL representatives — total 50
     'text_token_count_pandas_udf',
     'text_sentences_udtf',
     'events_asof_join',

@@ -873,3 +873,231 @@ def stats_exact_moments(spark, sf_dir):
             / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
         ).alias('corr_qty_price'),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: minimum-cost supplier. The testdata star schema has no
+# partsupp table, so the (part, supplier) unit cost is derived from lineitem
+# (min observed l_extendedprice / l_quantity per pair) — the correlated-MIN
+# subquery shape is identical. Scale: the region/nation dims broadcast into
+# the supplier filter, the per-pair and per-part MINs are partial-aggregable
+# hash aggs on the join keys, and the equality join back to the per-part MIN
+# reuses the same key partitioning (no extra shuffle under AQE exchange
+# reuse). The unit cost is a single IEEE divide of identical operands in
+# both engines, so MIN and the equality compare are exact cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q2_min_cost_supplier',
+    oracle="""
+    WITH eu_supp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p_partkey, p_type FROM part
+        WHERE p_size <= 15 AND p_type = 'LARGE'
+    ),
+    cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        JOIN eu_supp ON l_suppkey = s_suppkey
+        JOIN cand ON l_partkey = p_partkey
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, MIN(unit_cost) AS min_cost
+        FROM cost GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, s.n_name,
+           c.l_partkey AS p_partkey, cand.p_type, c.unit_cost
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.min_cost
+    JOIN eu_supp s ON c.l_suppkey = s.s_suppkey
+    JOIN cand ON c.l_partkey = cand.p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE suppliers
+    offering the minimum unit cost (correlated MIN decorrelated to an
+    aggregate + equality join-back)."""
+    li = table(spark, sf_dir, 'lineitem')
+    supp = table(spark, sf_dir, 'supplier')
+    nation = table(spark, sf_dir, 'nation')
+    region = table(spark, sf_dir, 'region')
+    part = table(spark, sf_dir, 'part')
+
+    eu_supp = (
+        supp.join(
+            F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(region.filter(F.col('r_name') == 'EUROPE')),
+            F.col('n_regionkey') == F.col('r_regionkey'),
+        )
+        .select('s_suppkey', 's_name', 's_acctbal', 'n_name')
+    )
+    cand = part.filter(
+        (F.col('p_size') <= 15) & (F.col('p_type') == 'LARGE')
+    ).select('p_partkey', 'p_type')
+    cost = (
+        li.join(F.broadcast(eu_supp.select('s_suppkey')), li.l_suppkey == F.col('s_suppkey'))
+        .join(F.broadcast(cand.select('p_partkey')), li.l_partkey == F.col('p_partkey'))
+        .groupBy('l_partkey', 'l_suppkey')
+        .agg(F.min(F.col('l_extendedprice') / F.col('l_quantity')).alias('unit_cost'))
+        .alias('cost')
+    )
+    best = (
+        cost.groupBy('l_partkey')
+        .agg(F.min('unit_cost').alias('min_cost'))
+        .select(F.col('l_partkey').alias('b_partkey'), 'min_cost')
+    )
+    return (
+        cost.join(
+            best,
+            (F.col('cost.l_partkey') == F.col('b_partkey'))
+            & (F.col('cost.unit_cost') == F.col('min_cost')),
+        )
+        .join(F.broadcast(eu_supp), F.col('cost.l_suppkey') == F.col('s_suppkey'))
+        .join(F.broadcast(cand), F.col('cost.l_partkey') == F.col('p_partkey'))
+        .select(
+            's_acctbal',
+            's_name',
+            'n_name',
+            F.col('cost.l_partkey').alias('p_partkey'),
+            'p_type',
+            'unit_cost',
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: parts whose value concentration inside one nation exceeds
+# a fraction of the nation's total (GROUP BY ... HAVING > scalar subquery).
+# No partsupp table -> value is the nation's lineitem revenue per part.
+# Exactness: revenue has exactly 4 decimals (2-decimal price x 2-decimal
+# discount), so everything is summed as integer ten-thousandths in
+# DECIMAL(38,0) — the group values, the grand total, and the threshold
+# compare are all exact; the only doubles are final identical-operand
+# divides. Scale: one shuffle for the per-part agg; the grand total reuses
+# the SAME aggregated rows (not a second corpus scan) and broadcasts back.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q11_important_parts',
+    oracle="""
+    WITH nat_li AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT) AS v4
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+    ),
+    per_part AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(SUM(CAST(v4 AS DECIMAL(38,0))) AS BIGINT) AS v4_sum
+        FROM nat_li GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(v4_sum AS DECIMAL(38,0))) AS BIGINT) AS v4_tot,
+               COUNT(*) AS n_parts
+        FROM per_part
+    )
+    SELECT p_partkey, CAST(v4_sum AS DOUBLE) / 10000.0 AS value
+    FROM per_part, tot
+    WHERE CAST(v4_sum AS DOUBLE)
+          > 2.0 * (CAST(v4_tot AS DOUBLE) / CAST(n_parts AS DOUBLE))
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value within one nation, kept where it
+    exceeds 2x the mean part value (HAVING vs broadcast scalar). The
+    threshold is relative to the mean rather than Q11's fixed fraction so
+    the selectivity is scale-invariant (the classic query scales its
+    fraction by 1/SF by hand)."""
+    li = table(spark, sf_dir, 'lineitem')
+    supp = table(spark, sf_dir, 'supplier')
+    nation = table(spark, sf_dir, 'nation')
+
+    nat_supp = supp.join(
+        F.broadcast(nation.filter(F.col('n_name') == 'NATION_3')),
+        supp.s_nationkey == F.col('n_nationkey'),
+    ).select('s_suppkey')
+    v4 = F.round(
+        F.col('l_extendedprice') * (1 - F.col('l_discount')) * 10000, 0
+    ).cast('bigint')
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col('s_suppkey'))
+        .select(F.col('l_partkey').alias('p_partkey'), v4.alias('v4'))
+        .groupBy('p_partkey')
+        .agg(F.sum(F.col('v4').cast('decimal(38,0)')).cast('bigint').alias('v4_sum'))
+    )
+    tot = per_part.agg(
+        F.sum(F.col('v4_sum').cast('decimal(38,0)')).cast('bigint').alias('v4_tot'),
+        F.count(F.lit(1)).alias('n_parts'),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col('v4_sum').cast('double')
+            > 2.0 * (F.col('v4_tot').cast('double') / F.col('n_parts').cast('double'))
+        )
+        .select(
+            'p_partkey', (F.col('v4_sum').cast('double') / 10000.0).alias('value')
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct-supplier counts per part attribute group with a
+# NOT IN supplier exclusion. No partsupp -> the (part, supplier) relation is
+# the distinct pairs observed in lineitem. Scale: the excluded-supplier list
+# is a broadcast anti-join (NOT IN with non-nullable keys == left_anti); the
+# distinct count shuffles once on the group keys after a map-side distinct
+# of (brand, size, suppkey).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q16_supplier_part_counts',
+    oracle="""
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#19' AND p_type <> 'PROMO'
+      AND p_size IN (1, 14, 23, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct (non-excluded) suppliers serve
+    each (brand, size) bucket of qualifying parts."""
+    li = table(spark, sf_dir, 'lineitem')
+    part = table(spark, sf_dir, 'part')
+    supp = table(spark, sf_dir, 'supplier')
+
+    cand = part.filter(
+        (F.col('p_brand') != 'Brand#19')
+        & (F.col('p_type') != 'PROMO')
+        & F.col('p_size').isin(1, 14, 23, 45)
+    ).select('p_partkey', 'p_brand', 'p_size')
+    excluded = supp.filter(F.col('s_acctbal') < 1000).select('s_suppkey')
+    return (
+        li.join(F.broadcast(cand), li.l_partkey == F.col('p_partkey'))
+        .join(
+            F.broadcast(excluded), li.l_suppkey == F.col('s_suppkey'), 'left_anti'
+        )
+        .groupBy('p_brand', 'p_size')
+        .agg(F.countDistinct('l_suppkey').alias('supplier_cnt'))
+    )
