@@ -96,6 +96,8 @@ _PRIORITY = (
     'text_packing_two_level',
     'ann_ivf_kmeans_nprobe2',
     'stream_stateful_counters',
+    'stream_sliding_windows',
+    'stream_dedup_exact',
     'q2_min_cost_supplier',
     'q11_important_parts',
     'q16_supplier_part_counts',
@@ -110,12 +112,11 @@ _PRIORITY = (
     'graph_branch_replacement',
     'graph_branch_pruning',
     'graph_branch_projection',
-    # dedup flagships (6)
+    # dedup flagships (4; simhash/ngram-jaccard are r2-green and unchanged,
+    # re-verified locally each session below position 50)
     'dedup_exact',
     'dedup_minhash_lsh',
     'dedup_connected_components',
-    'dedup_simhash',
-    'dedup_ngram_jaccard',
     'dedup_embedding_cosine',
     # ANN flagships (3)
     'ann_bruteforce_topk',

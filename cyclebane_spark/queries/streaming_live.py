@@ -7,10 +7,12 @@ oracles instead of rows-only checks.
 from __future__ import annotations
 
 from ..streaming.windows import (
+    dedup_stream,
     events_stream,
     run_to_memory,
     running_user_counters,
     session_windows,
+    sliding_windows,
     tumbling_hourly,
 )
 from . import register
@@ -64,6 +66,49 @@ def stream_session_windows(spark, sf_dir):
     return run_to_memory(
         session_windows(events_stream(spark, sf_dir)), output_mode='complete'
     )
+
+
+@register(
+    'stream_sliding_windows',
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               TIMESTAMP '1970-01-01 00:00:00' + to_seconds(
+                   ((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800) - k.k * 1800
+               ) AS window_start
+        FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_windows(spark, sf_dir):
+    """Streaming sliding-window rollup == the batch sliding-window rollup
+    (same oracle as ``events_sliding_windows``)."""
+    return run_to_memory(
+        sliding_windows(events_stream(spark, sf_dir)), output_mode='complete'
+    )
+
+
+@register(
+    'stream_dedup_exact',
+    oracle="""
+    SELECT DISTINCT user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup_exact(spark, sf_dir):
+    """Streaming exact dedup (watermarked dropDuplicates) == batch DISTINCT.
+
+    Only the dedup KEY columns are projected: which physical row survives
+    depends on arrival order, but the surviving key set is exactly the
+    distinct set — giving the streaming dedup operator a value-exact oracle
+    instead of a rows-only check. State is one entry per key within the
+    watermark horizon (bounded at any input volume).
+    """
+    out = run_to_memory(
+        dedup_stream(events_stream(spark, sf_dir)), output_mode='append'
+    )
+    return out.select('user_id', 'event_type', 'value')
 
 
 @register(

@@ -140,6 +140,22 @@ def session_windows(stream: DataFrame, gap: str = '30 minutes') -> DataFrame:
     )
 
 
+def sliding_windows(stream: DataFrame) -> DataFrame:
+    """Sliding 1h windows every 30 min — the streaming statement of
+    ``events_sliding_windows`` (each event lands in two windows; the window
+    assignment is a projection fan-out, the shuffle keys on window x type
+    exactly like the batch rollup)."""
+    return (
+        stream.groupBy(F.window('ts', '60 minutes', '30 minutes'), 'event_type')
+        .agg(F.count(F.lit(1)).alias('n_events'))
+        .select(
+            F.col('window.start').cast('timestamp_ntz').alias('window_start'),
+            'event_type',
+            'n_events',
+        )
+    )
+
+
 def dedup_stream(stream: DataFrame, *, within: str = '1 day') -> DataFrame:
     """Streaming exact dedup: drop repeated (user_id, event_type, value)
     tuples arriving within the watermark horizon.
