@@ -98,6 +98,7 @@ _PRIORITY = (
     'stream_stateful_counters',
     'stream_sliding_windows',
     'stream_dedup_exact',
+    'ann_pq_adc_topk',
     'q2_min_cost_supplier',
     'q11_important_parts',
     'q16_supplier_part_counts',
@@ -118,10 +119,9 @@ _PRIORITY = (
     'dedup_minhash_lsh',
     'dedup_connected_components',
     'dedup_embedding_cosine',
-    # ANN flagships (3)
+    # ANN flagships (2; rp_lsh is r2-green and unchanged, below 50)
     'ann_bruteforce_topk',
     'ann_ivf_blocked_topk',
-    'ann_rp_lsh_topk',
     # streaming restatements (3)
     'stream_tumbling_hourly',
     'stream_session_windows',

@@ -68,6 +68,18 @@ def test_nprobe2_strictly_improves_recall(spark, sf_dir, ground_truth):
     assert recall2 > recall1, (recall1, recall2)
 
 
+def test_pq_adc_recall_beats_chance(spark, sf_dir, ground_truth):
+    """PQ/ADC is lossy by design; assert it still recovers a substantial
+    fraction of the true top-k (recall@10 = 0.5 at sf0.001 with the shipped
+    M=16 x K=16 config; pure chance would be ~10/N ≈ 0.05)."""
+    from cyclebane_spark.queries.similarity import ann_pq_adc_topk
+
+    truth = {(r.query_id, r.neighbor_id) for r in ground_truth}
+    got = _pairs(ann_pq_adc_topk(spark, sf_dir))
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.3, recall
+
+
 def test_ivf_distances_are_exact(spark, sf_dir, ground_truth):
     """Every neighbor the IVF returns carries the same quantized distance
     the brute-force path computes — the cell restriction changes WHICH
