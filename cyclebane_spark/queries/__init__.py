@@ -99,6 +99,8 @@ _PRIORITY = (
     'stream_sliding_windows',
     'stream_dedup_exact',
     'ann_pq_adc_topk',
+    'approx_top_k_terms',
+    'graph_pagerank_neardup',
     'q2_min_cost_supplier',
     'q11_important_parts',
     'q16_supplier_part_counts',
@@ -122,13 +124,12 @@ _PRIORITY = (
     # ANN flagships (2; rp_lsh is r2-green and unchanged, below 50)
     'ann_bruteforce_topk',
     'ann_ivf_blocked_topk',
-    # streaming restatements (3)
-    'stream_tumbling_hourly',
+    # streaming restatements (2; tumbling_hourly is r2-green and unchanged)
     'stream_session_windows',
     'stream_view_click_join',
-    # multimodal representatives (2)
+    # multimodal representative (decode_stats is r2-green and unchanged;
+    # frame_sample/audio_features already hold positions 1-2)
     'multimodal_image_metadata',
-    'multimodal_decode_stats',
     # UDF/UDTF + as-of join + HLL representatives — total 50
     'text_token_count_pandas_udf',
     'text_sentences_udtf',

@@ -591,3 +591,107 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
         .filter(F.col('cosine') >= 0.35)
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup pair graph: ranks the "center" of each
+# duplicate cluster (high-degree boilerplate hubs score highest) — the
+# second iterative graph algorithm on the LSH candidate graph, alongside
+# connected components. Like the k-means family, everything runs in scaled
+# INTEGER arithmetic (scores are billionths, damping 0.85 applied as
+# *85 div 100, per-edge contributions floor-divided by degree), so three
+# unrolled iterations are bit-exact across engines — float PageRank would
+# drift in summation order. Scale: each iteration is one shuffle keyed on
+# the destination node (partial-aggregable sum of contributions) plus a
+# broadcastable node-count scalar; the edge list is the already-bucketed
+# LSH pair set, never all-pairs.
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000_000
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        _minhash_ctes()
+        + """,
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+    deg AS (SELECT s AS doc_id, COUNT(*) AS deg FROM edges GROUP BY s),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    p0 AS (
+        SELECT doc_id, CAST(%(scale)d // nn.n AS BIGINT) AS pr
+        FROM nodes, nn
+    )"""
+        % {'scale': PR_SCALE}
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            """p%(i)d AS (
+        SELECT nodes.doc_id,
+               CAST((%(scale)d // nn.n) * 15 // 100
+                    + 85 * COALESCE(cont.c, 0) // 100 AS BIGINT) AS pr
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.d AS doc_id,
+                   CAST(SUM(p.pr // deg.deg) AS BIGINT) AS c
+            FROM p%(prev)d p
+            JOIN deg ON p.doc_id = deg.doc_id
+            JOIN edges e ON e.s = p.doc_id
+            GROUP BY e.d
+        ) cont ON nodes.doc_id = cont.doc_id
+    )"""
+            % {'i': i, 'prev': i - 1, 'scale': PR_SCALE}
+        )
+    return (
+        ',\n    '.join(parts)
+        + f'\n    SELECT doc_id, pr FROM p{PR_ITERS}'
+    )
+
+
+@register('graph_pagerank_neardup', oracle=_pagerank_oracle())
+def graph_pagerank_neardup(spark, sf_dir):
+    """Integer-exact PageRank (3 unrolled iterations, damping 0.85) over
+    the symmetrized MinHash-LSH candidate graph. See the module note."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col('doc_a').alias('s'), F.col('doc_b').alias('d')
+    ).unionAll(pairs.select(F.col('doc_b').alias('s'), F.col('doc_a').alias('d')))
+    # The pair set feeds the edge list, degree table, AND every iteration's
+    # contribution join — persist once (same idiom as the k-means family).
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = edges.select(F.col('s').alias('doc_id')).distinct()
+    deg = edges.groupBy(F.col('s').alias('doc_id')).agg(
+        F.count(F.lit(1)).alias('deg')
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias('n'))
+
+    base = F.expr(f'({PR_SCALE} div n) * 15 div 100')
+    p = nodes.crossJoin(F.broadcast(nn)).select(
+        'doc_id', F.expr(f'{PR_SCALE} div n').alias('pr')
+    )
+    for _ in range(PR_ITERS):
+        cont = (
+            p.join(deg, 'doc_id')
+            .select('doc_id', F.expr('pr div deg').alias('share'))
+            .join(edges, F.col('doc_id') == F.col('s'))
+            .groupBy(F.col('d').alias('doc_id'))
+            .agg(F.sum('share').alias('c'))
+        )
+        p = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(cont, 'doc_id', 'left')
+            .select(
+                'doc_id',
+                (base + F.expr('85 * coalesce(c, 0) div 100'))
+                .cast('bigint')
+                .alias('pr'),
+            )
+        )
+    return p

@@ -1101,3 +1101,46 @@ def q16_supplier_part_counts(spark, sf_dir):
         .groupBy('p_brand', 'p_size')
         .agg(F.countDistinct('l_suppkey').alias('supplier_cnt'))
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate heavy hitters: approx_top_k (DataSketches frequent-items).
+# Gate contract mirrors the HLL query: on this corpus the 31-term vocabulary
+# is far below the sketch's tracked-item capacity, so every estimate is
+# provably exact and the oracle is plain GROUP BY counts — a deterministic
+# full-equality check of the sketch path. With a real (open) vocabulary the
+# counts degrade to bounded error and the contract would weaken to in-bounds
+# flags, exactly like the HLL row. Scale: the sketch is mergeable — partial
+# sketches combine map-side, one 1-row shuffle, no full term aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'approx_top_k_terms',
+    oracle=r"""
+    SELECT term, cnt, rk FROM (
+        SELECT term, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+        FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents
+        ) GROUP BY term
+    ) WHERE rk <= 40
+    """,
+)
+def approx_top_k_terms(spark, sf_dir):
+    """Top-40 corpus terms via the approx_top_k frequent-items sketch,
+    re-ranked deterministically by (count desc, term)."""
+    docs = table(spark, sf_dir, 'documents')
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('term')
+    )
+    sk = toks.agg(F.expr('approx_top_k(term, 40)').alias('tk'))
+    out = sk.select(F.explode('tk').alias('e')).select(
+        F.col('e.item').alias('term'), F.col('e.count').alias('cnt')
+    )
+    w = Window.orderBy(F.desc('cnt'), F.asc('term'))
+    return (
+        out.withColumn('rk', F.row_number().over(w).cast('long'))
+        .filter(F.col('rk') <= 40)
+    )
