@@ -101,6 +101,7 @@ _PRIORITY = (
     'ann_pq_adc_topk',
     'approx_top_k_terms',
     'graph_pagerank_neardup',
+    'multimodal_resize_pixels',
     'q2_min_cost_supplier',
     'q11_important_parts',
     'q16_supplier_part_counts',
@@ -115,12 +116,11 @@ _PRIORITY = (
     'graph_branch_replacement',
     'graph_branch_pruning',
     'graph_branch_projection',
-    # dedup flagships (4; simhash/ngram-jaccard are r2-green and unchanged,
-    # re-verified locally each session below position 50)
+    # dedup flagships (3; simhash/ngram-jaccard/embedding-cosine are
+    # r2-green and unchanged, re-verified locally each session below 50)
     'dedup_exact',
     'dedup_minhash_lsh',
     'dedup_connected_components',
-    'dedup_embedding_cosine',
     # ANN flagships (2; rp_lsh is r2-green and unchanged, below 50)
     'ann_bruteforce_topk',
     'ann_ivf_blocked_topk',

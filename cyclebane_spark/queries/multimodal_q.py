@@ -84,6 +84,46 @@ def multimodal_decode_stats(spark, sf_dir):
 
 
 @register(
+    'multimodal_resize_pixels',
+    oracle="""
+    SELECT doc_id,
+           4 AS width,
+           4 AS height,
+           16 AS n_pixels,
+           TRUE AS avg_in_bounds
+    FROM documents
+    """,
+)
+def multimodal_resize_pixels(spark, sf_dir):
+    """Decode + block-average resize to a 4x4 thumbnail grid (the
+    feature-extraction shape behind CLIP-style preprocessing), emitting the
+    pixel array through Arrow.
+
+    Contract mirrors ``multimodal_decode_stats``: the output grid shape and
+    pixel count are exact; the average of the 16 block means over >=16
+    uniform[0,1) pixels each lands in [0.4, 0.6] (>5 sigma, deterministic
+    because the stub decoder is seeded). Per-block values are asserted in
+    tests/test_multimodal.py. Scale: one mapInPandas pass, the full-res
+    pixel array lives only inside the executor batch; only the 16-double
+    thumbnail leaves.
+    """
+    from ..multimodal.media import resize_images
+
+    docs = table(spark, sf_dir, 'documents')
+    resized = resize_images(with_fake_images(docs), out_w=4, out_h=4)
+    avg = F.aggregate(
+        'pixels', F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size('pixels')
+    return resized.select(
+        'doc_id',
+        'width',
+        'height',
+        F.size('pixels').alias('n_pixels'),
+        avg.between(0.4, 0.6).alias('avg_in_bounds'),
+    )
+
+
+@register(
     'multimodal_frame_sample',
     oracle="""
     SELECT doc_id,
