@@ -291,3 +291,38 @@ def test_param_sweep_broadcasts_dim_side_not_fact_side(spark):
     for sub in subs:
         assert 'FileScan parquet' not in sub, sub
     assert any('ExistingRDD' in sub for sub in subs), raw
+
+
+def test_two_level_packing_level1_window_is_shard_partitioned(spark):
+    """Level-1 cumsum must partition by shard (parallel); only the
+    constant-size level-2 remainder merge may run single-partition."""
+    raw = raw_plan_of(spark, 'text_packing_two_level')
+    assert 'Window' in raw
+    # the shard-partitioned window sorts within hashpartitioning(shard...)
+    import re as _re
+
+    assert _re.search(r'hashpartitioning\(shard', raw), raw
+
+
+def test_pq_adc_broadcasts_distance_table_and_reads_cache(spark):
+    """The query distance table must broadcast (corpus codes never shuffle
+    for the ADC join) and the quantized explode must be served from the
+    persisted table, not repeated parquet scans."""
+    raw = raw_plan_of(spark, 'ann_pq_adc_topk')
+    assert 'BroadcastExchange' in raw
+    assert raw.count('InMemoryTableScan') + raw.count('TableCacheQueryStage') >= 4
+
+
+def test_pagerank_aggregates_contributions_map_side(spark):
+    """Each PageRank iteration's contribution sum must show a partial
+    aggregate before its exchange, and the node-count scalar must be a
+    broadcast (1-row) — never a shuffled join."""
+    raw = raw_plan_of(spark, 'graph_pagerank_neardup')
+    assert raw.count('partial_sum') >= 3  # one per unrolled iteration
+    assert 'BroadcastNestedLoopJoin' in raw  # nn scalar cross join
+
+
+def test_q16_excluded_suppliers_join_is_broadcast_anti(spark):
+    raw = raw_plan_of(spark, 'q16_supplier_part_counts')
+    assert 'LeftAnti' in raw
+    assert 'BroadcastExchange' in raw

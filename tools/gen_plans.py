@@ -109,6 +109,26 @@ NOTES = {
         'benchmark gram side broadcast — the corpus side never shuffles for',
         'the overlap join; per-doc counts partial-aggregate on doc_id',
     ],
+    'ann_pq_adc_topk': [
+        'all 16 subspace codebooks train in one grouped plan (sub is a',
+        'column); the Q x M x K query distance table broadcasts into the',
+        'codes scan — raw vectors never re-read after encoding',
+    ],
+    'graph_pagerank_neardup': [
+        'each iteration: one shuffle keyed on the destination node with',
+        'map-side partial sums; the node-count scalar is a 1-row broadcast;',
+        'integer arithmetic keeps every step in codegen',
+    ],
+    'text_packing_two_level': [
+        'level-1 cumsum window partitions BY SHARD (parallel, no global',
+        'sort); level-2 orders only the per-shard remainder bins —',
+        'constant-size at any corpus scale',
+    ],
+    'q2_min_cost_supplier': [
+        'region/nation/candidate dims broadcast into the lineitem scan;',
+        'per-pair and per-part MINs are partial-aggregable hash aggs on the',
+        'same keys (exchange reuse under AQE)',
+    ],
 }
 
 # Non-headline queries whose plan shape is load-bearing enough to publish.
@@ -126,6 +146,10 @@ EXTRA = (
     'ann_ivf_kmeans_topk',
     'text_gopher_repetition',
     'text_decontamination',
+    'ann_pq_adc_topk',
+    'graph_pagerank_neardup',
+    'text_packing_two_level',
+    'q2_min_cost_supplier',
 )
 
 
@@ -141,6 +165,16 @@ def compact(plan: str) -> str:
             continue
         line = re.sub(r'(transform|lambdafunction|array_distinct|sequence)\([^\n]{60,}', r'\1(…)', line)
         out.append(line)
+    # Iterative queries (unrolled k-means / PageRank) repeat the same
+    # subtree per iteration — publish the top of the plan (ranking +
+    # final iteration), elide the repetition.
+    if len(out) > 90:
+        kept = out[:70]
+        kept.append(
+            f'   … ({len(out) - 70} more lines: unrolled iterations '
+            'repeat the subtree shape above)'
+        )
+        out = kept
     return '\n'.join(out)
 
 
