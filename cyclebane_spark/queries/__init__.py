@@ -102,6 +102,7 @@ _PRIORITY = (
     'approx_top_k_terms',
     'graph_pagerank_neardup',
     'multimodal_resize_pixels',
+    'pipeline_embedding_clusters',
     'q2_min_cost_supplier',
     'q11_important_parts',
     'q16_supplier_part_counts',
@@ -130,8 +131,9 @@ _PRIORITY = (
     # multimodal representative (decode_stats is r2-green and unchanged;
     # frame_sample/audio_features already hold positions 1-2)
     'multimodal_image_metadata',
-    # UDF/UDTF + as-of join + HLL representatives — total 50
-    'text_token_count_pandas_udf',
+    # UDTF + as-of join + HLL representatives — total 50 (the pandas-UDF
+    # token count is r2-green and unchanged; graph_pandas_udaf_median keeps
+    # the pandas-UDF path in-window)
     'text_sentences_udtf',
     'events_asof_join',
     'approx_count_distinct_hll',

@@ -349,31 +349,26 @@ def _cc_oracle() -> str:
     )
 
 
-@register('dedup_connected_components', oracle=_cc_oracle())
-def dedup_connected_components(spark, sf_dir):
-    """Duplicate clusters: connected components over the MinHash-LSH
-    candidate pairs; every document is labeled with the min doc_id of its
-    component — the canonical keep-one-per-cluster id of a dedup pipeline.
-
-    Iterative min-label propagation (the standard distributed CC loop; cf.
-    the large-star/small-star algorithm for billion-edge graphs): each round
-    joins labels to the symmetrized edge list, takes the min of own and
-    neighbor labels, and stops when a round changes nothing. Rounds needed =
-    cluster diameter — tiny for near-dup clusters. localCheckpoint()
-    truncates the per-round lineage growth; on a real cluster this would be
-    checkpoint() to durable storage so failures don't replay all rounds.
-    The convergence check piggybacks on the checkpoint job as an observe()
-    metric — ONE job per round, no second scan of the labels.
-    The oracle is the same computation as a DuckDB recursive CTE.
+def _connected_components(pairs, nodes, a: str, b: str, node_col: str):
+    """Min-label propagation over an undirected pair list (the standard
+    distributed CC loop; cf. the large-star/small-star algorithm for
+    billion-edge graphs): each round joins labels to the symmetrized edge
+    list, takes the min of own and neighbor labels, and stops when a round
+    changes nothing. Rounds needed = cluster diameter — tiny for near-dup
+    clusters. localCheckpoint() truncates the per-round lineage growth; on
+    a real cluster this would be checkpoint() to durable storage so
+    failures don't replay all rounds. The convergence check piggybacks on
+    the checkpoint job as an observe() metric — ONE job per round, no
+    second scan of the labels. Returns (node_col, cluster_id) with
+    cluster_id = min node id of the component.
     """
     from pyspark.sql import Observation
 
-    pairs = _minhash_pairs(spark, sf_dir)
-    fwd = pairs.select(F.col('doc_a').alias('s'), F.col('doc_b').alias('d'))
-    rev = pairs.select(F.col('doc_b').alias('s'), F.col('doc_a').alias('d'))
+    fwd = pairs.select(F.col(a).alias('s'), F.col(b).alias('d'))
+    rev = pairs.select(F.col(b).alias('s'), F.col(a).alias('d'))
     edges = fwd.union(rev).localCheckpoint()
-    labels = table(spark, sf_dir, 'documents').select(
-        'doc_id', F.col('doc_id').alias('cluster_id')
+    labels = nodes.select(
+        F.col(node_col).alias('doc_id'), F.col(node_col).alias('cluster_id')
     )
     for _ in range(25):
         nb = (
@@ -407,7 +402,20 @@ def dedup_connected_components(spark, sf_dir):
         labels = new
         if obs.get['n_changed'] == 0:
             break
-    return labels
+    return labels.select(F.col('doc_id').alias(node_col), 'cluster_id')
+
+
+@register('dedup_connected_components', oracle=_cc_oracle())
+def dedup_connected_components(spark, sf_dir):
+    """Duplicate clusters: connected components over the MinHash-LSH
+    candidate pairs; every document is labeled with the min doc_id of its
+    component — the canonical keep-one-per-cluster id of a dedup pipeline.
+    See :func:`_connected_components` for the loop's scale design; the
+    oracle is the same computation as a DuckDB recursive CTE.
+    """
+    pairs = _minhash_pairs(spark, sf_dir)
+    nodes = table(spark, sf_dir, 'documents').select('doc_id')
+    return _connected_components(pairs, nodes, 'doc_a', 'doc_b', 'doc_id')
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -695,3 +703,62 @@ def graph_pagerank_neardup(spark, sf_dir):
             )
         )
     return p
+
+
+# ---------------------------------------------------------------------------
+# Composed embedding pipeline: cosine near-dup pairs -> connected components
+# -> per-cluster stats, ONE lazy plan per stage family. The embeddings
+# counterpart of pipeline_clean_corpus: demonstrates that the dedup
+# machinery (pair generation, CC labeling) composes across modalities — the
+# cluster table is exactly what an embedding-dedup job materializes before
+# keeping one representative per cluster. Scale: the pair join is label-
+# blocked (never all-pairs), CC shuffles per round on node id, and the
+# final stats are one hash agg on cluster_id.
+# ---------------------------------------------------------------------------
+
+
+def _embedding_clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE n AS (
+        SELECT vec_id, label, embedding,
+               sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ({SQL_DOT.format(a='a.embedding', b='b.embedding')}
+               / (a.nrm * b.nrm)) >= 0.35
+    ),
+    edges AS (
+        SELECT vec_a AS s, vec_b AS d FROM pairs
+        UNION ALL
+        SELECT vec_b AS s, vec_a AS d FROM pairs
+    ),
+    reach(vec_id, other) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.vec_id, e.d FROM reach r JOIN edges e ON r.other = e.s
+    ),
+    labels AS (
+        SELECT vec_id, MIN(other) AS cluster_id FROM reach GROUP BY vec_id
+    )
+    SELECT cluster_id,
+           COUNT(*) AS n_members,
+           CAST(MAX(vec_id) AS BIGINT) AS max_vec
+    FROM labels GROUP BY cluster_id
+    """
+
+
+@register('pipeline_embedding_clusters', oracle=_embedding_clusters_oracle())
+def pipeline_embedding_clusters(spark, sf_dir):
+    """Embedding near-dup clustering end to end: label-blocked cosine pairs
+    (>= 0.35) -> min-label connected components -> cluster size table keyed
+    by the representative (min) vec_id. See the module note."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select('vec_a', 'vec_b')
+    nodes = table(spark, sf_dir, 'embeddings').select('vec_id')
+    labels = _connected_components(pairs, nodes, 'vec_a', 'vec_b', 'vec_id')
+    return labels.groupBy('cluster_id').agg(
+        F.count(F.lit(1)).alias('n_members'),
+        F.max('vec_id').alias('max_vec'),
+    )
