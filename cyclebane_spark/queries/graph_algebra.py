@@ -234,9 +234,11 @@ def graph_slice_loc(spark, sf_dir):
 def graph_slice_positional(spark, sf_dir):
     """True positional slicing of a Spark-backed dim (by_position parity).
 
-    Compiles to a row_number window over the index order — correct
-    positional semantics; the docstring on SparkColumn.islice notes the
-    global sort makes label slicing (graph.loc) the 100 TB path.
+    Compiles to the bucketed two-level rank (SparkColumn._with_position):
+    bucket-partitioned row_number windows sort in parallel and the
+    bucket-start offsets broadcast — no single-reducer sort of the table,
+    so the positional path now scales alongside label slicing (graph.loc,
+    the pushdown path).
     """
     docs = table(spark, sf_dir, 'documents')
     g = Graph([('size', 'total')])

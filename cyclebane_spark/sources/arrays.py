@@ -527,16 +527,64 @@ class SparkColumn(DimArray):
             raise KeyError(f'Expected exactly one element at {dict(coords)}')
         return rows[0][0]
 
-    def islice(self, key: Mapping[IndexName, slice]) -> 'SparkColumn':
-        """True positional slice via a row_number window over the index.
+    _POS_BUCKET_W = 4096
 
-        Parity with the reference's positional semantics — but note the
-        global (unpartitioned) window is a single-reducer sort: fine for
-        parity/tests, wrong at 100 TB. The scale path is :meth:`lslice`
-        (label predicates, pushed down to the scan).
+    def _with_position(self, df):
+        """Attach the global 0-based position ``__pos`` in index order.
+
+        Numeric leading index column (the common case — dense ids): a
+        two-level rank with NO single-reducer sort. Rows bucket by
+        ``floor(col / W)`` (monotone in the sort key, so bucket-major order
+        IS the global order); per-bucket counts cumulate into bucket start
+        offsets — a window over ~n_rows/W rows, metadata-sized at any scale
+        — which broadcast-join back, and position = offset + row_number
+        within the bucket (the within-bucket window partitions by bucket,
+        so every partition sorts in parallel). Costs one extra NARROW scan
+        (the leading index column only) for the counts — the right trade
+        against sorting the whole table through one reducer.
+
+        Non-numeric leading column: falls back to the global row_number
+        window (parity mode; production data would range-sample split
+        points exactly like Spark's own RangePartitioner).
         """
         import pyspark.sql.functions as F
         from pyspark.sql import Window
+        from pyspark.sql.types import NumericType
+
+        order_cols = [F.col(c) for c in self.index_cols]
+        lead = self.index_cols[0]
+        if not isinstance(df.schema[lead].dataType, NumericType):
+            w = Window.orderBy(*order_cols)
+            return df.withColumn('__pos', F.row_number().over(w) - 1)
+
+        bucket = F.floor(F.col(lead) / F.lit(self._POS_BUCKET_W))
+        bucketed = df.withColumn('__b', bucket)
+        counts = (
+            df.select(bucket.alias('__b'))
+            .groupBy('__b')
+            .agg(F.count(F.lit(1)).alias('__n'))
+        )
+        off_w = Window.orderBy('__b').rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            '__b',
+            F.coalesce(F.sum('__n').over(off_w), F.lit(0)).alias('__off'),
+        )
+        in_bucket = Window.partitionBy('__b').orderBy(*order_cols)
+        return (
+            bucketed.join(F.broadcast(offsets), '__b')
+            .withColumn(
+                '__pos', F.col('__off') + F.row_number().over(in_bucket) - 1
+            )
+            .drop('__b', '__off')
+        )
+
+    def islice(self, key: Mapping[IndexName, slice]) -> 'SparkColumn':
+        """True positional slice: filter on the global position in index
+        order (see :meth:`_with_position` for how the position is computed
+        without a single-reducer sort). Label slicing (:meth:`lslice`)
+        remains the pushdown path when positions are not required.
+        """
+        import pyspark.sql.functions as F
 
         df = self.df
         for dim, sl in key.items():
@@ -552,9 +600,7 @@ class SparkColumn(DimArray):
                     'SparkColumn positional slicing does not support negative '
                     'bounds; use label slicing (graph.loc) instead'
                 )
-            w = Window.orderBy(*[F.col(c) for c in self.index_cols])
-            pos = F.row_number().over(w) - 1
-            df = df.withColumn('__pos', pos)
+            df = self._with_position(df)
             cond = F.lit(True)
             start = sl.start or 0
             if start:

@@ -88,8 +88,9 @@ NOTES = {
         'p_size only',
     ],
     'graph_slice_positional': [
-        'sum+count from ONE struct-valued aggregate: the sliced scan runs',
-        'exactly once (no compile-twice-and-crossjoin)',
+        'bucketed two-level rank: row_number windows PARTITION by bucket',
+        '(parallel sorts), bucket-start offsets broadcast — no single-',
+        'reducer sort; sum+count still one struct-valued aggregate',
     ],
     'dedup_minhash_lsh_salted': [
         'salt-pair (ga, gb) is part of the join key: a hot boilerplate',
