@@ -74,3 +74,55 @@ def test_spark_islice_positive_bounds_still_work(spark, kv_df):
     col = SparkColumn(kv_df, index=['k'], values='v')
     out = col.islice({'k': slice(2, 5)})
     assert sorted(r[0] for r in out.df.select('k').collect()) == [2, 3, 4]
+
+
+# -- bucketed two-level positional rank ≡ global row_number ------------------
+
+
+def _positions(spark, rows, schema, index_cols):
+    """(key-tuple -> __pos) under the bucketed _with_position path."""
+    col = SparkColumn(
+        spark.createDataFrame(rows, schema), index=index_cols, values='v'
+    )
+    out = col._with_position(col.df).select(*index_cols, '__pos').collect()
+    return {tuple(r[c] for c in index_cols): r['__pos'] for r in out}
+
+
+def _expected(rows, key_idx):
+    ordered = sorted(rows, key=lambda r: tuple(r[i] for i in key_idx))
+    return {tuple(r[i] for i in key_idx): p for p, r in enumerate(ordered)}
+
+
+@pytest.mark.parametrize(
+    'keys',
+    [
+        list(range(10)),                        # dense ids
+        [0, 1, 4095, 4096, 4097, 8191, 8192],   # bucket boundaries
+        [-9000, -4096, -1, 0, 1, 50000],        # negative + sparse
+        [7, 70, 700, 7000, 70000, 700000],      # decades apart
+    ],
+)
+def test_bucketed_position_matches_global_order_long_keys(spark, keys):
+    rows = [(k, float(k)) for k in keys]
+    got = _positions(spark, rows, 'k long, v double', ['k'])
+    assert got == _expected(rows, [0])
+
+
+def test_bucketed_position_matches_for_float_keys(spark):
+    keys = [-2.5, -0.5, 0.0, 0.25, 1e4, 123456.75]
+    rows = [(k, k) for k in keys]
+    got = _positions(spark, rows, 'k double, v double', ['k'])
+    assert got == _expected(rows, [0])
+
+
+def test_bucketed_position_orders_by_all_index_cols(spark):
+    # ties on the bucketed leading column break on the second index column
+    rows = [(d, i, float(d * 10 + i)) for d in (0, 1, 4096) for i in (2, 0, 1)]
+    got = _positions(spark, rows, 'a long, b long, v double', ['a', 'b'])
+    assert got == _expected(rows, [0, 1])
+
+
+def test_non_numeric_leading_key_falls_back_to_global_window(spark):
+    rows = [(s, 1.0) for s in ('b', 'a', 'd', 'c')]
+    got = _positions(spark, rows, 'k string, v double', ['k'])
+    assert got == _expected(rows, [0])
