@@ -103,6 +103,7 @@ _PRIORITY = (
     'graph_pagerank_neardup',
     'multimodal_resize_pixels',
     'pipeline_embedding_clusters',
+    'text_span_dedup',
     'q2_min_cost_supplier',
     'q11_important_parts',
     'q16_supplier_part_counts',
@@ -131,10 +132,9 @@ _PRIORITY = (
     # multimodal representative (decode_stats is r2-green and unchanged;
     # frame_sample/audio_features already hold positions 1-2)
     'multimodal_image_metadata',
-    # UDTF + as-of join + HLL representatives — total 50 (the pandas-UDF
-    # token count is r2-green and unchanged; graph_pandas_udaf_median keeps
-    # the pandas-UDF path in-window)
-    'text_sentences_udtf',
+    # as-of join + HLL representatives — total 50 (the pandas-UDF and UDTF
+    # text queries are r2-green and unchanged; graph_pandas_udaf_median
+    # keeps the pandas-UDF path in-window)
     'events_asof_join',
     'approx_count_distinct_hll',
     # positions 51+: driver-green in r1/r2 and unchanged; ordered so a wider

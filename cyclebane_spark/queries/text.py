@@ -1084,3 +1084,109 @@ def pipeline_clean_corpus(spark, sf_dir):
         F.sum('n_tokens').alias('total_tokens'),
         (F.sum('n_types').cast('double') / F.sum('n_tokens')).alias('micro_ttr'),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style global span dedup: the corpus-level repetition remover (C4 drops
+# any three-sentence span occurring twice; RefinedWeb dedups fixed-token
+# windows). The corpus has no sentence delimiters, so the span unit is 8
+# consecutive tokens (non-overlapping). First occurrence wins globally —
+# ordered by (doc_id, position) — and surviving spans reassemble into the
+# cleaned document text.
+# Scale: one explode to spans; the winner per span hash is an argmin hash
+# agg (min of an encoded (doc_id, pos) key — partial-aggregable, no window);
+# the survivor join co-partitions on the hash; reassembly is one groupBy
+# doc_id with an in-executor array_sort (spans-per-doc sized). Three
+# span-sized shuffles end to end, everything exact string/integer ops.
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8
+_POS_ENC = 1_000_000_000  # doc_id * enc + pos: unique, order = (doc_id, pos)
+
+
+@register(
+    'text_span_dedup',
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(unnest(range(0, CAST(ceil(len(toks) / {SPAN_W}.0) AS BIGINT))) AS BIGINT) AS pos,
+               toks FROM t
+    ),
+    sh AS (
+        SELECT doc_id, pos,
+               array_to_string(toks[(pos * {SPAN_W} + 1):(pos * {SPAN_W} + {SPAN_W})], ' ') AS span,
+               md5(array_to_string(toks[(pos * {SPAN_W} + 1):(pos * {SPAN_W} + {SPAN_W})], ' ')) AS h
+        FROM spans
+    ),
+    keep AS (
+        SELECT h, MIN(doc_id * {_POS_ENC} + pos) AS k FROM sh GROUP BY h
+    ),
+    kept AS (
+        SELECT s.doc_id, s.pos, s.span
+        FROM sh s JOIN keep ON s.h = keep.h
+         AND s.doc_id * {_POS_ENC} + s.pos = keep.k
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM sh GROUP BY doc_id),
+    clean AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(span, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT totals.doc_id, totals.n_spans,
+           CAST(COALESCE(clean.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(clean.clean_text, '') AS clean_text
+    FROM totals LEFT JOIN clean USING (doc_id)
+    """,
+)
+def text_span_dedup(spark, sf_dir):
+    """Global 8-token-span dedup with first-occurrence keep and document
+    reassembly — the C4-style corpus repetition remover. See the module
+    note for the shuffle budget."""
+    docs = table(spark, sf_dir, 'documents')
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    n_spans = F.ceil(F.size('toks') / F.lit(SPAN_W)).cast('bigint')
+    spans = (
+        docs.select('doc_id', toks.alias('toks'))
+        .select(
+            'doc_id',
+            'toks',
+            F.explode(F.sequence(F.lit(0), n_spans - 1)).alias('pos'),
+        )
+        .select(
+            'doc_id',
+            F.col('pos').cast('bigint').alias('pos'),
+            F.concat_ws(
+                ' ', F.slice('toks', F.col('pos') * SPAN_W + 1, SPAN_W)
+            ).alias('span'),
+        )
+        .withColumn('h', F.md5('span'))
+    )
+    enc = F.col('doc_id') * _POS_ENC + F.col('pos')
+    keep = spans.groupBy('h').agg(F.min(enc).alias('k'))
+    kept = spans.join(
+        keep,
+        (spans.h == keep.h) & (enc == keep.k),
+    ).select('doc_id', 'pos', 'span')
+    totals = spans.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n_spans'))
+    clean = kept.groupBy('doc_id').agg(
+        F.count(F.lit(1)).alias('n_kept'),
+        F.concat_ws(
+            ' ',
+            F.transform(
+                F.array_sort(F.collect_list(F.struct('pos', 'span'))),
+                lambda x: x['span'],
+            ),
+        ).alias('clean_text'),
+    )
+    return (
+        totals.join(clean, 'doc_id', 'left')
+        .select(
+            'doc_id',
+            'n_spans',
+            F.coalesce('n_kept', F.lit(0)).alias('n_kept'),
+            F.coalesce('clean_text', F.lit('')).alias('clean_text'),
+        )
+    )
