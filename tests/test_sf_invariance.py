@@ -36,6 +36,10 @@ QUERIES = (
     'text_gopher_repetition',       # gram-count ratios at longer docs
     'approx_percentile_bounds',     # sketch rank bounds at larger n
     'pipeline_clean_corpus',        # composed gate/decon/dedup chain
+    'text_span_dedup',              # global argmin ties + reassembly order
+    'ann_pq_adc_topk',              # ADC distance ties at denser corpora
+    'text_packing_two_level',       # remainder-merge cumsum at more shards
+    'q11_important_parts',          # threshold compare near ties at scale
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')
