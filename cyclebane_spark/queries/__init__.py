@@ -104,6 +104,7 @@ _PRIORITY = (
     'multimodal_resize_pixels',
     'pipeline_embedding_clusters',
     'text_span_dedup',
+    'text_typo_candidates',
     'q2_min_cost_supplier',
     'q11_important_parts',
     'q16_supplier_part_counts',
@@ -118,9 +119,8 @@ _PRIORITY = (
     'graph_branch_replacement',
     'graph_branch_pruning',
     'graph_branch_projection',
-    # dedup flagships (3; simhash/ngram-jaccard/embedding-cosine are
-    # r2-green and unchanged, re-verified locally each session below 50)
-    'dedup_exact',
+    # dedup flagships (2; exact/simhash/ngram-jaccard/embedding-cosine are
+    # r1+r2-green and unchanged, re-verified locally each session below 50)
     'dedup_minhash_lsh',
     'dedup_connected_components',
     # ANN flagships (2; rp_lsh is r2-green and unchanged, below 50)

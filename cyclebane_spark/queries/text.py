@@ -1190,3 +1190,124 @@ def text_span_dedup(spark, sf_dir):
             F.coalesce('clean_text', F.lit('')).alias('clean_text'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SymSpell-style fuzzy vocabulary join: typo/variant candidate pairs within
+# edit distance 2, WITHOUT the O(V^2) vocabulary self-join. Two terms within
+# k edits share an element of each other's <=k-deletion neighborhoods (the
+# SymSpell guarantee), so blocking is an EQUI-join on the deletion key and
+# the exact levenshtein only runs on candidates — the inverted-index trick
+# that makes fuzzy matching tractable at a many-million-term vocabulary
+# (key count = O(V x avg_len^2) for k=2, shuffle keyed on short strings,
+# no quadratic stage anywhere).
+# ---------------------------------------------------------------------------
+
+
+def _sql_del2_keys() -> str:
+    """The <=2-deletion neighborhood of ``term`` as a DuckDB list expr."""
+    L = 'length(term)'
+    d1 = f'substr(term, 1, i - 1) || substr(term, i + 1, {L})'
+    d2 = (
+        'substr(term, 1, i - 1) || substr(term, i + 1, j - i - 1)'
+        f' || substr(term, j + 1, {L})'
+    )
+    return f"""list_distinct(list_prepend(term,
+        flatten(list_transform(range(1, {L} + 1), i ->
+            list_prepend({d1},
+                list_transform(range(i + 1, {L} + 1), j -> {d2}))))))"""
+
+
+@register(
+    'text_typo_candidates',
+    oracle=rf"""
+    WITH vocab AS (
+        SELECT term, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents
+        ) GROUP BY term
+    ),
+    keys AS (
+        SELECT term, unnest({_sql_del2_keys()}) AS k
+        FROM vocab
+    ),
+    pairs AS (
+        SELECT DISTINCT a.term AS term_a, b.term AS term_b
+        FROM keys a JOIN keys b ON a.k = b.k AND a.term < b.term
+    )
+    SELECT term_a, term_b,
+           CAST(levenshtein(term_a, term_b) AS BIGINT) AS edit_dist,
+           CAST(a.cnt AS BIGINT) AS cnt_a, CAST(b.cnt AS BIGINT) AS cnt_b
+    FROM pairs
+    JOIN vocab a ON a.term = pairs.term_a
+    JOIN vocab b ON b.term = pairs.term_b
+    WHERE levenshtein(term_a, term_b) <= 2
+    """,
+)
+def text_typo_candidates(spark, sf_dir):
+    """Vocabulary pairs within edit distance 2 via SymSpell deletion-
+    neighborhood blocking (equi-join on <=2-deletion keys, exact
+    levenshtein verification on candidates only). See the module note."""
+    docs = table(spark, sf_dir, 'documents')
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('term')
+        )
+        .groupBy('term')
+        .agg(F.count(F.lit(1)).alias('cnt'))
+    )
+    t = F.col('term')
+    L = F.length('term')
+
+    def d1(i):
+        return F.concat(t.substr(F.lit(1), i - 1), t.substr(i + 1, L))
+
+    def d2(i, j):
+        return F.concat(
+            t.substr(F.lit(1), i - 1),
+            t.substr(i + 1, j - i - 1),
+            t.substr(j + 1, L),
+        )
+
+    # all i < j pairs via filter on the full position range (F.sequence with
+    # start > stop would generate a DESCENDING range, not an empty one)
+    del_keys = F.array_distinct(
+        F.concat(
+            F.array(t),
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), L),
+                    lambda i: F.concat(
+                        F.array(d1(i)),
+                        F.transform(
+                            F.filter(F.sequence(F.lit(1), L), lambda j: j > i),
+                            lambda j: d2(i, j),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    keys = vocab.select('term', F.explode(del_keys).alias('k'))
+    a, b = keys.alias('a'), keys.alias('b')
+    pairs = (
+        a.join(
+            b,
+            (F.col('a.k') == F.col('b.k'))
+            & (F.col('a.term') < F.col('b.term')),
+        )
+        .select(
+            F.col('a.term').alias('term_a'), F.col('b.term').alias('term_b')
+        )
+        .distinct()
+        .withColumn('edit_dist', F.levenshtein('term_a', 'term_b').cast('long'))
+        .filter(F.col('edit_dist') <= 2)
+    )
+    va = vocab.select(F.col('term').alias('term_a'), F.col('cnt').alias('cnt_a'))
+    vb = vocab.select(F.col('term').alias('term_b'), F.col('cnt').alias('cnt_b'))
+    return (
+        pairs.join(F.broadcast(va), 'term_a')
+        .join(F.broadcast(vb), 'term_b')
+        .select('term_a', 'term_b', 'edit_dist', 'cnt_a', 'cnt_b')
+    )
