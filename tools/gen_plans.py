@@ -130,6 +130,11 @@ NOTES = {
         'per-pair and per-part MINs are partial-aggregable hash aggs on the',
         'same keys (exchange reuse under AQE)',
     ],
+    'text_span_dedup': [
+        'first-occurrence winner per span is an argmin HASH AGG on the span',
+        'hash (partial-aggregable, no window); reassembly sorts spans',
+        'in-executor per doc — three span-sized shuffles end to end',
+    ],
 }
 
 # Non-headline queries whose plan shape is load-bearing enough to publish.
@@ -151,6 +156,7 @@ EXTRA = (
     'graph_pagerank_neardup',
     'text_packing_two_level',
     'q2_min_cost_supplier',
+    'text_span_dedup',
 )
 
 
