@@ -557,6 +557,8 @@ class SparkColumn(DimArray):
             w = Window.orderBy(*order_cols)
             return df.withColumn('__pos', F.row_number().over(w) - 1)
 
+        # W is a power of two, so the double division only shifts the
+        # exponent: floor(key / W) is exact for every integer key < 2^53.
         bucket = F.floor(F.col(lead) / F.lit(self._POS_BUCKET_W))
         bucketed = df.withColumn('__b', bucket)
         counts = (
