@@ -105,6 +105,8 @@ _PRIORITY = (
     'pipeline_embedding_clusters',
     'text_span_dedup',
     'text_typo_candidates',
+    'events_variant_extract',
+    'sql_lateral_topk_nations',
     'q2_min_cost_supplier',
     'q11_important_parts',
     'q16_supplier_part_counts',
@@ -126,9 +128,9 @@ _PRIORITY = (
     # ANN flagships (2; rp_lsh is r2-green and unchanged, below 50)
     'ann_bruteforce_topk',
     'ann_ivf_blocked_topk',
-    # streaming restatements (2; tumbling_hourly is r2-green and unchanged)
-    'stream_session_windows',
-    'stream_view_click_join',
+    # streaming restatements: covered in-window by the three new round-3
+    # gate queries (sliding windows, dedup, stateful counters); the r2-green
+    # unchanged tumbling/session/view-click rows sit below position 50
     # multimodal representative (decode_stats is r2-green and unchanged;
     # frame_sample/audio_features already hold positions 1-2)
     'multimodal_image_metadata',

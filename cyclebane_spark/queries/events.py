@@ -488,3 +488,36 @@ def events_json_extract(spark, sf_dir):
         'event_id',
         F.get_json_object('props', '$.k').cast('long').alias('prop_k'),
     )
+
+
+@register(
+    'events_variant_extract',
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_extract(spark, sf_dir):
+    """Semi-structured analytics through Spark 4's VARIANT type: props
+    parses ONCE into the binary variant encoding and typed fields shred out
+    via variant_get — the modern replacement for per-path get_json_object
+    string re-parsing (at 100 TB, variant shredding reads each JSON byte
+    once however many paths are extracted; the string path re-parses per
+    path). Aggregation is an ordinary hash agg on the shredded column.
+    """
+    ev = table(spark, sf_dir, 'events')
+    k = F.try_variant_get(F.parse_json('props'), '$.k', 'bigint')
+    return (
+        ev.select('event_type', k.alias('k'))
+        .groupBy('event_type')
+        .agg(
+            F.count(F.lit(1)).alias('n'),
+            F.sum('k').alias('sum_k'),
+            F.countDistinct('k').alias('n_distinct_k'),
+        )
+    )

@@ -1144,3 +1144,48 @@ def approx_top_k_terms(spark, sf_dir):
         out.withColumn('rk', F.row_number().over(w).cast('long'))
         .filter(F.col('rk') <= 40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery: top-2 nations by customer count per region.
+# The SQL-interface statement of the per-group top-k pattern — Catalyst
+# decorrelates the lateral into a join + windowed rank, so the plan is the
+# same shuffle shape as window_topk_per_group (no per-row re-execution of
+# the subquery, which is how a naive correlated evaluation would behave).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'sql_lateral_topk_nations',
+    oracle="""
+    SELECT r_name, n_name, n_cust
+    FROM region,
+    LATERAL (
+        SELECT n_name, COUNT(*) AS n_cust
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE n_regionkey = r_regionkey
+        GROUP BY n_name
+        ORDER BY COUNT(*) DESC, n_name
+        LIMIT 2
+    ) t
+    """,
+)
+def sql_lateral_topk_nations(spark, sf_dir):
+    """Byte-identical ANSI LATERAL text on both engines (the same string is
+    the oracle); registered views over the shared parquet tables."""
+    for t in ('region', 'nation', 'customer'):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT r_name, n_name, n_cust
+        FROM region,
+        LATERAL (
+            SELECT n_name, COUNT(*) AS n_cust
+            FROM nation JOIN customer ON c_nationkey = n_nationkey
+            WHERE n_regionkey = r_regionkey
+            GROUP BY n_name
+            ORDER BY COUNT(*) DESC, n_name
+            LIMIT 2
+        ) t
+        """
+    )
