@@ -72,7 +72,8 @@ _MODULES = (
 # immediately; the rest backfills with the SURVEY-§2.1 graph-algebra block
 # and the dedup/ANN/stream flagships to keep them continuously verified.
 # Everything below position 50 was driver-green in round 1 or 2 and is
-# unchanged since (local oracle gate re-verifies all 109 each session).
+# unchanged since (the local oracle gate re-verifies the FULL registry
+# each session — tests/oracle_check.py with no name filter).
 _PRIORITY = (
     # never driver-seen in any round (10)
     'multimodal_frame_sample',

@@ -521,17 +521,18 @@ def ann_ivf_kmeans_nprobe2(spark, sf_dir):
 # bytes from 64 floats to M codes, and distances are computed from a
 # query-specific lookup table without touching raw vectors).
 #
-# The 64-dim space splits into PQ_M = 4 subspaces of 16 dims; each subspace
-# trains its own PQ_K = 16-centroid codebook with one Lloyd iteration of the
-# same quantized-integer k-means used by the IVF family (exact cross-engine,
-# see the k-means note above). The subspace id is JUST A COLUMN (sub = pos
-# div 16), so all 4 codebooks train in ONE grouped plan — no per-subspace
-# loop. A corpus vector's code is its nearest centroid per subspace (4 small
-# ints); the query side computes an exact distance table to every centroid
-# (Q x 4 x 16 = 320 rows — broadcast), and ADC distance = sum over
-# subspaces of table[code]. The corpus-side scan touches only (vec_id, sub,
-# code): at 100 TB the raw vectors are read once at encode time and never
-# again — the entire search is a broadcast-lookup + per-vector 4-row sum.
+# The 64-dim space splits into PQ_M = 16 subspaces of PQ_SUB_DIM = 4 dims;
+# each subspace trains its own PQ_K = 16-centroid codebook with one Lloyd
+# iteration of the same quantized-integer k-means used by the IVF family
+# (exact cross-engine, see the k-means note above). The subspace id is JUST
+# A COLUMN (sub = pos div PQ_SUB_DIM), so all 16 codebooks train in ONE
+# grouped plan — no per-subspace loop. A corpus vector's code is its nearest
+# centroid per subspace (16 small ints); the query side computes an exact
+# distance table to every centroid (Q x PQ_M x PQ_K = 1280 rows —
+# broadcast), and ADC distance = sum over subspaces of table[code]. The
+# corpus-side scan touches only (vec_id, sub, code): at 100 TB the raw
+# vectors are read once at encode time and never again — the entire search
+# is a broadcast-lookup + per-vector 16-row sum.
 # ---------------------------------------------------------------------------
 
 # M=16 x 4-dim subspaces, 16-centroid codebooks: recall@10 = 0.5 on the
@@ -617,8 +618,8 @@ def _sql_pq() -> str:
 @register('ann_pq_adc_topk', oracle=_sql_pq())
 def ann_pq_adc_topk(spark, sf_dir):
     """PQ-coded ANN with asymmetric distance computation. See the module
-    note: 4 subspace codebooks trained in one grouped plan, corpus encoded
-    to 4 codes, search = broadcast distance-table lookup + 4-row sum."""
+    note: 16 subspace codebooks trained in one grouped plan, corpus encoded
+    to 16 codes, search = broadcast distance-table lookup + 16-row sum."""
     from pyspark import StorageLevel
 
     emb = table(spark, sf_dir, 'embeddings')

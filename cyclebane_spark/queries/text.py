@@ -1304,10 +1304,15 @@ def text_typo_candidates(spark, sf_dir):
         .withColumn('edit_dist', F.levenshtein('term_a', 'term_b').cast('long'))
         .filter(F.col('edit_dist') <= 2)
     )
+    # No broadcast hint on the vocab sides: at the many-million-term scale
+    # this query is written for, the full count table exceeds any broadcast
+    # threshold — the pairs side is already keyed on term, so the planner's
+    # choice (shuffle join at scale, auto-broadcast when actually small) is
+    # the right one.
     va = vocab.select(F.col('term').alias('term_a'), F.col('cnt').alias('cnt_a'))
     vb = vocab.select(F.col('term').alias('term_b'), F.col('cnt').alias('cnt_b'))
     return (
-        pairs.join(F.broadcast(va), 'term_a')
-        .join(F.broadcast(vb), 'term_b')
+        pairs.join(va, 'term_a')
+        .join(vb, 'term_b')
         .select('term_a', 'term_b', 'edit_dist', 'cnt_a', 'cnt_b')
     )

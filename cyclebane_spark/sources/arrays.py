@@ -559,7 +559,18 @@ class SparkColumn(DimArray):
 
         # W is a power of two, so the double division only shifts the
         # exponent: floor(key / W) is exact for every integer key < 2^53.
-        bucket = F.floor(F.col(lead) / F.lit(self._POS_BUCKET_W))
+        # NULL keys sort FIRST under Spark's default ascending order and NaN
+        # doubles sort LAST — give each its own sentinel bucket (an inner
+        # equi-join on a NULL bucket would silently DROP those rows while
+        # their counts still shifted every offset). The sentinels sit far
+        # outside floor(key/W)'s range for any |key| < 2^53.
+        from pyspark.sql.types import FractionalType
+
+        raw_bucket = F.floor(F.col(lead) / F.lit(self._POS_BUCKET_W))
+        bucket = F.when(F.col(lead).isNull(), F.lit(-(1 << 61)))
+        if isinstance(df.schema[lead].dataType, FractionalType):
+            bucket = bucket.when(F.isnan(lead), F.lit(1 << 61))
+        bucket = bucket.otherwise(raw_bucket)
         bucketed = df.withColumn('__b', bucket)
         counts = (
             df.select(bucket.alias('__b'))

@@ -126,3 +126,23 @@ def test_non_numeric_leading_key_falls_back_to_global_window(spark):
     rows = [(s, 1.0) for s in ('b', 'a', 'd', 'c')]
     got = _positions(spark, rows, 'k string, v double', ['k'])
     assert got == _expected(rows, [0])
+
+
+def test_bucketed_position_keeps_null_keys_first(spark):
+    # NULL keys sort first under Spark's default ascending order; the
+    # sentinel bucket keeps them (an inner join on a NULL bucket would
+    # silently drop them while their count shifted every offset)
+    rows = [(None, 0.0), (10, 1.0), (20, 2.0)]
+    got = _positions(spark, rows, 'k long, v double', ['k'])
+    assert got == {(None,): 0, (10,): 1, (20,): 2}
+
+
+def test_bucketed_position_sorts_nan_last(spark):
+    rows = [(float('nan'), 0.0), (1.5, 1.0), (None, 2.0), (-3.0, 3.0)]
+    got = _positions(spark, rows, 'k double, v double', ['k'])
+    nan_keys = [k for (k,), p in got.items() if k == k and k is not None]
+    assert got[(None,)] == 0
+    assert got[(-3.0,)] == 1
+    assert got[(1.5,)] == 2
+    # the NaN row survives and takes the last position
+    assert sorted(got.values()) == [0, 1, 2, 3]
