@@ -108,6 +108,7 @@ _PRIORITY = (
     'text_typo_candidates',
     'events_variant_extract',
     'sql_lateral_topk_nations',
+    'pipeline_rag_retrieval',
     'q2_min_cost_supplier',
     'q11_important_parts',
     'q16_supplier_part_counts',
@@ -132,9 +133,9 @@ _PRIORITY = (
     # streaming restatements: covered in-window by the three new round-3
     # gate queries (sliding windows, dedup, stateful counters); the r2-green
     # unchanged tumbling/session/view-click rows sit below position 50
-    # multimodal representative (decode_stats is r2-green and unchanged;
-    # frame_sample/audio_features already hold positions 1-2)
-    'multimodal_image_metadata',
+    # multimodal is covered in-window by frame_sample/audio_features
+    # (positions 1-2) and resize_pixels; image_metadata/decode_stats are
+    # r2-green and unchanged, below position 50
     # as-of join + HLL representatives — total 50 (the pandas-UDF and UDTF
     # text queries are r2-green and unchanged; graph_pandas_udaf_median
     # keeps the pandas-UDF path in-window)

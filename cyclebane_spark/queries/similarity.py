@@ -687,3 +687,61 @@ def ann_pq_adc_topk(spark, sf_dir):
         .filter(F.col('rk') <= KM_TOPK)
         .select('query_id', 'neighbor_id', 'adc_dist2', 'rk')
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style retrieval composition: ANN top-k over the embedding corpus,
+# then hydrate the neighbors from the documents table — the retrieval data
+# path every RAG ingest/serving pipeline runs (vector search returns ids;
+# the text store join returns passages). Scale: the top-k side is Q x k
+# rows (tiny — broadcast into the documents join, the corpus-sized side
+# never shuffles); snippet extraction is a projection.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'pipeline_rag_retrieval',
+    oracle=f"""{_SQL_NORMED}
+    , topk AS (
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_SQL_COS} AS cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_SQL_COS} DESC, c.vec_id
+                   ) AS rk
+            FROM n q JOIN n c
+              ON q.label = c.label AND q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    )
+    SELECT t.query_id, t.neighbor_id, t.cosine, t.rk,
+           d.doc_id IS NOT NULL AS has_doc,
+           CAST(COALESCE(length(substring(d.text, 1, 200)), 0) AS BIGINT)
+               AS snippet_len
+    FROM topk t LEFT JOIN documents d ON t.neighbor_id = d.doc_id
+    """,
+)
+def pipeline_rag_retrieval(spark, sf_dir):
+    """Vector search -> passage hydration: IVF-blocked cosine top-k joined
+    back to the documents table (left join — neighbors without a passage
+    survive with has_doc = false, exactly what a serving layer must handle).
+    """
+    topk = ann_ivf_blocked_topk(spark, sf_dir)
+    docs = table(spark, sf_dir, 'documents').select(
+        F.col('doc_id').alias('neighbor_id'),
+        F.substring('text', 1, 200).alias('snippet'),
+    )
+    # The Q x k result is the tiny side — broadcast IT into the documents
+    # join so the corpus-sized text store never shuffles.
+    return (
+        F.broadcast(topk)
+        .join(docs, 'neighbor_id', 'left')
+        .select(
+            'query_id',
+            'neighbor_id',
+            'cosine',
+            'rk',
+            F.col('snippet').isNotNull().alias('has_doc'),
+            F.coalesce(F.length('snippet'), F.lit(0)).cast('bigint').alias('snippet_len'),
+        )
+    )
