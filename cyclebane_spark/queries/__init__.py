@@ -109,6 +109,8 @@ _PRIORITY = (
     'events_variant_extract',
     'sql_lateral_topk_nations',
     'pipeline_rag_retrieval',
+    'sketch_merge_hll',
+    'events_anomaly_robust_z',
     'q2_min_cost_supplier',
     'q11_important_parts',
     'q16_supplier_part_counts',
@@ -127,9 +129,9 @@ _PRIORITY = (
     # r1+r2-green and unchanged, re-verified locally each session below 50)
     'dedup_minhash_lsh',
     'dedup_connected_components',
-    # ANN flagships (2; rp_lsh is r2-green and unchanged, below 50)
-    'ann_bruteforce_topk',
-    'ann_ivf_blocked_topk',
+    # ANN is covered in-window by the kmeans/PQ family and
+    # pipeline_rag_retrieval (which wraps ann_ivf_blocked_topk);
+    # bruteforce/blocked/rp_lsh are r2-green and unchanged, below 50
     # streaming restatements: covered in-window by the three new round-3
     # gate queries (sliding windows, dedup, stateful counters); the r2-green
     # unchanged tumbling/session/view-click rows sit below position 50

@@ -521,3 +521,56 @@ def events_variant_extract(spark, sf_dir):
             F.countDistinct('k').alias('n_distinct_k'),
         )
     )
+
+
+@register(
+    'events_anomaly_robust_z',
+    oracle="""
+    WITH med AS (
+        SELECT user_id, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY user_id
+    ),
+    mad AS (
+        SELECT e.user_id, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m ON e.user_id = m.user_id
+        GROUP BY e.user_id
+    )
+    SELECT e.event_id, e.user_id, e.value, m.med, d.mad
+    FROM events e
+    JOIN med m ON e.user_id = m.user_id
+    JOIN mad d ON e.user_id = d.user_id
+    WHERE d.mad > 0 AND abs(e.value - m.med) > 4.4478 * d.mad
+    """,
+)
+def events_anomaly_robust_z(spark, sf_dir):
+    """Robust per-user anomaly detection: flag events deviating more than
+    3 sigma-equivalents from the user's median, with spread measured by the
+    MAD (median absolute deviation; 4.4478 = 3 x 1.4826, the normal-
+    consistency constant) — outlier detection that outliers themselves
+    cannot poison, unlike mean/stddev z-scores.
+
+    Exactness: Spark's percentile and DuckDB's quantile_cont share the
+    interpolation arithmetic bit-for-bit (see percentile_exact), and the
+    threshold is one multiply of identical operands. Scale: two grouped
+    exact medians (the 100 TB variant swaps in the mergeable KLL sketch,
+    see approx_percentile_bounds) plus two joins co-partitioned on the
+    same user_id key — AQE reuses the exchange.
+    """
+    ev = table(spark, sf_dir, 'events')
+    med = ev.groupBy('user_id').agg(
+        F.expr('percentile(value, 0.5)').alias('med')
+    )
+    mad = (
+        ev.join(med, 'user_id')
+        .groupBy('user_id')
+        .agg(F.expr('percentile(abs(value - med), 0.5)').alias('mad'))
+    )
+    return (
+        ev.join(med, 'user_id')
+        .join(mad, 'user_id')
+        .filter(
+            (F.col('mad') > 0)
+            & (F.abs(F.col('value') - F.col('med')) > F.lit(4.4478) * F.col('mad'))
+        )
+        .select('event_id', 'user_id', 'value', 'med', 'mad')
+    )

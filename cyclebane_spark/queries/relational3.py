@@ -1189,3 +1189,54 @@ def sql_lateral_topk_nations(spark, sf_dir):
         ) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch MERGEABILITY — the property that makes sketches the 100 TB answer:
+# per-partition (here per-user) HLL sketches union into one global sketch
+# without touching raw data again. Union promotion can land on a slightly
+# different register state than the direct global sketch (both estimates
+# are deterministic for fixed data — HLL insertion is order-independent —
+# but not equal), so the gate contract is the HLL pattern: exact distinct
+# count compared exactly, both estimate paths flagged within 5% (>3 sigma
+# at the default lgConfigK=12, rel err ~1.6%).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'sketch_merge_hll',
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT value) AS BIGINT) AS n_exact,
+           TRUE AS direct_in_bounds,
+           TRUE AS merged_in_bounds
+    FROM events
+    """,
+)
+def sketch_merge_hll(spark, sf_dir):
+    """Distributed-sketch path: per-user HLL sketches of event values are
+    union-merged and the global estimate checked against both the direct
+    global sketch and the exact distinct count. See the module note."""
+    ev = table(spark, sf_dir, 'events').select(
+        'user_id', F.col('value').cast('string').alias('v')
+    )
+    per = ev.groupBy('user_id').agg(F.hll_sketch_agg('v').alias('sk'))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg('sk')).alias('merged_est')
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg('v')).alias('direct_est'),
+        F.countDistinct('v').alias('n_exact'),
+    )
+    lo, hi = 0.95, 1.05
+    return (
+        direct.crossJoin(F.broadcast(merged))
+        .select(
+            'n_exact',
+            F.col('direct_est')
+            .between(F.col('n_exact') * lo, F.col('n_exact') * hi)
+            .alias('direct_in_bounds'),
+            F.col('merged_est')
+            .between(F.col('n_exact') * lo, F.col('n_exact') * hi)
+            .alias('merged_in_bounds'),
+        )
+    )
