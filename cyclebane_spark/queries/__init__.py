@@ -91,9 +91,10 @@ _PRIORITY = (
     'q20_dominant_part_suppliers',
     'q21_sole_returning_supplier',
     'text_tfidf_top_terms',
-    'sql_interface_portable',
-    'sql_interface_q10',
     # round-3 additions (driver has never seen these)
+    'events_cdc_compaction',
+    'stream_cdc_upsert',
+    'text_pii_redaction',
     'text_packing_two_level',
     'ann_ivf_kmeans_nprobe2',
     'stream_stateful_counters',
@@ -129,6 +130,8 @@ _PRIORITY = (
     # r1+r2-green and unchanged, re-verified locally each session below 50)
     'dedup_minhash_lsh',
     'dedup_connected_components',
+    # SQL-interface spot check (r1-green, unchanged) fills slot 50
+    'sql_interface_portable',
     # ANN is covered in-window by the kmeans/PQ family and
     # pipeline_rag_retrieval (which wraps ann_ivf_blocked_topk);
     # bruteforce/blocked/rp_lsh are r2-green and unchanged, below 50
@@ -138,11 +141,12 @@ _PRIORITY = (
     # multimodal is covered in-window by frame_sample/audio_features
     # (positions 1-2) and resize_pixels; image_metadata/decode_stats are
     # r2-green and unchanged, below position 50
-    # as-of join + HLL representatives — total 50 (the pandas-UDF and UDTF
-    # text queries are r2-green and unchanged; graph_pandas_udaf_median
-    # keeps the pandas-UDF path in-window)
-    'events_asof_join',
-    'approx_count_distinct_hll',
+    # total 50. Rotated below position 50 this round (each is r1/r2-green
+    # and unchanged since its gate pass): events_asof_join,
+    # approx_count_distinct_hll, and the sql_interface spot checks — their
+    # slots go to the three new round-3 operators (CDC compaction, the
+    # streaming upsert sink, PII redaction) so every query gets a driver
+    # row in some round.
     # positions 51+: driver-green in r1/r2 and unchanged; ordered so a wider
     # window re-covers the relational/TPC-H surface first
 )

@@ -574,3 +574,52 @@ def events_anomaly_robust_z(spark, sf_dir):
         )
         .select('event_id', 'user_id', 'value', 'med', 'mad')
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC / changelog compaction: latest version per key. The ingest pattern for
+# mutable upstream tables (user profiles, document revisions): the event log
+# is append-only, the queryable view is "last write wins" per key.
+# Scale: ONE shuffle on the key with map-side partial max_by — no window
+# sort, no row_number materialization of the full log. At 100 TB the log is
+# date-partitioned and compaction runs per partition; the same groupBy
+# shape applies unchanged.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_cdc_compaction',
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def events_cdc_compaction(spark, sf_dir):
+    """Last-write-wins compaction of the event log per (user_id, event_type).
+
+    ``max_by`` over a (ts, event_id) struct gives lexicographic argmax with
+    a unique tiebreaker (event_id), so the surviving row is deterministic —
+    value columns ride along in the payload struct, never aggregated, so
+    the result is exact in any engine. The oracle states the same operator
+    as a window rank; the Spark plan is the cheaper partial-aggregate form.
+    """
+    ev = table(spark, sf_dir, 'events')
+    return (
+        ev.groupBy('user_id', 'event_type')
+        .agg(
+            F.max_by(
+                F.struct('event_id', 'ts', 'value'),
+                F.struct('ts', 'event_id'),
+            ).alias('last')
+        )
+        .select(
+            'user_id',
+            'event_type',
+            F.col('last.event_id').alias('event_id'),
+            F.col('last.ts').alias('ts'),
+            F.col('last.value').alias('value'),
+        )
+    )

@@ -183,3 +183,44 @@ def stream_view_click_join(spark, sf_dir):
         F.to_timestamp_ntz('view_ts').alias('view_ts'),
         F.to_timestamp_ntz('click_ts').alias('click_ts'),
     )
+
+
+@register(
+    'stream_cdc_upsert',
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def stream_cdc_upsert(spark, sf_dir):
+    """Streaming foreachBatch upsert == batch CDC compaction.
+
+    The stream is merged batch-by-batch into a last-write-wins parquet
+    snapshot (:func:`cyclebane_spark.streaming.windows.cdc_upsert_parquet`);
+    the final snapshot equals the batch compaction of the whole log
+    (same oracle as ``events_cdc_compaction``) because max_by merges are
+    associative — whatever the batch boundaries, the per-key argmax of the
+    union is the argmax of per-batch argmaxes.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ..streaming.windows import cdc_upsert_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = tempfile.mkdtemp(prefix=f'cb_upsert_{tag}_')
+    shutil.rmtree(base, ignore_errors=True)
+    snapshot = cdc_upsert_parquet(events_stream(spark, sf_dir), base)
+    return spark.read.parquet(snapshot).select(
+        'user_id',
+        'event_type',
+        'event_id',
+        F.to_timestamp_ntz('ts').alias('ts'),
+        'value',
+    )

@@ -1316,3 +1316,93 @@ def text_typo_candidates(spark, sf_dir):
         .join(vb, 'term_b')
         .select('term_a', 'term_b', 'edit_dist', 'cnt_a', 'cnt_b')
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: the data-governance pass every training corpus runs before
+# the tokenizer — find and scrub emails / phone numbers / IPv4 addresses.
+# The synthetic corpus contains no PII, so the query first INJECTS a
+# deterministic doc_id-derived contact line (the same honest-synthesis
+# pattern as the multimodal payloads), then counts and scrubs it — the
+# regexes run against real positive AND negative text in every row.
+# Patterns stay inside the Java-regex/RE2 common subset (no lookarounds, no
+# backreferences) so Spark and DuckDB match identically.
+# Scale: pure per-row projection — zero shuffle, whole-stage codegen,
+# perfectly parallel at any corpus size.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+_PII_PHONE = r'\b\d{3}-\d{3}-\d{4}\b'
+_PII_IPV4 = r'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+
+
+@register(
+    'text_pii_redaction',
+    oracle=rf"""
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@mail.example.com or 10.' || (doc_id % 256) || '.0.' ||
+               ((doc_id * 7) % 256) || ' tel 555-' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+               lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+                   AS dirty_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(dirty_text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(dirty_text, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(
+               regexp_replace(regexp_replace(dirty_text, '{_PII_EMAIL}',
+                                             '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}')) AS BIGINT) AS n_ips,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(dirty_text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g') AS clean_text
+    FROM dirty
+    """,
+)
+def text_pii_redaction(spark, sf_dir):
+    """Scrub emails, US-style phone numbers and IPv4s; report per-doc counts.
+
+    The scrub is a fixed cascade (email -> phone -> IP) in BOTH engines, and
+    the IP count runs after the email/phone scrub so an address inside an
+    email domain is never double-counted — cascade order is part of the
+    operator's contract, stated identically in the oracle.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    dirty = F.concat(
+        F.col('text'),
+        F.lit(' contact user'),
+        F.col('doc_id'),
+        F.lit('@mail.example.com or 10.'),
+        F.col('doc_id') % 256,
+        F.lit('.0.'),
+        (F.col('doc_id') * 7) % 256,
+        F.lit(' tel 555-'),
+        F.lpad((F.col('doc_id') % 1000).cast('string'), 3, '0'),
+        F.lit('-'),
+        F.lpad(((F.col('doc_id') * 13) % 10000).cast('string'), 4, '0'),
+    )
+    d = docs.select('doc_id', dirty.alias('dirty_text'))
+    no_email = F.regexp_replace('dirty_text', _PII_EMAIL, '<EMAIL>')
+    no_phone = F.regexp_replace(no_email, _PII_PHONE, '<PHONE>')
+    clean = F.regexp_replace(no_phone, _PII_IPV4, '<IP>')
+    return d.select(
+        'doc_id',
+        F.regexp_count('dirty_text', F.lit(_PII_EMAIL))
+        .cast('bigint')
+        .alias('n_emails'),
+        F.regexp_count('dirty_text', F.lit(_PII_PHONE))
+        .cast('bigint')
+        .alias('n_phones'),
+        F.regexp_count(no_phone, F.lit(_PII_IPV4))
+        .cast('bigint')
+        .alias('n_ips'),
+        clean.alias('clean_text'),
+    )

@@ -329,3 +329,64 @@ def view_click_join(stream: DataFrame, *, horizon: str = '1 hour') -> DataFrame:
     ).select(
         views.user_id, 'view_id', 'click_id', 'view_ts', 'click_ts'
     )
+
+
+def latest_per_key(df: DataFrame) -> DataFrame:
+    """Last-write-wins per (user_id, event_type): the compaction statement
+    shared by the batch query (``events_cdc_compaction``) and the streaming
+    upsert sink — one partial-aggregate shuffle, no window sort."""
+    return (
+        df.groupBy('user_id', 'event_type')
+        .agg(
+            F.max_by(
+                F.struct('event_id', 'ts', 'value'),
+                F.struct('ts', 'event_id'),
+            ).alias('last')
+        )
+        .select(
+            'user_id',
+            'event_type',
+            F.col('last.event_id').alias('event_id'),
+            F.col('last.ts').alias('ts'),
+            F.col('last.value').alias('value'),
+        )
+    )
+
+
+def cdc_upsert_parquet(stream: DataFrame, base_dir: str) -> str:
+    """Streaming upsert sink: foreachBatch MERGE of each micro-batch into a
+    last-write-wins parquet snapshot; returns the final snapshot path.
+
+    The plain-parquet statement of what Delta/Iceberg ``MERGE INTO`` does:
+    each batch is compacted to its per-key latest, merged with the previous
+    snapshot, and written as a NEW versioned snapshot directory (parquet
+    cannot be overwritten while being read, so the swap is
+    write-new-then-repoint — the same copy-on-write move table formats make
+    atomic via their metadata log). Idempotent under batch replay: merging
+    the same batch twice is a no-op because max_by is. Scale: snapshot
+    rewrite cost is O(keys), the standard compaction trade; a real
+    deployment partitions the snapshot by key range so each batch rewrites
+    only touched partitions.
+    """
+    state: dict[str, str | None] = {'cur': None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        latest = latest_per_key(batch_df)
+        if state['cur'] is not None:
+            latest = latest_per_key(
+                sp.read.parquet(state['cur']).unionByName(latest)
+            )
+        out = f'{base_dir}/v{batch_id}'
+        latest.write.mode('overwrite').parquet(out)
+        state['cur'] = out
+
+    query = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option('checkpointLocation', f'{base_dir}/_ckpt')
+        .start()
+    )
+    query.awaitTermination()
+    assert state['cur'] is not None, 'stream produced no batches'
+    return state['cur']

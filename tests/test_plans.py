@@ -338,3 +338,23 @@ def test_q16_excluded_suppliers_join_is_broadcast_anti(spark):
     raw = raw_plan_of(spark, 'q16_supplier_part_counts')
     assert 'LeftAnti' in raw
     assert 'BroadcastExchange' in raw
+
+
+def test_cdc_compaction_is_partial_agg_not_window(spark):
+    """Last-write-wins compaction must be a partial+final max_by aggregate
+    (map-side combine collapses the log before the shuffle), never a
+    row_number window over the full log (which shuffles every row, then
+    sorts every partition)."""
+    raw = raw_plan_of(spark, 'events_cdc_compaction')
+    assert 'Window' not in raw, raw
+    assert raw.count('Exchange') == 1, raw
+    assert re.search(r'partial_max_by|ObjectHashAggregate', raw), raw
+
+
+def test_pii_redaction_is_pure_projection(spark):
+    """Redaction is per-row: no shuffle anywhere, the whole operator lives
+    inside one codegen'd projection over the scan."""
+    raw = raw_plan_of(spark, 'text_pii_redaction')
+    assert 'Exchange' not in raw, raw
+    # '*(1)' prefixes = the projection runs inside whole-stage codegen
+    assert '*(1) Project' in raw, raw

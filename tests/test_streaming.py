@@ -223,3 +223,61 @@ def test_stream_foreachbatch_parquet_sink(spark, stream, tmp_path):
 
     got = spark.read.parquet(out)
     assert got.count() == events_hourly_agg(spark, SF_DIR).count()
+
+
+def test_cdc_upsert_multibatch_merge_equals_batch_compaction(spark, tmp_path):
+    """Split the event log into 4 files and stream them one file per
+    micro-batch: the foreachBatch upsert MERGES across 4 real batches, and
+    the final snapshot must equal the batch compaction of the whole log —
+    the associativity claim the gate query's docstring makes, actually
+    exercised across batch boundaries."""
+    from cyclebane_spark.streaming.windows import (
+        cdc_upsert_parquet,
+        latest_per_key,
+    )
+    from cyclebane_spark.tables import events_table
+
+    ev = events_table(spark, SF_DIR).withColumn(
+        'ts', F.col('ts').cast('timestamp')
+    )
+    src = str(tmp_path / 'src')
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(src)
+    )
+    snapshot = cdc_upsert_parquet(stream, str(tmp_path / 'target'))
+
+    got = {
+        (r.user_id, r.event_type): (r.event_id, r.ts, r.value)
+        for r in spark.read.parquet(snapshot).collect()
+    }
+    expected = {
+        (r.user_id, r.event_type): (r.event_id, r.ts, r.value)
+        for r in latest_per_key(ev).collect()
+    }
+    assert got == expected
+    # more than one version dir proves the merge path ran multiple times
+    import os
+
+    versions = [d for d in os.listdir(tmp_path / 'target') if d.startswith('v')]
+    assert len(versions) >= 2, versions
+
+
+def test_cdc_upsert_batch_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same micro-batch into the snapshot (the at-least-once
+    failure mode foreachBatch must tolerate) changes nothing: max_by merge
+    is idempotent."""
+    from cyclebane_spark.streaming.windows import latest_per_key
+    from cyclebane_spark.tables import events_table
+
+    ev = events_table(spark, SF_DIR).withColumn(
+        'ts', F.col('ts').cast('timestamp')
+    )
+    once = latest_per_key(ev)
+    replayed = latest_per_key(once.unionByName(latest_per_key(ev)))
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, replayed.collect())
+    )
