@@ -134,3 +134,67 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path, sf_dir):
         spark.conf.set('spark.sql.autoBroadcastJoinThreshold', prev)
         spark.sql('DROP TABLE IF EXISTS bkt_lineitem')
         spark.sql('DROP TABLE IF EXISTS bkt_orders')
+
+
+def test_dynamic_partition_pruning_on_star_join(spark, tmp_path):
+    """Dynamic partition pruning: a partitioned fact joined to a FILTERED
+    dim must prune fact partitions at RUNTIME from the dim's join keys —
+    the star-join feature that turns a 100 TB fact scan into a scan of the
+    few partitions the dim filter selects. The plan carries a
+    dynamicpruningexpression subquery on the fact scan's partition column."""
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    fact = str(tmp_path / 'fact_by_lang')
+    docs.write.partitionBy('lang').mode('overwrite').parquet(fact)
+    # Filter the dim on a NON-join column (the derived count): a filter on
+    # the join column itself would propagate statically and hide DPP.
+    dim = (
+        docs.groupBy('lang')
+        .agg(F.count(F.lit(1)).alias('n'))
+        .filter(F.col('n') > 100)
+    )
+    joined = spark.read.parquet(fact).join(dim, 'lang')
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert 'dynamicpruningexpression' in plan, plan
+    expected = (
+        docs.join(
+            docs.groupBy('lang')
+            .agg(F.count(F.lit(1)).alias('n'))
+            .filter(F.col('n') > 100),
+            'lang',
+        ).count()
+    )
+    assert joined.count() == expected
+
+
+def test_runtime_bloom_filter_prunes_fact_rows(spark, tmp_path):
+    """AQE runtime row-level filtering: a selective dim filter must inject a
+    bloom filter (or semi-join InSubquery) into the fact scan so non-joining
+    fact rows drop BEFORE the shuffle — the row-granularity complement of
+    dynamic partition pruning for joins on non-partition columns."""
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    fact = str(tmp_path / 'fact_flat')
+    docs.write.mode('overwrite').parquet(fact)
+    confs = {
+        'spark.sql.optimizer.runtime.bloomFilter.enabled': 'true',
+        'spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold': '10GB',
+        'spark.sql.optimizer.runtimeFilter.number.threshold': '10',
+        'spark.sql.autoBroadcastJoinThreshold': '-1',
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        dim = docs.filter(F.col('source') == 'src1').select(
+            'source', F.col('n_chars').alias('dim_chars')
+        )
+        joined = spark.read.parquet(fact).join(dim, 'source')
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert 'bloom_filter' in plan.lower() or 'mightContain' in plan, plan
+        expected = docs.filter(F.col('source') == 'src1').count() * dim.count()
+        assert joined.count() == expected
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
