@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+from .. import functions as _CF
 from ..tables import table
 from . import register
 
@@ -181,8 +182,22 @@ def _minhash_bands(docs):
     always wins; empty shingle arrays keep the sentinel (they cannot occur
     for this corpus — every doc has >= 3 tokens — and an array_min
     formulation would yield NULLs there, equally out-of-band).
+
+    Shingles are deliberately NOT deduplicated here (unlike
+    :func:`cyclebane_spark.functions.shingles`, whose distinct IS the
+    semantics for Jaccard): a min-fold is duplicate-insensitive, so the
+    signatures are identical either way, and skipping the per-doc
+    array_distinct (string hashing of every shingle) is ~25% of the query
+    at sf0.1 — re-hashing duplicate shingles through md5 costs less than
+    deduplicating them first. The oracle keeps list_distinct; pair sets
+    are bit-equal.
     """
-    sh = docs.select('doc_id', _spark_shingles(3).alias('sh'))
+    toks = _CF.tokens('text')
+    seq = F.sequence(F.lit(0), F.size(toks) - 3)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        ' ', *[F.get(toks, i + k) for k in range(3)]
+    )
+    sh = docs.select('doc_id', F.transform(seq, gram).alias('sh'))
     init = ', '.join(
         f"'m{p}', CAST({_PERM_MOD + 1} AS BIGINT)" for p in range(N_PERM)
     )
