@@ -198,3 +198,80 @@ def test_runtime_bloom_filter_prunes_fact_rows(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_binaryfile_source_for_multimodal_ingest(spark, tmp_path):
+    """binaryFile is the ingest source for raw media: one row per file with
+    (path, modificationTime, length, content) — the bytes land directly in
+    a binary column ready for the mapInPandas decode operators, and the
+    pathGlobFilter prunes non-media files at listing time (no read)."""
+    media = tmp_path / 'media'
+    media.mkdir()
+    payloads = {f'img_{i}.fake': bytes([i]) * (i + 1) for i in range(5)}
+    (media / 'notes.txt').write_text('not media')
+    for name, blob in payloads.items():
+        (media / name).write_bytes(blob)
+    df = (
+        spark.read.format('binaryFile')
+        .option('pathGlobFilter', '*.fake')
+        .load(str(media))
+    )
+    rows = {r.path.rsplit('/', 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    for name, blob in payloads.items():
+        assert bytes(rows[name].content) == blob
+        assert rows[name].length == len(blob)
+
+
+def test_csv_corrupt_record_modes(spark, tmp_path):
+    """Malformed-input policy on ingest: PERMISSIVE captures broken lines in
+    _corrupt_record (audit-then-quarantine, the 100 TB default — one bad
+    row must not kill a day-long job), DROPMALFORMED silently drops them,
+    FAILFAST aborts loudly for gated pipelines."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / 'rows.csv'
+    p.write_text('id,n\n1,10\n2,notanumber\n3,30\n')
+    schema = StructType(
+        [
+            StructField('id', LongType()),
+            StructField('n', LongType()),
+            StructField('_corrupt_record', StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option('header', 'true')
+        .option('mode', 'PERMISSIVE')
+        .option('columnNameOfCorruptRecord', '_corrupt_record')
+        .csv(str(p))
+    )
+    # caching avoids the documented Spark caveat: referencing ONLY the
+    # corrupt-record column of an uncached CSV read raises AnalysisException
+    permissive = permissive.cache()
+    assert permissive.count() == 3
+    bad = permissive.filter(F.col('_corrupt_record').isNotNull())
+    assert [r.id for r in bad.collect()] == [2]
+
+    dropped = (
+        spark.read.schema('id long, n long')
+        .option('header', 'true')
+        .option('mode', 'DROPMALFORMED')
+        .csv(str(p))
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 3]
+
+    failfast = (
+        spark.read.schema('id long, n long')
+        .option('header', 'true')
+        .option('mode', 'FAILFAST')
+        .csv(str(p))
+    )
+    with pytest.raises(Exception, match='FAILFAST|Malformed'):
+        failfast.collect()
