@@ -130,8 +130,8 @@ _PRIORITY = (
     # r1+r2-green and unchanged, re-verified locally each session below 50)
     'dedup_minhash_lsh',
     'dedup_connected_components',
-    # SQL-interface spot check (r1-green, unchanged) fills slot 50
-    'sql_interface_portable',
+    # round-3 addition (never driver-seen) fills slot 50
+    'graph_triangles_neardup',
     # ANN is covered in-window by the kmeans/PQ family and
     # pipeline_rag_retrieval (which wraps ann_ivf_blocked_topk);
     # bruteforce/blocked/rp_lsh are r2-green and unchanged, below 50

@@ -780,3 +780,40 @@ def pipeline_embedding_clusters(spark, sf_dir):
         F.count(F.lit(1)).alias('n_members'),
         F.max('vec_id').alias('max_vec'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup candidate graph: the classic
+# distributed graph metric (clustering-coefficient numerator). A triangle
+# {a < b < c} in the ordered edge list E appears exactly once as
+# (a,b),(b,c) joined on b, confirmed by (a,c) in E — so the count needs two
+# equi-joins on edge endpoints and no symmetrization, the standard
+# ordered-wedge formulation that avoids counting each triangle 6 times.
+# Scale: both joins shuffle on node ids of the (sparse) candidate edge
+# list, never on the corpus; degree skew is bounded upstream because hot
+# LSH buckets are already salted before pair generation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'graph_triangles_neardup',
+    oracle=_minhash_ctes()
+    + """
+    SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+    FROM pairs ab
+    JOIN pairs bc ON ab.doc_b = bc.doc_a
+    JOIN pairs ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+    """,
+)
+def graph_triangles_neardup(spark, sf_dir):
+    """Enumerate triangles in the MinHash-LSH candidate graph (one row per
+    triangle, a < b < c). See the module note for the wedge formulation."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # three self-references -> persist once (same idiom as PageRank above)
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    ab = pairs.select(F.col('doc_a').alias('a'), F.col('doc_b').alias('b'))
+    bc = pairs.select(F.col('doc_a').alias('b'), F.col('doc_b').alias('c'))
+    ac = pairs.select(F.col('doc_a').alias('a'), F.col('doc_b').alias('c'))
+    return ab.join(bc, 'b').join(ac, ['a', 'c']).select('a', 'b', 'c')
