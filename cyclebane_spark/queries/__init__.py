@@ -132,6 +132,10 @@ _PRIORITY = (
     'dedup_connected_components',
     # round-3 addition (never driver-seen) fills slot 50
     'graph_triangles_neardup',
+    # positions 51+ start with the remaining never-driver-seen round-3
+    # additions so the next window rotation picks them up first
+    'dedup_minhash_estimator',
+    'sql_interface_portable',
     # ANN is covered in-window by the kmeans/PQ family and
     # pipeline_rag_retrieval (which wraps ann_ivf_blocked_topk);
     # bruteforce/blocked/rp_lsh are r2-green and unchanged, below 50

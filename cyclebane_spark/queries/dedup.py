@@ -192,12 +192,28 @@ def _minhash_bands(docs):
     deduplicating them first. The oracle keeps list_distinct; pair sets
     are bit-equal.
     """
+    sh = docs.select('doc_id', _shingle_arr_expr().alias('sh'))
+    sig = sh.select('doc_id', _minhash_sig_expr().alias('s')).select(
+        'doc_id', *[F.col(f's.m{p}').alias(f'h{p}') for p in range(N_PERM)]
+    )
+    return _bands_from_sigs(sig)
+
+
+def _shingle_arr_expr():
+    """Non-deduplicated 3-gram shingle array over a ``text`` column (see
+    :func:`_minhash_bands` for why no distinct)."""
     toks = _CF.tokens('text')
     seq = F.sequence(F.lit(0), F.size(toks) - 3)
     gram = lambda i: F.concat_ws(  # noqa: E731
         ' ', *[F.get(toks, i + k) for k in range(3)]
     )
-    sh = docs.select('doc_id', F.transform(seq, gram).alias('sh'))
+    return F.transform(seq, gram)
+
+
+def _minhash_sig_expr():
+    """The 16-min signature fold as one Column over a ``sh`` shingle-array
+    column: struct<m0..m15 bigint>. One SQL string (driver build cost —
+    see :func:`_minhash_bands`)."""
     init = ', '.join(
         f"'m{p}', CAST({_PERM_MOD + 1} AS BIGINT)" for p in range(N_PERM)
     )
@@ -205,17 +221,18 @@ def _minhash_bands(docs):
         f"'m{p}', least(acc.m{p}, pmod(w.h1 + {p} * w.h2, {_PERM_MOD}))"
         for p in range(N_PERM)
     )
-    sig_sql = (
-        "aggregate("
+    return F.expr(
+        'aggregate('
         "transform(sh, s -> named_struct("
         "'h1', CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), "
         "'h2', CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))), "
         f'named_struct({init}), '
         f'(acc, w) -> named_struct({step}))'
     )
-    sig = sh.select('doc_id', F.expr(sig_sql).alias('s')).select(
-        'doc_id', *[F.col(f's.m{p}').alias(f'h{p}') for p in range(N_PERM)]
-    )
+
+
+def _bands_from_sigs(sig):
+    """(doc_id, band_id, bh) band rows from an h0..h15 signature table."""
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -817,3 +834,90 @@ def graph_triangles_neardup(spark, sf_dir):
     bc = pairs.select(F.col('doc_a').alias('b'), F.col('doc_b').alias('c'))
     ac = pairs.select(F.col('doc_a').alias('a'), F.col('doc_b').alias('c'))
     return ab.join(bc, 'b').join(ac, ['a', 'c']).select('a', 'b', 'c')
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator audit: for every LSH candidate pair, the signature
+# agreement (matching permutations out of 16 — the MinHash Jaccard
+# estimator) next to the EXACT shingle-set Jaccard as integer
+# intersection/union. The quality-control query for the dedup family:
+# E[est_matches/16] = true Jaccard, and drift between the two columns is
+# how production detects a broken hash family or band config. All-integer
+# output, so the oracle is exact.
+# Scale: ONE corpus scan computes signature + shingle set together in one
+# projection, persisted and reused by band generation and both pair
+# join-backs (an audit query may cache shingle sets; the production dedup
+# path never materializes them).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'dedup_minhash_estimator',
+    oracle=_minhash_ctes()
+    + f""",
+    shl AS (
+        SELECT doc_id, {_sql_shingles(3)} AS sa FROM t
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST({' + '.join(f'(CASE WHEN a.h{p} = b.h{p} THEN 1 ELSE 0 END)' for p in range(N_PERM))}
+               AS BIGINT) AS est_matches,
+           CAST(len(list_intersect(la.sa, lb.sa)) AS BIGINT) AS jac_inter,
+           CAST(len(la.sa) + len(lb.sa) - len(list_intersect(la.sa, lb.sa))
+               AS BIGINT) AS jac_union
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b
+    JOIN shl la ON la.doc_id = p.doc_a
+    JOIN shl lb ON lb.doc_id = p.doc_b
+    """,
+)
+def dedup_minhash_estimator(spark, sf_dir):
+    """Signature-agreement estimate vs exact Jaccard per candidate pair.
+
+    See the module note; both sides are integers (matching permutations;
+    set intersection/union sizes), so the comparison is engine-exact.
+    """
+    from pyspark import StorageLevel
+
+    docs = _minhash_docs(spark, sf_dir)
+    both = (
+        docs.select('doc_id', _shingle_arr_expr().alias('sh'))
+        .select(
+            'doc_id',
+            _minhash_sig_expr().alias('s'),
+            F.array_distinct('sh').alias('sa'),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = both.select(
+        'doc_id', *[F.col(f's.m{p}').alias(f'h{p}') for p in range(N_PERM)]
+    )
+    pairs = _pairs_from_bands(_bands_from_sigs(sig))
+    a = both.select(
+        F.col('doc_id').alias('doc_a'),
+        F.col('s').alias('s_a'),
+        F.col('sa').alias('sa_a'),
+    )
+    b = both.select(
+        F.col('doc_id').alias('doc_b'),
+        F.col('s').alias('s_b'),
+        F.col('sa').alias('sa_b'),
+    )
+    est = sum(
+        F.when(F.col(f's_a.m{p}') == F.col(f's_b.m{p}'), 1).otherwise(0)
+        for p in range(N_PERM)
+    )
+    inter = F.size(F.array_intersect('sa_a', 'sa_b'))
+    return (
+        pairs.join(a, 'doc_a')
+        .join(b, 'doc_b')
+        .select(
+            'doc_a',
+            'doc_b',
+            est.cast('bigint').alias('est_matches'),
+            inter.cast('bigint').alias('jac_inter'),
+            (F.size('sa_a') + F.size('sa_b') - inter)
+            .cast('bigint')
+            .alias('jac_union'),
+        )
+    )
