@@ -275,3 +275,41 @@ def test_csv_corrupt_record_modes(spark, tmp_path):
     )
     with pytest.raises(Exception, match='FAILFAST|Malformed'):
         failfast.collect()
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema drift across ingest batches (a new column appears mid-stream —
+    routine over a 100 TB multi-month landing zone): mergeSchema unions the
+    per-file schemas, old files surface NULL for the new column, and the
+    default non-merging read keeps the cheap single-footer behavior."""
+    out = str(tmp_path / 'evolving')
+    spark.range(3).selectExpr('id', 'id * 2 AS a').write.parquet(f'{out}/b=1')
+    spark.range(3, 6).selectExpr(
+        'id', 'id * 2 AS a', "concat('v', id) AS b_new"
+    ).write.parquet(f'{out}/b=2')
+    merged = spark.read.option('mergeSchema', 'true').parquet(out)
+    assert set(merged.columns) >= {'id', 'a', 'b_new'}
+    rows = {r.id: r.b_new for r in merged.collect()}
+    assert rows[0] is None and rows[5] == 'v5'
+    assert merged.count() == 6
+
+
+def test_writer_controls_compression_and_file_sizing(spark, tmp_path):
+    """Output hygiene at scale: compression codec is set per write (zstd —
+    the modern default for cold data), and maxRecordsPerFile bounds file
+    size so one fat partition cannot emit a 100 GB file that downstream
+    scans cannot split across row groups effectively."""
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    out = str(tmp_path / 'sized')
+    (
+        docs.coalesce(1)
+        .write.option('compression', 'zstd')
+        .option('maxRecordsPerFile', 150)
+        .parquet(out)
+    )
+    files = [f for f in os.listdir(out) if f.endswith('.parquet')]
+    # 500 docs / 150 per file -> at least 4 files despite ONE task
+    assert len(files) >= 4, files
+    assert all('zstd' in f for f in files), files
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
