@@ -135,6 +135,7 @@ _PRIORITY = (
     # positions 51+ start with the remaining never-driver-seen round-3
     # additions so the next window rotation picks them up first
     'dedup_minhash_estimator',
+    'events_bitmap_distinct_users',
     'sql_interface_portable',
     # ANN is covered in-window by the kmeans/PQ family and
     # pipeline_rag_retrieval (which wraps ann_ivf_blocked_topk);

@@ -623,3 +623,42 @@ def events_cdc_compaction(spark, sf_dir):
             F.col('last.value').alias('value'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-based EXACT distinct count: the mergeable alternative to
+# count_distinct for dense integer keys. Each (group, bucket) partial is a
+# fixed 4KB bitmap (bitmap_construct_agg) that combines by OR — map-side
+# combinable and re-aggregatable across days/partitions, unlike
+# count_distinct whose partial state is the full value set. The pattern
+# warehouse engines use for exact distinct at scale; the HLL twin
+# (approx_count_distinct_hll / sketch_merge_hll) trades exactness for a
+# constant-size sketch when keys are not dense integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_bitmap_distinct_users',
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def events_bitmap_distinct_users(spark, sf_dir):
+    """Exact distinct users per event type via two-level bitmap aggregation
+    (bucket -> bitmap_construct_agg -> sum of bitmap_count). See the module
+    note for why this out-scales count_distinct."""
+    ev = table(spark, sf_dir, 'events')
+    return (
+        ev.select(
+            'event_type',
+            F.expr('bitmap_bucket_number(user_id)').alias('bk'),
+            F.expr('bitmap_bit_position(user_id)').alias('bp'),
+        )
+        .groupBy('event_type', 'bk')
+        .agg(F.expr('bitmap_construct_agg(bp)').alias('bm'))
+        .groupBy('event_type')
+        .agg(
+            F.sum(F.expr('bitmap_count(bm)')).cast('bigint').alias('n_users')
+        )
+    )
