@@ -43,12 +43,20 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(_col(text)), r'\s+')
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the text: array<string>."""
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles in document order, duplicates kept:
+    array<string>. The ONE canonical gram definition — :func:`shingles`
+    (Jaccard semantics) and the MinHash signature path (min-fold, which is
+    duplicate-insensitive) both build on it."""
     toks = tokens(text)
     seq = F.sequence(F.lit(0), F.size(toks) - n)
     gram = lambda i: F.concat_ws(' ', *[F.get(toks, i + k) for k in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(seq, gram))
+    return F.transform(seq, gram)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text: array<string>."""
+    return F.array_distinct(word_ngrams(text, n))
 
 
 def token_count(text: Column | str) -> Column:

@@ -36,9 +36,7 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 
 def _spark_shingles(n: int):
     """array of distinct n-gram shingles of the whitespace-tokenized text."""
-    from .. import functions as CF
-
-    return CF.shingles('text', n)
+    return _CF.shingles('text', n)
 
 
 def _sql_shingles(n: int) -> str:
@@ -201,13 +199,9 @@ def _minhash_bands(docs):
 
 def _shingle_arr_expr():
     """Non-deduplicated 3-gram shingle array over a ``text`` column (see
-    :func:`_minhash_bands` for why no distinct)."""
-    toks = _CF.tokens('text')
-    seq = F.sequence(F.lit(0), F.size(toks) - 3)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        ' ', *[F.get(toks, i + k) for k in range(3)]
-    )
-    return F.transform(seq, gram)
+    :func:`_minhash_bands` for why no distinct). Delegates to the canonical
+    gram definition so the MinHash and Jaccard families can never diverge."""
+    return _CF.word_ngrams('text', 3)
 
 
 def _minhash_sig_expr():
@@ -807,8 +801,11 @@ def pipeline_embedding_clusters(spark, sf_dir):
 # equi-joins on edge endpoints and no symmetrization, the standard
 # ordered-wedge formulation that avoids counting each triangle 6 times.
 # Scale: both joins shuffle on node ids of the (sparse) candidate edge
-# list, never on the corpus; degree skew is bounded upstream because hot
-# LSH buckets are already salted before pair generation.
+# list, never on the corpus. This query feeds from the UNSALTED pair path;
+# a boilerplate-skewed corpus would swap in _salted_pairs_from_bands for
+# the pair stage (bit-exact, see dedup_minhash_lsh_salted) — high-degree
+# nodes then still skew the wedge join itself, which AQE's skew-join
+# split handles (sort-merge shape) or a degree-threshold cap bounds.
 # ---------------------------------------------------------------------------
 
 

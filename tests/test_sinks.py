@@ -292,6 +292,11 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     rows = {r.id: r.b_new for r in merged.collect()}
     assert rows[0] is None and rows[5] == 'v5'
     assert merged.count() == 6
+    # the default read picks ONE footer's schema (cheap, no footer union) —
+    # all rows still surface, whichever footer wins
+    plain = spark.read.parquet(out)
+    assert {'id', 'a'} <= set(plain.columns) <= {'id', 'a', 'b_new', 'b'}
+    assert plain.count() == 6
 
 
 def test_writer_controls_compression_and_file_sizing(spark, tmp_path):
