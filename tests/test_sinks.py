@@ -318,3 +318,72 @@ def test_writer_controls_compression_and_file_sizing(spark, tmp_path):
     assert all('zstd' in f for f in files), files
     back = spark.read.parquet(out)
     assert back.count() == docs.count()
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """Idempotent daily reruns: with partitionOverwriteMode=dynamic an
+    INSERT OVERWRITE replaces ONLY the partitions present in the incoming
+    batch — rerunning one day's job can never wipe the rest of a year's
+    table (static mode, the default, truncates every partition first)."""
+    out = str(tmp_path / 'daily')
+    base = spark.createDataFrame(
+        [(1, 'd1'), (2, 'd1'), (3, 'd2'), (4, 'd3')], 'id long, day string'
+    )
+    base.write.partitionBy('day').parquet(out)
+    prev = spark.conf.get('spark.sql.sources.partitionOverwriteMode')
+    spark.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
+    try:
+        rerun = spark.createDataFrame([(9, 'd2')], 'id long, day string')
+        rerun.write.mode('overwrite').partitionBy('day').parquet(out)
+    finally:
+        spark.conf.set('spark.sql.sources.partitionOverwriteMode', prev)
+    got = {
+        (r.id, r.day) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 'd1'), (2, 'd1'), (9, 'd2'), (4, 'd3')}
+
+
+def test_range_partitioned_write_gives_narrow_file_stats(spark, tmp_path):
+    """Data layout for skipping: repartitionByRange + sortWithinPartitions
+    on the filter column writes files whose parquet min/max footers cover
+    NARROW disjoint key ranges, so a point/range predicate prunes most row
+    groups at scan time — the sort-based clustering a 100 TB time-series
+    table needs. Asserted on the actual parquet footer statistics."""
+    import pyarrow.parquet as pq
+
+    ev = spark.read.parquet(f'{SF_DIR}/events.parquet').select(
+        'event_id', 'user_id', 'value'
+    )
+    out = str(tmp_path / 'clustered')
+    (
+        ev.repartitionByRange(4, 'event_id')
+        .sortWithinPartitions('event_id')
+        .write.parquet(out)
+    )
+    spans = []
+    for f in os.listdir(out):
+        if not f.endswith('.parquet'):
+            continue
+        md = pq.ParquetFile(f'{out}/{f}').metadata
+        col_idx = next(
+            i
+            for i in range(len(md.schema.names))
+            if md.schema.names[i] == 'event_id'
+        )
+        lo = min(
+            md.row_group(g).column(col_idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(col_idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) == 4
+    total = ev.count()
+    # disjoint, narrow ranges: each file covers < half the keyspace and
+    # consecutive files do not overlap
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans
+        assert hi1 - lo1 < total / 2, spans
