@@ -136,6 +136,7 @@ _PRIORITY = (
     # additions so the next window rotation picks them up first
     'dedup_minhash_estimator',
     'events_bitmap_distinct_users',
+    'events_cogroup_asof_pandas',
     'sql_interface_portable',
     # ANN is covered in-window by the kmeans/PQ family and
     # pipeline_rag_retrieval (which wraps ann_ivf_blocked_topk);

@@ -662,3 +662,89 @@ def events_bitmap_distinct_users(spark, sf_dir):
             F.sum(F.expr('bitmap_count(bm)')).cast('bigint').alias('n_users')
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-pandas as-of join: the groupBy().cogroup().applyInPandas API
+# surface — two keyed streams land in ONE Python worker per key as aligned
+# pandas frames. The window-carry formulation (events_asof_join above) is
+# the scale path for this corpus; the cogroup twin is the escape hatch for
+# per-key logic SQL can't state (pd.merge_asof with tolerance/nearest,
+# per-key model scoring, custom alignment), and doubles as its parity
+# check. Scale: one shuffle per side on user_id, Arrow-batched per-key
+# frames; a hot key serializes one user's rows into one worker — the
+# documented trade of every cogroup op.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_cogroup_asof_pandas',
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, event_id AS view_id, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    ranked AS (
+        SELECT c.user_id, c.click_id, c.click_ts, v.view_id, v.view_ts,
+               row_number() OVER (
+                   PARTITION BY c.click_id
+                   ORDER BY v.view_ts DESC, v.view_id DESC
+               ) AS rk
+        FROM clicks c
+        LEFT JOIN views v
+          ON v.user_id = c.user_id AND v.view_ts <= c.click_ts
+    )
+    SELECT user_id, click_id, click_ts, view_id, view_ts
+    FROM ranked WHERE rk = 1
+    """,
+)
+def events_cogroup_asof_pandas(spark, sf_dir):
+    """Each click matched to the user's latest view at-or-before it, via
+    cogrouped applyInPandas + pd.merge_asof (backward, inclusive).
+
+    Determinism: views sort by (view_ts, view_id), so at equal timestamps
+    merge_asof's last-row-wins picks the max view_id — exactly the
+    oracle's ORDER BY view_ts DESC, view_id DESC rank. Clicks with no
+    prior view survive with NULLs (left as-of).
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, 'events')
+    clicks = ev.filter(F.col('event_type') == 'click').select(
+        'user_id', F.col('event_id').alias('click_id'), F.col('ts').alias('click_ts')
+    )
+    views = ev.filter(F.col('event_type') == 'view').select(
+        'user_id', F.col('event_id').alias('view_id'), F.col('ts').alias('view_ts')
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=['user_id', 'click_id', 'click_ts', 'view_id', 'view_ts']
+            )
+        left = left.sort_values(['click_ts', 'click_id'])
+        right = right.sort_values(['view_ts', 'view_id'])
+        out = pd.merge_asof(
+            left,
+            right.drop(columns=['user_id']),
+            left_on='click_ts',
+            right_on='view_ts',
+            direction='backward',
+            allow_exact_matches=True,
+        )
+        out['view_id'] = out['view_id'].astype('Int64')
+        return out[['user_id', 'click_id', 'click_ts', 'view_id', 'view_ts']]
+
+    return (
+        clicks.groupBy('user_id')
+        .cogroup(views.groupBy('user_id'))
+        .applyInPandas(
+            asof,
+            'user_id long, click_id long, click_ts timestamp_ntz, '
+            'view_id long, view_ts timestamp_ntz',
+        )
+    )
