@@ -137,6 +137,7 @@ _PRIORITY = (
     'dedup_minhash_estimator',
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
+    'embeddings_quantized_norm_arrow',
     'sql_interface_portable',
     # ANN is covered in-window by the kmeans/PQ family and
     # pipeline_rag_retrieval (which wraps ann_ivf_blocked_topk);

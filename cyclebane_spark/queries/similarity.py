@@ -745,3 +745,62 @@ def pipeline_rag_retrieval(spark, sf_dir):
             F.coalesce(F.length('snippet'), F.lit(0)).cast('bigint').alias('snippet_len'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the zero-copy Arrow-RecordBatch UDF path — one level below
+# mapInPandas (no pandas conversion, columnar batches straight from
+# Tungsten). The right tool when the Python work is itself columnar
+# (vectorized quantization, batch scoring against an in-process model).
+# The computation is integer quantization (round each float32 component
+# to 1e-3 fixed point, sum per vector), so the result is order- and
+# engine-exact — the same determinism rule as the quantized k-means IVF.
+# Scale: embarrassingly parallel per batch, zero shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'embeddings_quantized_norm_arrow',
+    oracle="""
+    SELECT vec_id,
+           CAST(list_sum(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)))
+               AS BIGINT) AS q_sum,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def embeddings_quantized_norm_arrow(spark, sf_dir):
+    """Per-vector quantized component sum via ``mapInArrow``.
+
+    Each Arrow batch is processed columnar-natively: the list column's
+    flat values buffer is quantized in one vectorized pass and re-summed
+    per list offset — no pandas materialization, no per-row Python.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def quantize(batches):
+        for batch in batches:
+            la = batch.column('embedding')
+            # flat float32 values buffer + list offsets: one vectorized pass
+            v = la.values.to_numpy(zero_copy_only=False).astype('float64')
+            # HALF AWAY FROM ZERO to match SQL round() — np.rint/Python
+            # round are half-to-even and would diverge on exact .5 ties
+            q = (np.sign(v) * np.floor(np.abs(v) * 1000.0 + 0.5)).astype(
+                'int64'
+            )
+            off = np.asarray(la.offsets)
+            csum = np.concatenate(([0], np.cumsum(q)))
+            yield pa.record_batch(
+                {
+                    'vec_id': batch.column('vec_id'),
+                    'q_sum': pa.array(csum[off[1:]] - csum[off[:-1]], pa.int64()),
+                    'dim': pa.array(np.diff(off), pa.int64()),
+                }
+            )
+
+    emb = table(spark, sf_dir, 'embeddings')
+    return emb.select('vec_id', 'embedding').mapInArrow(
+        quantize, 'vec_id long, q_sum long, dim long'
+    )
