@@ -14,6 +14,7 @@ from pyspark.sql import Column
 
 __all__ = [
     'tokens',
+    'word_ngrams',
     'shingles',
     'token_count',
     'stopword_count',

@@ -721,23 +721,34 @@ def events_cogroup_asof_pandas(spark, sf_dir):
         'user_id', F.col('event_id').alias('view_id'), F.col('ts').alias('view_ts')
     )
 
+    cols = ['user_id', 'click_id', 'click_ts', 'view_id', 'view_ts']
+
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
-            return pd.DataFrame(
-                columns=['user_id', 'click_id', 'click_ts', 'view_id', 'view_ts']
-            )
-        left = left.sort_values(['click_ts', 'click_id'])
-        right = right.sort_values(['view_ts', 'view_id'])
+            return pd.DataFrame(columns=cols)
+        # NULL-ts rows: merge_asof rejects NaT keys outright, but the SQL
+        # semantics are graceful — a NULL view_ts matches nothing, a NULL
+        # click_ts keeps its row with NULL view columns (the <= predicate
+        # is NULL). Mirror that instead of crashing.
+        right = right.dropna(subset=['view_ts']).sort_values(
+            ['view_ts', 'view_id']
+        )
+        nat = left['click_ts'].isna()
         out = pd.merge_asof(
-            left,
+            left[~nat].sort_values(['click_ts', 'click_id']),
             right.drop(columns=['user_id']),
             left_on='click_ts',
             right_on='view_ts',
             direction='backward',
             allow_exact_matches=True,
         )
+        if nat.any():
+            stranded = left[nat].copy()
+            stranded['view_id'] = pd.NA
+            stranded['view_ts'] = pd.NaT
+            out = pd.concat([out, stranded[cols]], ignore_index=True)
         out['view_id'] = out['view_id'].astype('Int64')
-        return out[['user_id', 'click_id', 'click_ts', 'view_id', 'view_ts']]
+        return out[cols]
 
     return (
         clicks.groupBy('user_id')

@@ -792,11 +792,21 @@ def embeddings_quantized_norm_arrow(spark, sf_dir):
             )
             off = np.asarray(la.offsets)
             csum = np.concatenate(([0], np.cumsum(q)))
+            # NULL lists: SQL yields NULL/NULL, so mask them out (their
+            # offset span is empty and would otherwise read as 0/0). NULL
+            # ELEMENTS inside a list are outside the schema contract.
+            null_mask = ~np.asarray(la.is_valid())
             yield pa.record_batch(
                 {
                     'vec_id': batch.column('vec_id'),
-                    'q_sum': pa.array(csum[off[1:]] - csum[off[:-1]], pa.int64()),
-                    'dim': pa.array(np.diff(off), pa.int64()),
+                    'q_sum': pa.array(
+                        csum[off[1:]] - csum[off[:-1]],
+                        pa.int64(),
+                        mask=null_mask,
+                    ),
+                    'dim': pa.array(
+                        np.diff(off), pa.int64(), mask=null_mask
+                    ),
                 }
             )
 

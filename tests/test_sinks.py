@@ -351,9 +351,10 @@ def test_range_partitioned_write_gives_narrow_file_stats(spark, tmp_path):
     table needs. Asserted on the actual parquet footer statistics."""
     import pyarrow.parquet as pq
 
-    ev = spark.read.parquet(f'{SF_DIR}/events.parquet').select(
-        'event_id', 'user_id', 'value'
-    )
+    from cyclebane_spark.tables import table
+
+    # via the catalog loader: handles nanosecond-ts testdata generations
+    ev = table(spark, SF_DIR, 'events').select('event_id', 'user_id', 'value')
     out = str(tmp_path / 'clustered')
     (
         ev.repartitionByRange(4, 'event_id')
@@ -365,11 +366,7 @@ def test_range_partitioned_write_gives_narrow_file_stats(spark, tmp_path):
         if not f.endswith('.parquet'):
             continue
         md = pq.ParquetFile(f'{out}/{f}').metadata
-        col_idx = next(
-            i
-            for i in range(len(md.schema.names))
-            if md.schema.names[i] == 'event_id'
-        )
+        col_idx = md.schema.names.index('event_id')
         lo = min(
             md.row_group(g).column(col_idx).statistics.min
             for g in range(md.num_row_groups)
@@ -382,8 +379,8 @@ def test_range_partitioned_write_gives_narrow_file_stats(spark, tmp_path):
     spans.sort()
     assert len(spans) == 4
     total = ev.count()
-    # disjoint, narrow ranges: each file covers < half the keyspace and
+    # disjoint, narrow ranges: EVERY file covers < half the keyspace and
     # consecutive files do not overlap
-    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+    assert all(hi - lo < total / 2 for lo, hi in spans), spans
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2, spans
-        assert hi1 - lo1 < total / 2, spans
