@@ -384,3 +384,15 @@ def test_range_partitioned_write_gives_narrow_file_stats(spark, tmp_path):
     assert all(hi - lo < total / 2 for lo, hi in spans), spans
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2, spans
+
+
+def test_rebalance_hint_before_write(spark):
+    """AQE rebalance: the pre-write hint that splits skewed output
+    partitions and coalesces tiny ones at runtime — the standard fix for
+    the small-files problem a skewed 100 TB write produces. The logical
+    plan must carry RebalancePartitions and execution must preserve rows."""
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    rb = docs.hint('rebalance', 'lang')
+    logical = rb._jdf.queryExecution().optimizedPlan().toString()
+    assert 'RebalancePartitions' in logical, logical
+    assert rb.count() == docs.count()
