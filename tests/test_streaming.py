@@ -281,3 +281,39 @@ def test_cdc_upsert_batch_replay_is_idempotent(spark, tmp_path):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, replayed.collect())
     )
+
+
+def test_cdc_merge_is_associative_under_random_splits(spark):
+    """Property behind the upsert sink: for ANY partition of the log into
+    ordered batches, folding latest_per_key batch-by-batch equals one-shot
+    compaction. Checked over randomized 1-5-way splits (seeded, no RNG
+    state in the plan) via a driver-side fold of the same DataFrame op."""
+    import random
+
+    from cyclebane_spark.streaming.windows import latest_per_key
+    from cyclebane_spark.tables import events_table
+
+    ev = (
+        events_table(spark, SF_DIR)
+        .withColumn('ts', F.col('ts').cast('timestamp'))
+        .limit(300)
+        .cache()
+    )
+    expected = sorted(map(tuple, latest_per_key(ev).collect()))
+    rng = random.Random(7)
+    for _ in range(3):
+        n = rng.randint(2, 5)
+        parts = ev.withColumn(
+            'part', (F.pmod(F.xxhash64('event_id'), F.lit(n))).cast('int')
+        )
+        snapshot = None
+        order = list(range(n))
+        rng.shuffle(order)
+        for p in order:
+            batch = parts.filter(F.col('part') == p).select(
+                'user_id', 'event_type', 'event_id', 'ts', 'value'
+            )
+            snapshot = latest_per_key(
+                batch if snapshot is None else snapshot.unionByName(batch)
+            )
+        assert sorted(map(tuple, snapshot.collect())) == expected
