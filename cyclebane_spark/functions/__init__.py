@@ -48,11 +48,19 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles in document order, duplicates kept:
     array<string>. The ONE canonical gram definition — :func:`shingles`
     (Jaccard semantics) and the MinHash signature path (min-fold, which is
-    duplicate-insensitive) both build on it."""
+    duplicate-insensitive) both build on it.
+
+    Texts with fewer than ``n`` tokens yield an empty array (matching SQL
+    ``range(0, size - n + 1)``, which is empty when size < n); without the
+    guard ``sequence(0, size - n)`` would DESCEND and emit bogus partial
+    grams.
+    """
     toks = tokens(text)
     seq = F.sequence(F.lit(0), F.size(toks) - n)
     gram = lambda i: F.concat_ws(' ', *[F.get(toks, i + k) for k in range(n)])  # noqa: E731
-    return F.transform(seq, gram)
+    return F.when(
+        F.size(toks) >= n, F.transform(seq, gram)
+    ).otherwise(F.array().cast('array<string>'))
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

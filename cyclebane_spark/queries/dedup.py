@@ -160,8 +160,12 @@ def _minhash_bands(docs):
     Signatures are computed per document with array higher-order functions
     (shingle array -> (h1, h2) word array -> one aggregate fold carrying
     all 16 running mins in a struct accumulator) — one narrow projection,
-    NO shingle explode and NO signature shuffle. The md5 runs once per
-    shingle; the single fold replaces 16 separate array traversals
+    NO shingle explode and NO signature shuffle. The md5 is hoisted into
+    its own pre-transform so it runs exactly once per shingle (interpreted
+    HOF lambdas get no codegen CSE, so an inlined md5 in both h1 and h2
+    substrings would really hash twice — measured ~10% of the query at
+    sf0.1; the extra array traversal the hoist costs is cheaper than the
+    second hash). The single fold replaces 16 separate array traversals
     (array HOFs are interpreted per element, so traversal count — not
     arithmetic — was the hot cost: ~30% of the query at sf0.1), so
     widening N_PERM costs arithmetic, not passes over the array.
@@ -217,9 +221,9 @@ def _minhash_sig_expr():
     )
     return F.expr(
         'aggregate('
-        "transform(sh, s -> named_struct("
-        "'h1', CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), "
-        "'h2', CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT))), "
+        'transform(transform(sh, s -> md5(s)), m -> named_struct('
+        "'h1', CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT), "
+        "'h2', CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT))), "
         f'named_struct({init}), '
         f'(acc, w) -> named_struct({step}))'
     )
@@ -329,9 +333,11 @@ def _salted_pairs_from_bands(bands, n_salt: int = 8):
 
 
 def _minhash_docs(spark, sf_dir):
-    # No size()>0 filter here: explode-equivalent row parity needs none (the
-    # shingle expression yields >=1 element for ANY text, even null/empty),
-    # and a filter on the shingle array gets pushed below the repartition —
+    # No size()>0 filter here: the signature is a FOLD (no explode), so a
+    # sub-n-token doc would just keep its sentinel signature — and the
+    # corpus invariant (every doc >= 3 tokens; word_ngrams now returns []
+    # below n, matching the oracle's range()) means none exist. A filter on
+    # the shingle array would also get pushed below the repartition —
     # recomputing every shingle inside the single pre-shuffle scan task.
     return spread(table(spark, sf_dir, 'documents'), 'doc_id')
 

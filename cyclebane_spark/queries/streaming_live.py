@@ -206,6 +206,7 @@ def stream_cdc_upsert(spark, sf_dir):
     union is the argmax of per-batch argmaxes.
     """
     import hashlib
+    import os
     import shutil
     import tempfile
 
@@ -213,9 +214,14 @@ def stream_cdc_upsert(spark, sf_dir):
 
     from ..streaming.windows import cdc_upsert_parquet
 
+    # Deterministic scratch dir per sf_dir (mirrors the events_stream
+    # symlink-dir idiom): wipe any prior run's snapshots + checkpoint so
+    # repeated gate/bench runs reuse ONE path instead of leaking a fresh
+    # mkdtemp per invocation.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    base = tempfile.mkdtemp(prefix=f'cb_upsert_{tag}_')
+    base = os.path.join(tempfile.gettempdir(), f'cb_upsert_{tag}')
     shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
     snapshot = cdc_upsert_parquet(events_stream(spark, sf_dir), base)
     return spark.read.parquet(snapshot).select(
         'user_id',

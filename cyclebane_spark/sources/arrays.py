@@ -491,9 +491,10 @@ class SparkColumn(DimArray):
 
     This is the 100 TB path: the "array" never leaves the cluster. Dims are
     the index columns; coords are lazy. Point selection and label slicing
-    compile to filters (predicate pushdown); positional slicing is
-    intentionally unsupported at scale (a global order would shuffle
-    everything — use label slicing on a sortable index column instead).
+    compile to filters (predicate pushdown); positional slicing compiles to
+    a bucketed two-level rank (numeric keys: floor(key/W) buckets;
+    non-numeric keys: range-sampled split points) — never a single-reducer
+    global sort. Label slicing remains the preferred pushdown path.
     """
 
     def __init__(self, df: Any, *, index: Sequence[str], values: str):
@@ -543,9 +544,11 @@ class SparkColumn(DimArray):
         (the leading index column only) for the counts — the right trade
         against sorting the whole table through one reducer.
 
-        Non-numeric leading column: falls back to the global row_number
-        window (parity mode; production data would range-sample split
-        points exactly like Spark's own RangePartitioner).
+        Non-numeric leading column (strings, dates, timestamps, booleans):
+        the same two-level shape, with buckets from RANGE-SAMPLED split
+        points instead of floor(col/W) — see :meth:`_range_bucket_expr`.
+        Exotic orderable types (arrays/structs as index dims) raise loudly;
+        use label slicing instead.
         """
         import pyspark.sql.functions as F
         from pyspark.sql import Window
@@ -554,23 +557,23 @@ class SparkColumn(DimArray):
         order_cols = [F.col(c) for c in self.index_cols]
         lead = self.index_cols[0]
         if not isinstance(df.schema[lead].dataType, NumericType):
-            w = Window.orderBy(*order_cols)
-            return df.withColumn('__pos', F.row_number().over(w) - 1)
+            bucket = self._range_bucket_expr(df, lead)
+        else:
+            # W is a power of two, so the double division only shifts the
+            # exponent: floor(key / W) is exact for every integer key <
+            # 2^53. NULL keys sort FIRST under Spark's default ascending
+            # order and NaN doubles sort LAST — give each its own sentinel
+            # bucket (an inner equi-join on a NULL bucket would silently
+            # DROP those rows while their counts still shifted every
+            # offset). The sentinels sit far outside floor(key/W)'s range
+            # for any |key| < 2^53.
+            from pyspark.sql.types import FractionalType
 
-        # W is a power of two, so the double division only shifts the
-        # exponent: floor(key / W) is exact for every integer key < 2^53.
-        # NULL keys sort FIRST under Spark's default ascending order and NaN
-        # doubles sort LAST — give each its own sentinel bucket (an inner
-        # equi-join on a NULL bucket would silently DROP those rows while
-        # their counts still shifted every offset). The sentinels sit far
-        # outside floor(key/W)'s range for any |key| < 2^53.
-        from pyspark.sql.types import FractionalType
-
-        raw_bucket = F.floor(F.col(lead) / F.lit(self._POS_BUCKET_W))
-        bucket = F.when(F.col(lead).isNull(), F.lit(-(1 << 61)))
-        if isinstance(df.schema[lead].dataType, FractionalType):
-            bucket = bucket.when(F.isnan(lead), F.lit(1 << 61))
-        bucket = bucket.otherwise(raw_bucket)
+            raw_bucket = F.floor(F.col(lead) / F.lit(self._POS_BUCKET_W))
+            bucket = F.when(F.col(lead).isNull(), F.lit(-(1 << 61)))
+            if isinstance(df.schema[lead].dataType, FractionalType):
+                bucket = bucket.when(F.isnan(lead), F.lit(1 << 61))
+            bucket = bucket.otherwise(raw_bucket)
         bucketed = df.withColumn('__b', bucket)
         counts = (
             df.select(bucket.alias('__b'))
@@ -589,6 +592,98 @@ class SparkColumn(DimArray):
                 '__pos', F.col('__off') + F.row_number().over(in_bucket) - 1
             )
             .drop('__b', '__off')
+        )
+
+    _POS_MAX_SPLITS = 1024
+
+    def _range_bucket_expr(self, df, lead: str):
+        """Monotone range bucket for a NON-numeric leading index column —
+        the declarative statement of Spark's own RangePartitioner: sample
+        split points, binary-search each row into its range.
+
+        A monotone numeric proxy stands in for the key (strings: the first
+        7 bytes of the UTF-8 encoding as an unsigned integer — Spark
+        compares strings byte-wise unsigned, so the proxy can never invert
+        an order, only tie keys that share a 7-byte prefix, and ties just
+        share a bucket; dates/timestamps/booleans: their natural integer
+        form). ONE narrow scan computes up to 1023 equi-depth split points
+        of the proxy (percentile_approx) plus the row count; the split list
+        is thinned to ~n/W buckets and compiled into a nested CASE
+        binary-search tree (depth log2 B comparisons per row, proxy
+        evaluated once via a single-element transform binding). Bucket
+        balance depends on the sample quality; POSITIONS DO NOT — any
+        monotone bucket assignment gives exact global positions, since the
+        within-bucket window orders by the full index columns.
+
+        Cost: one eager narrow aggregation action at slice-construction
+        time (the numeric path's analog is its lazy counts scan). At 100 TB
+        the 1024-bucket cap is the knob to raise; each bucket is one task's
+        sort, exactly like a post-RangePartitioner partition.
+
+        NULL keys sort first and keep their own sentinel bucket (-1; tree
+        buckets are >= 0).
+        """
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import (
+            BooleanType,
+            DateType,
+            StringType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        dtype = df.schema[lead].dataType
+        quoted = f'`{lead}`'
+        if isinstance(dtype, StringType):
+            proxy_sql = (
+                f"CAST(conv(hex(rpad(CAST({quoted} AS BINARY), 7, X'00')), "
+                '16, 10) AS BIGINT)'
+            )
+        elif isinstance(dtype, DateType):
+            proxy_sql = f'unix_date({quoted})'
+        elif isinstance(dtype, (TimestampType, TimestampNTZType)):
+            proxy_sql = f'unix_micros(CAST({quoted} AS TIMESTAMP))'
+        elif isinstance(dtype, BooleanType):
+            proxy_sql = f'CAST({quoted} AS INT)'
+        else:
+            raise TypeError(
+                f'positional slicing is not supported for a {dtype.simpleString()} '
+                f'leading index column; use label slicing (graph.loc) instead'
+            )
+
+        b_max = self._POS_MAX_SPLITS
+        probs = ', '.join(f'{i / b_max!r}' for i in range(1, b_max))
+        row = df.selectExpr(
+            f'percentile_approx({proxy_sql}, array({probs}), 10000) AS q',
+            f'count({quoted}) AS n',
+        ).first()
+        all_splits = sorted({int(s) for s in (row['q'] or []) if s is not None})
+        target = max(1, min(b_max - 1, int(row['n']) // self._POS_BUCKET_W + 1))
+        if target < len(all_splits):
+            step = len(all_splits) / target
+            splits = sorted({all_splits[int((j + 1) * step) - 1] for j in range(target - 1)})
+        else:
+            splits = all_splits
+
+        def tree(lo: int, hi: int) -> str:
+            # bucket(x) = #{i : splits[i] <= x}, as a binary-search CASE tree
+            if hi - lo == 1:
+                return str(lo)
+            mid = (lo + hi) // 2
+            return (
+                f'(CASE WHEN p < {splits[mid - 1]} '
+                f'THEN {tree(lo, mid)} ELSE {tree(mid, hi)} END)'
+            )
+
+        search = (
+            'transform(array(CAST(({proxy}) AS BIGINT)), p -> {t})[0]'.format(
+                proxy=proxy_sql, t=tree(0, len(splits) + 1)
+            )
+        )
+        return (
+            F.when(F.col(lead).isNull(), F.lit(-1))
+            .otherwise(F.expr(search))
+            .cast('long')
         )
 
     def islice(self, key: Mapping[IndexName, slice]) -> 'SparkColumn':

@@ -36,7 +36,19 @@ def test_shingles_count(spark, docs):
         assert row.k <= row.n - 2  # distinct <= total 3-grams
 
 
-def test_fingerprint_is_whitespace_insensitive(spark):
+def test_word_ngrams_short_texts_yield_empty_not_bogus_partials(spark):
+    """Texts with fewer than n tokens must produce an EMPTY gram array —
+    matching SQL range(0, size-n+1) — not the descending-sequence partial
+    grams the unguarded form emitted ('a b' -> ['a b','a b'])."""
+    df = spark.createDataFrame(
+        [('a b',), ('x',), ('',), (None,), ('one two three',)], ['t']
+    ).select('t', CF.word_ngrams('t', 3).alias('g'))
+    got = {r.t: r.g for r in df.collect()}
+    assert got['a b'] == []
+    assert got['x'] == []
+    assert got[''] == []
+    assert got[None] == []
+    assert got['one two three'] == ['one two three']
     df = spark.createDataFrame(
         [('a b  c',), (' a   b c ',)], ['t']
     ).select(CF.fingerprint('t').alias('f'))

@@ -102,6 +102,28 @@ def test_graph_slice_positional_no_single_reducer_sort(spark):
     ) <= 2
 
 
+def test_string_keyed_positional_rank_partitions_its_windows(spark):
+    """The non-numeric positional path must be the same two-level shape as
+    the numeric one: every row_number window PARTITIONS by the range bucket
+    (parallel per-bucket sorts), never the old global unpartitioned window;
+    the bucket offsets broadcast back."""
+    from cyclebane_spark.sources.arrays import SparkColumn
+
+    df = spark.createDataFrame(
+        [(f'k{i:04d}', float(i)) for i in range(300)], 'k string, v double'
+    )
+    col = SparkColumn(df, index=['k'], values='v')
+    out = col._with_position(col.df)
+    raw = out._jdf.queryExecution().executedPlan().toString()
+    rn_windows = [
+        l for l in raw.splitlines() if 'row_number() windowspecdefinition' in l
+    ]
+    assert rn_windows, raw
+    for line in rn_windows:
+        assert '], [__b' in line, line  # partitioned by bucket, not global
+    assert 'BroadcastExchange' in raw
+
+
 def test_graph_param_sweep_broadcasts_param_dim(spark):
     plan = plan_of(spark, 'graph_param_sweep_broadcast')
     # the 3-row param dim is broadcast, never shuffled

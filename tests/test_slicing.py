@@ -122,10 +122,55 @@ def test_bucketed_position_orders_by_all_index_cols(spark):
     assert got == _expected(rows, [0, 1])
 
 
-def test_non_numeric_leading_key_falls_back_to_global_window(spark):
+def test_string_keys_match_global_order(spark):
     rows = [(s, 1.0) for s in ('b', 'a', 'd', 'c')]
     got = _positions(spark, rows, 'k string, v double', ['k'])
     assert got == _expected(rows, [0])
+
+
+def test_string_keys_sharing_long_prefix_still_order_exactly(spark):
+    # all keys share a 7-byte prefix -> identical range-bucket proxy ->
+    # one bucket; the within-bucket window on the FULL column must still
+    # produce exact global positions (proxy ties only affect balance)
+    keys = [f'prefix_{s}' for s in ('zz', 'aa', 'mm', 'ab', 'a')]
+    rows = [(k, 1.0) for k in keys]
+    got = _positions(spark, rows, 'k string, v double', ['k'])
+    assert got == _expected(rows, [0])
+
+
+def test_string_keys_null_first_and_empty_string(spark):
+    rows = [('b', 1.0), (None, 2.0), ('', 3.0), ('a', 4.0)]
+    got = _positions(spark, rows, 'k string, v double', ['k'])
+    assert got == {(None,): 0, ('',): 1, ('a',): 2, ('b',): 3}
+
+
+def test_string_keys_many_rows_match_global_order(spark):
+    # enough distinct keys that percentile split points actually split
+    keys = [f'k{i:04d}' for i in range(300)]
+    import random
+
+    rng = random.Random(11)
+    rng.shuffle(keys)
+    rows = [(k, float(i)) for i, k in enumerate(keys)]
+    got = _positions(spark, rows, 'k string, v double', ['k'])
+    assert got == _expected(rows, [0])
+
+
+def test_date_keys_match_global_order(spark):
+    import datetime
+
+    days = [datetime.date(2020, 1, 1) + datetime.timedelta(days=d)
+            for d in (5, 0, 400, 37, 2)]
+    rows = [(d, 1.0) for d in days]
+    got = _positions(spark, rows, 'k date, v double', ['k'])
+    assert got == _expected(rows, [0])
+
+
+def test_unsupported_index_type_raises_loudly(spark):
+    df = spark.createDataFrame([([1, 2], 1.0)], 'k array<long>, v double')
+    col = SparkColumn(df, index=['k'], values='v')
+    with pytest.raises(TypeError, match='label slicing'):
+        col._with_position(col.df)
 
 
 def test_bucketed_position_keeps_null_keys_first(spark):

@@ -133,7 +133,10 @@ def test_transform_with_state_plan_constructs(spark, stream):
     """transformWithStateInPandas analyzes without protobuf: the processor
     wiring, output schema and streaming-ness of the plan are checkable in
     ANY environment — only state (de)serialization at execution time needs
-    google.protobuf (covered by the env-gated parity test below)."""
+    google.protobuf (covered by
+    ``test_transform_with_state_execution_parity`` below, which importorskips
+    protobuf and so runs wherever the tWS state protocol can actually
+    execute)."""
     from cyclebane_spark.streaming.windows import running_user_totals_tws
 
     df = running_user_totals_tws(stream)
@@ -141,6 +144,35 @@ def test_transform_with_state_plan_constructs(spark, stream):
     assert df.schema.simpleString() == (
         'struct<user_id:bigint,n_events:bigint,total_value:double>'
     )
+
+
+def test_transform_with_state_execution_parity(spark, stream):
+    """Env-gated tWS EXECUTION parity: in environments with google.protobuf
+    (the tWS state-protocol wire format), run the transformWithState twin to
+    completion and check its final per-user totals equal the batch GROUP BY —
+    the same contract the applyInPandasWithState twin
+    (``stream_stateful_counters``) carries in protobuf-less containers."""
+    pytest.importorskip('google.protobuf')
+    from cyclebane_spark.streaming.windows import running_user_totals_tws
+
+    got = run_to_memory(running_user_totals_tws(stream), output_mode='update')
+    final = {}
+    for r in got.collect():
+        prev = final.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    expected = {
+        r.user_id: (r.n, r.total)
+        for r in _batch_events(spark)
+        .groupBy('user_id')
+        .agg(F.count(F.lit(1)).alias('n'), F.sum('value').alias('total'))
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, (n, total) in final.items():
+        en, etotal = expected[uid]
+        assert n == en
+        assert total == pytest.approx(etotal, rel=1e-9)
 
 
 def test_running_user_counters_match_batch_exactly(spark, stream):
