@@ -332,6 +332,45 @@ def _salted_pairs_from_bands(bands, n_salt: int = 8):
     )
 
 
+HOT_BUCKET_THRESHOLD = 64
+
+
+def _adaptive_pairs_from_bands(
+    bands, hot_threshold: int = HOT_BUCKET_THRESHOLD, n_salt: int = 8
+):
+    """Stats-gated salting: measure the band-bucket histogram, then pick
+    the unsalted or the salted pair generator.
+
+    SCALE.md's measured crossover motivates the gate: salting wins ~1.9x
+    once one bucket holds a large share of the corpus (boilerplate-heavy
+    crawls) and LOSES on organic near-dup data, where the (n_salt+1)x row
+    replication is pure overhead. Production can't know which corpus it has
+    in advance — so the operator measures: persist the band rows, aggregate
+    the max bucket size (a map-side-combinable count shuffle over ~#docs
+    rows, then a 1-row max), and branch. The stats job reuses the persisted
+    bands, so the signature computation — the dominant cost — runs once
+    either way; the branch decision is one small driver-side scalar, the
+    same move as AQE's runtime skew-join replan, stated explicitly.
+
+    ``hot_threshold`` bounds the worst single-task fan-out the unsalted
+    path may take: a bucket of K members is a K(K-1)/2-pair task, so 64
+    caps it at ~2k pairs. Both branches produce bit-identical pair sets
+    (tests/test_dedup_skew.py).
+    """
+    from pyspark import StorageLevel
+
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    max_k = (
+        bands.groupBy('band_id', 'bh')
+        .agg(F.count(F.lit(1)).alias('k'))
+        .agg(F.max('k').alias('max_k'))
+        .first()['max_k']
+    )
+    if max_k is not None and max_k > hot_threshold:
+        return _salted_pairs_from_bands(bands, n_salt=n_salt)
+    return _pairs_from_bands(bands)
+
+
 def _minhash_docs(spark, sf_dir):
     # No size()>0 filter here: the signature is a FOLD (no explode), so a
     # sub-n-token doc would just keep its sentinel signature — and the
@@ -363,6 +402,19 @@ def dedup_minhash_lsh_salted(spark, sf_dir):
     docs.
     """
     return _salted_pairs_from_bands(_minhash_bands(_minhash_docs(spark, sf_dir)))
+
+
+@register('dedup_minhash_lsh_adaptive', oracle=_minhash_oracle())
+def dedup_minhash_lsh_adaptive(spark, sf_dir):
+    """Adaptive LSH candidate generation: the band-bucket histogram decides
+    at runtime whether the salted or the unsalted pair join runs — see
+    :func:`_adaptive_pairs_from_bands`. Same pair set (and oracle) as both
+    fixed-path variants; on this organic corpus the gate picks the unsalted
+    branch, on the skew bench it picks the salted one.
+    """
+    return _adaptive_pairs_from_bands(
+        _minhash_bands(_minhash_docs(spark, sf_dir))
+    )
 
 
 def _cc_oracle() -> str:
@@ -811,7 +863,9 @@ def pipeline_embedding_clusters(spark, sf_dir):
 # a boilerplate-skewed corpus would swap in _salted_pairs_from_bands for
 # the pair stage (bit-exact, see dedup_minhash_lsh_salted) — high-degree
 # nodes then still skew the wedge join itself, which AQE's skew-join
-# split handles (sort-merge shape) or a degree-threshold cap bounds.
+# split handles (sort-merge shape; ASSERTED in tests/test_dedup_skew.py —
+# SortMergeJoin(skew=true) activates on a synthesized star graph) or a
+# degree-threshold cap bounds.
 # ---------------------------------------------------------------------------
 
 
@@ -828,7 +882,20 @@ def pipeline_embedding_clusters(spark, sf_dir):
 def graph_triangles_neardup(spark, sf_dir):
     """Enumerate triangles in the MinHash-LSH candidate graph (one row per
     triangle, a < b < c). See the module note for the wedge formulation."""
-    pairs = _minhash_pairs(spark, sf_dir)
+    return _triangles_from_pairs(_minhash_pairs(spark, sf_dir))
+
+
+def _triangles_from_pairs(pairs):
+    """Ordered-wedge triangle enumeration over an (doc_a < doc_b) pair list.
+
+    The wedge join keys on the middle node b, so a high-degree node is a
+    hot join key: deg_lo(b) x deg_hi(b) wedges land in one shuffle
+    partition. AQE's skew-join split handles that at runtime (the join is
+    sort-merge shaped; tests/test_dedup_skew.py asserts the split actually
+    activates on a synthesized high-degree graph — the claim is pinned, not
+    assumed). A degree-threshold cap is the complementary static bound for
+    adversarial graphs.
+    """
     from pyspark import StorageLevel
 
     # three self-references -> persist once (same idiom as PageRank above)

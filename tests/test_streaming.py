@@ -257,6 +257,172 @@ def test_stream_foreachbatch_parquet_sink(spark, stream, tmp_path):
     assert got.count() == events_hourly_agg(spark, SF_DIR).count()
 
 
+# -- watermark state EVICTION (not just configuration) -----------------------
+#
+# Three hand-built micro-batches with controlled file mtimes (the file
+# source processes oldest-first, one file per trigger): batch 1 seeds
+# early-hour state, batch 2 jumps 10 hours ahead so the watermark advances
+# past batch 1's windows, batch 3 replays LATE rows from the early hour.
+# The StreamingQueryProgress state metrics must show (a) late input dropped
+# by the watermark and (b) state rows actually removed — eviction observed,
+# not assumed.
+
+_EV_SCHEMA = (
+    'user_id long, event_id long, event_type string, ts timestamp, '
+    'value double'
+)
+
+
+def _write_stream_file(spark, rows, src_dir, name, mtime):
+    import glob
+    import os
+    import shutil
+
+    tmp = f'{src_dir}_{name}_tmp'
+    spark.createDataFrame(rows, _EV_SCHEMA).coalesce(1).write.mode(
+        'overwrite'
+    ).parquet(tmp)
+    part = glob.glob(f'{tmp}/part-*.parquet')[0]
+    os.makedirs(src_dir, exist_ok=True)
+    dst = f'{src_dir}/{name}.parquet'
+    shutil.copy(part, dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+def _run_collecting_progress(result, output_mode):
+    import json
+
+    from cyclebane_spark.streaming.windows import _SINK_IDS
+
+    name = f'cb_evict_sink_{next(_SINK_IDS)}'
+    q = (
+        result.writeStream.format('memory')
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    return result.sparkSession.table(name), progress
+
+
+def _state_metric(progress, key):
+    return sum(
+        op.get(key, 0) for p in progress for op in p.get('stateOperators', [])
+    )
+
+
+def test_watermark_drops_late_rows_and_evicts_window_state(spark, tmp_path):
+    import datetime
+
+    from cyclebane_spark.streaming.windows import tumbling_hourly_watermarked
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, typ='view'):
+        return (i, i, typ, t0 + datetime.timedelta(minutes=minutes), 1.0)
+
+    src = str(tmp_path / 'src')
+    _write_stream_file(
+        spark, [ev(1, 0), ev(2, 10), ev(3, 20)], src, 'b1', 1_000
+    )
+    # jump 10h ahead so the NEXT batch runs with watermark ~8h
+    _write_stream_file(spark, [ev(4, 600), ev(5, 610)], src, 'b2', 2_000)
+    # filler batch: state eviction happens at the END of the batch that
+    # first runs with the advanced watermark — this batch triggers it, so
+    # the early-hour window is finalized+evicted before the late replay
+    _write_stream_file(spark, [ev(8, 615)], src, 'b3', 3_000)
+    # LATE: same early hour as batch 1, long past the watermark
+    _write_stream_file(spark, [ev(6, 5), ev(7, 15)], src, 'b4', 4_000)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(src)
+    )
+    out, progress = _run_collecting_progress(
+        tumbling_hourly_watermarked(stream, '2 hours'), 'append'
+    )
+    assert len(progress) >= 4
+    # (a) the late replay was dropped AT the state operator (the two late
+    # rows partial-aggregate map-side into one window row, which the
+    # watermark then drops — hence >= 1, not >= 2)
+    assert _state_metric(progress, 'numRowsDroppedByWatermark') >= 1
+    # (b) finalized windows left the state store
+    assert _state_metric(progress, 'numRowsRemoved') >= 1
+    # (c) the emitted early-hour window counts ONLY batch-1 rows — the late
+    # replay contributed nothing and did not re-emit the window
+    assert [
+        (r.hour_start, r.n_events) for r in out.collect()
+    ] == [(t0, 3)]
+    # (d) end state is smaller than peak, and the late replay did NOT
+    # resurrect the evicted early window as new state: only the live
+    # far-future window remains
+    totals = [
+        op['numRowsTotal']
+        for p in progress
+        for op in p.get('stateOperators', [])
+        if 'numRowsTotal' in op
+    ]
+    assert totals and totals[-1] < max(totals)
+    assert totals[-1] == 1
+
+
+def test_watermark_evicts_stream_stream_join_state(spark, tmp_path):
+    import datetime
+
+    from cyclebane_spark.streaming.windows import view_click_join
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, typ):
+        # one shared user so views and clicks can actually join
+        return (42, i, typ, t0 + datetime.timedelta(minutes=minutes), 1.0)
+
+    src = str(tmp_path / 'src')
+    _write_stream_file(
+        spark, [ev(1, 0, 'view'), ev(2, 20, 'click')], src, 'b1', 1_000
+    )
+    # jump 10h ahead: the NEXT batch runs with watermark ~8h
+    _write_stream_file(
+        spark, [ev(3, 600, 'view'), ev(4, 605, 'click')], src, 'b2', 2_000
+    )
+    # filler batch: state eviction happens at the END of the batch that
+    # first runs with the advanced watermark — this batch triggers it, so
+    # batch-1 state is GONE before the late click arrives
+    _write_stream_file(spark, [ev(6, 620, 'click')], src, 'b3', 3_000)
+    # LATE click 30 min after the batch-1 view: inside the 1h join horizon,
+    # but its matching view state was evicted — must never join
+    _write_stream_file(spark, [ev(5, 30, 'click')], src, 'b4', 4_000)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(src)
+    )
+    out, progress = _run_collecting_progress(
+        view_click_join(stream), 'append'
+    )
+    pairs = {(r.view_id, r.click_id) for r in out.collect()}
+    assert (1, 2) in pairs  # on-time match from batch 1
+    assert (3, 4) in pairs  # on-time match from batch 2
+    assert (3, 6) in pairs  # filler click matched the live view
+    assert (1, 5) not in pairs  # the late click found only evicted state
+    # state rows were actually removed, and the store ends below its peak
+    assert _state_metric(progress, 'numRowsRemoved') >= 2
+    totals = [
+        op['numRowsTotal']
+        for p in progress
+        for op in p.get('stateOperators', [])
+        if 'numRowsTotal' in op
+    ]
+    assert totals and totals[-1] < max(totals)
+
+
 def test_cdc_upsert_multibatch_merge_equals_batch_compaction(spark, tmp_path):
     """Split the event log into 4 files and stream them one file per
     micro-batch: the foreachBatch upsert MERGES across 4 real batches, and
