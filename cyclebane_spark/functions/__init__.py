@@ -27,6 +27,7 @@ __all__ = [
     'exact_sum',
     'exact_avg',
     'minhash_signature',
+    'zorder_interleave',
 ]
 
 DEFAULT_STOPWORDS = ('the', 'a', 'and', 'of', 'to')
@@ -138,6 +139,38 @@ def exact_sum(c: Column | str) -> Column:
 def exact_avg(c: Column | str) -> Column:
     col = _col(c)
     return F.sum(col.cast('decimal(28,6)')).cast('double') / F.count(col)
+
+
+# -- space-filling curves ----------------------------------------------------
+
+
+def zorder_interleave(*qcols: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) key: bit-interleave ``bits`` low bits of each
+    already-quantized nonnegative integer column.
+
+    The multi-dimensional clustering key behind Delta/Iceberg's
+    OPTIMIZE ZORDER: sorting by the interleaved key places rows close in
+    EVERY dimension near each other, so parquet min/max footers stay
+    narrow on all interleaved columns at once and a multi-predicate scan
+    prunes files/row-groups on each dimension — a linear sort can only
+    do that for its leading column. Callers quantize first (see
+    :func:`cyclebane_spark.sinks.write_zordered`, which equi-width-maps
+    each column onto [0, 2^bits)).
+
+    The interleave is a flat OR-chain of shiftleft/shiftright terms with
+    LITERAL shift amounts — whole-stage-codegen-friendly, no interpreted
+    higher-order functions in the write path.
+    """
+    assert len(qcols) >= 2 and bits * len(qcols) <= 63
+    out = F.lit(0).cast('bigint')
+    for d, c in enumerate(qcols):
+        q = _col(c).cast('bigint')
+        for i in range(bits):
+            pos = i * len(qcols) + d
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), pos)
+            )
+    return out.alias('zkey')
 
 
 # -- minhash -----------------------------------------------------------------

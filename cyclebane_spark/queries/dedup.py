@@ -505,6 +505,60 @@ def dedup_connected_components(spark, sf_dir):
     return _connected_components(pairs, nodes, 'doc_a', 'doc_b', 'doc_id')
 
 
+def _leakage_split_oracle() -> str:
+    return (
+        _minhash_ctes(recursive=True)
+        + """,
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(doc_id, other) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc_id, e.d FROM reach r JOIN edges e ON r.other = e.s
+    ),
+    labels AS (
+        SELECT doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                     IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM labels
+    """
+    )
+
+
+@register('pipeline_leakage_safe_split', oracle=_leakage_split_oracle())
+def pipeline_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/holdout split: hash the near-dup CLUSTER id, not
+    the document id, so every near-duplicate lands on the same side.
+
+    The standard eval-contamination guard for training corpora: a plain
+    per-doc split leaks held-out content into training whenever a near-dup
+    pair straddles the boundary. Splitting by the connected-component label
+    (min doc_id of the MinHash-LSH cluster) makes that impossible by
+    construction — tests/test_split.py asserts zero candidate pairs cross
+    the split. The ~75/25 ratio comes from the first hex digit of
+    md5(cluster_id) (deterministic across engines/runs/partitionings, the
+    same content-hash idiom as ``sample_hash_based``). Scale: CC label
+    assignment is the dedup pipeline's existing output; the split adds one
+    narrow projection — no extra shuffle.
+    """
+    pairs = _minhash_pairs(spark, sf_dir)
+    nodes = table(spark, sf_dir, 'documents').select('doc_id')
+    labels = _connected_components(pairs, nodes, 'doc_a', 'doc_b', 'doc_id')
+    return labels.select(
+        'doc_id',
+        'cluster_id',
+        F.when(
+            _CF.hash_sample('cluster_id', 12), F.lit('train')
+        ).otherwise(F.lit('holdout')).alias('split'),
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 
 

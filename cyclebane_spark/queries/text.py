@@ -1406,3 +1406,63 @@ def text_pii_redaction(spark, sf_dir):
         .alias('n_ips'),
         clean.alias('clean_text'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick"): text -> fixed-dimension sparse
+# feature vector without a vocabulary pass. Each token hashes to a feature
+# index in [0, D) and a +/-1 sign (the signed variant keeps collision noise
+# zero-mean — Weinberger et al. 2009); the doc's vector is the signed count
+# per index, emitted sparsely as (doc_id, feature, weight) rows. The
+# vocabulary-free property is what matters at 100 TB: no term dictionary to
+# build, broadcast, or keep consistent across runs — the classic trainer-
+# side vectorizer for linear/quality-filter models over web-scale corpora.
+# D=64 here so the gate output is inspectable; production D=2^20 changes
+# only a literal. Scale: one explode, ONE map-side-combinable hash agg on
+# (doc_id, feature); md5-derived index+sign make both engines bit-equal.
+# ---------------------------------------------------------------------------
+
+_FEATURE_DIM = 64
+
+
+@register(
+    'text_hashed_features',
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64
+                   AS feature,
+               CASE WHEN substring(md5(tok), 9, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 1 ELSE -1 END AS sign
+        FROM tok
+    )
+    SELECT doc_id, feature, CAST(SUM(sign) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, feature HAVING SUM(sign) <> 0
+    """,
+)
+def text_hashed_features(spark, sf_dir):
+    """Signed feature hashing: sparse (doc_id, feature, weight) rows, zero
+    vocabulary state. See the module note above for the scale rationale."""
+    docs = table(spark, sf_dir, 'documents')
+    tok = docs.select(
+        'doc_id', F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok')
+    )
+    m = F.md5('tok')
+    feature = F.pmod(
+        F.conv(F.substring(m, 1, 8), 16, 10).cast('long'),
+        F.lit(_FEATURE_DIM),
+    )
+    sign = F.when(
+        F.substring(m, 9, 1).isin(*'01234567'), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select('doc_id', feature.alias('feature'), sign.alias('sign'))
+        .groupBy('doc_id', 'feature')
+        .agg(F.sum('sign').alias('weight'))
+        .filter(F.col('weight') != 0)
+    )

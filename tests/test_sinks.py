@@ -386,6 +386,109 @@ def test_range_partitioned_write_gives_narrow_file_stats(spark, tmp_path):
         assert hi1 < lo2, spans
 
 
+def _file_spans(out_dir, col_name):
+    """(min, max) of col_name's parquet footer stats per data file."""
+    import pyarrow.parquet as pq
+
+    spans = {}
+    for f in os.listdir(out_dir):
+        if not f.endswith('.parquet'):
+            continue
+        md = pq.ParquetFile(f'{out_dir}/{f}').metadata
+        idx = md.schema.names.index(col_name)
+        stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        spans[f] = (min(s.min for s in stats), max(s.max for s in stats))
+    return spans
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering: after write_zordered on (x, y), a 2-D box
+    predicate must be answerable from a strict SUBSET of the files by
+    min/max footers alone — and the second dimension must contribute
+    pruning beyond what the first dimension gives (the thing a linear sort
+    cannot do). Uses a synthetic uniform grid so the geometry is exact."""
+    from cyclebane_spark.sinks import write_zordered
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col('id') % n).alias('x'),
+        (F.col('id') / n).cast('long').alias('y'),
+        F.col('id').alias('payload'),
+    )
+    out = str(tmp_path / 'zorder')
+    write_zordered(grid, out, ['x', 'y'], n_files=16)
+
+    xs = _file_spans(out, 'x')
+    ys = _file_spans(out, 'y')
+    files = list(xs)
+    assert len(files) == 16
+    # the 2-D box: one quadrant-of-a-quadrant
+    x_lo, x_hi, y_lo, y_hi = 0, 15, 0, 15
+    match_x = {f for f in files if xs[f][0] <= x_hi and xs[f][1] >= x_lo}
+    match_box = {
+        f
+        for f in match_x
+        if ys[f][0] <= y_hi and ys[f][1] >= y_lo
+    }
+    # pruning happened at all, and BOTH dimensions contributed
+    assert len(match_box) < len(files), (len(match_box), len(files))
+    assert len(match_box) < len(match_x), (len(match_box), len(match_x))
+    # the box holds 1/16 of the rows; the curve should confine it to a
+    # small fraction of the files (allow slack for quantization edges)
+    assert len(match_box) <= len(files) // 4, sorted(match_box)
+
+    # correctness: layout changed, data did not
+    back = spark.read.parquet(out)
+    assert back.count() == n * n
+    got = back.filter(
+        (F.col('x').between(x_lo, x_hi)) & (F.col('y').between(y_lo, y_hi))
+    ).count()
+    assert got == 16 * 16
+
+
+def test_zorder_write_beats_linear_sort_on_secondary_dim(spark, tmp_path):
+    """The motivating comparison: a linear sort on x leaves every file
+    spanning the FULL y range (zero y-pruning), while the Z-order layout
+    keeps y spans narrow too."""
+    from cyclebane_spark.sinks import write_zordered
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col('id') % n).alias('x'),
+        (F.col('id') / n).cast('long').alias('y'),
+    )
+    linear = str(tmp_path / 'linear')
+    (
+        grid.repartitionByRange(16, 'x')
+        .sortWithinPartitions('x')
+        .write.parquet(linear)
+    )
+    zord = str(tmp_path / 'z')
+    write_zordered(grid, zord, ['x', 'y'], n_files=16)
+
+    y_lin = _file_spans(linear, 'y')
+    y_z = _file_spans(zord, 'y')
+    full = n - 1
+    # linear layout: (almost) every file spans the whole y domain
+    lin_narrow = [f for f, (lo, hi) in y_lin.items() if hi - lo < full / 2]
+    z_narrow = [f for f, (lo, hi) in y_z.items() if hi - lo < full / 2]
+    assert len(lin_narrow) == 0, y_lin
+    assert len(z_narrow) >= len(y_z) // 2, y_z
+
+
+def test_zorder_handles_nulls_and_constant_columns(spark, tmp_path):
+    from cyclebane_spark.sinks import write_zordered
+
+    df = spark.createDataFrame(
+        [(None, 1), (2, 1), (3, 1), (None, 1)], 'x long, y long'
+    )
+    out = str(tmp_path / 'znull')
+    write_zordered(df, out, ['x', 'y'], n_files=2)
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert back.filter(F.col('x').isNull()).count() == 2
+
+
 def test_rebalance_hint_before_write(spark):
     """AQE rebalance: the pre-write hint that splits skewed output
     partitions and coalesces tiny ones at runtime — the standard fix for

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Bench an explicit list of registry queries (the non-headline flagships)
+at one SF; prints ONE JSON line like bench.py.
+
+Usage: python tools/flagship_bench.py <query> [<query> ...]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from cyclebane_spark.queries import queries
+
+    names = sys.argv[1:]
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    cpus = os.environ.get('SPARK_GRAFT_CPUS', '32')
+    spark = (
+        SparkSession.builder.master(f'local[{cpus}]')
+        .config('spark.sql.shuffle.partitions', cpus)
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.session.timeZone', 'UTC')
+        .config('spark.driver.memory', '16g')
+        .config('spark.sql.autoBroadcastJoinThreshold', str(64 * 1024 * 1024))
+        .appName('cyclebane-spark-flagship-bench')
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel('ERROR')
+
+    qs = {n: fn for n, fn in queries().items() if n in names}
+    missing = [n for n in names if n not in qs]
+    if missing:
+        raise SystemExit(f'unknown queries: {missing}')
+    for _ in range(2):  # steady-state warmup (see bench.py)
+        for fn in qs.values():
+            fn(spark, sf_dir).count()
+
+    load_before = os.getloadavg()[0]
+    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    total = 0.0
+    for name in names:
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            times.append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(times)
+        runs[name] = times
+        total += min(times)
+
+    print(
+        json.dumps(
+            {
+                'metric': 'flagship_query_wall_time',
+                'value': round(total, 4),
+                'unit': 'sec',
+                'queries': timings,
+                'runs': runs,
+                'loadavg_1m_before': round(load_before, 2),
+                'loadavg_1m_after': round(os.getloadavg()[0], 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
