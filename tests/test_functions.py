@@ -36,6 +36,43 @@ def test_shingles_count(spark, docs):
         assert row.k <= row.n - 2  # distinct <= total 3-grams
 
 
+def test_word_ngram_count_is_tokens_minus_n_plus_1_clamped(spark):
+    """Property: for ANY token count t, word_ngrams yields exactly
+    max(0, t - n + 1) grams — the SQL range() contract, including the
+    short-text clamp."""
+    rows = [(' '.join(f'w{i}' for i in range(t)),) for t in range(0, 9)]
+    df = spark.createDataFrame(rows, ['t']).select(
+        CF.token_count('t').alias('n_tok'),
+        F.size(CF.word_ngrams('t', 3)).alias('n_gram'),
+    )
+    for r in df.collect():
+        assert r.n_gram == max(0, r.n_tok - 2), r
+
+
+def test_zorder_interleave_roundtrip_and_monotone_blocks(spark):
+    """Properties of the Morton key: (a) interleave is a bijection — the
+    de-interleaved coordinates recover the inputs exactly; (b) keys in the
+    same 2^k-aligned square share a prefix (curve locality)."""
+    import itertools
+
+    rows = [(x, y) for x, y in itertools.product(range(16), repeat=2)]
+    df = spark.createDataFrame(rows, 'x long, y long').select(
+        'x', 'y', CF.zorder_interleave('x', 'y', bits=4)
+    )
+    got = {(r.x, r.y): r.zkey for r in df.collect()}
+    assert len(set(got.values())) == 256  # bijective on the grid
+    for (x, y), z in got.items():
+        dx = sum(((z >> (2 * i)) & 1) << i for i in range(4))
+        dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(4))
+        assert (dx, dy) == (x, y)
+    # curve locality: every 4x4-aligned block maps to ONE z-prefix (z >> 4)
+    blocks = {}
+    for (x, y), z in got.items():
+        blocks.setdefault((x >> 2, y >> 2), set()).add(z >> 4)
+    for members in blocks.values():
+        assert len(members) == 1
+
+
 def test_word_ngrams_short_texts_yield_empty_not_bogus_partials(spark):
     """Texts with fewer than n tokens must produce an EMPTY gram array —
     matching SQL range(0, size-n+1) — not the descending-sequence partial

@@ -380,3 +380,12 @@ def test_pii_redaction_is_pure_projection(spark):
     assert 'Exchange' not in raw, raw
     # '*(1)' prefixes = the projection runs inside whole-stage codegen
     assert '*(1) Project' in raw, raw
+
+
+def test_hashed_features_partial_aggregation(spark):
+    """The hashing-trick vectorizer must combine map-side: partial_sum on
+    (doc_id, feature) before its single exchange — one explode, one
+    shuffle, nothing else."""
+    plan = plan_of(spark, 'text_hashed_features')
+    assert 'partial_sum' in plan
+    assert raw_plan_of(spark, 'text_hashed_features').count('Exchange') == 1

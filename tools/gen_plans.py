@@ -135,6 +135,25 @@ NOTES = {
         'hash (partial-aggregable, no window); reassembly sorts spans',
         'in-executor per doc — three span-sized shuffles end to end',
     ],
+    'ann_ivfpq_topk': [
+        'coarse cells + PQ-on-residuals compose: candidates come from an',
+        'equi-join on the probed cell id, distances from the broadcast',
+        'Q x M x K residual table — raw vectors never re-read at search',
+    ],
+    'dedup_minhash_lsh_adaptive': [
+        'bands persist once; the bucket-histogram stats job picks the',
+        'branch at runtime — on the organic gate corpus the plan below IS',
+        'the unsalted join (no ga/gb salt columns, no replication)',
+    ],
+    'text_hashed_features': [
+        'one explode, ONE exchange: signed counts partial-aggregate',
+        'map-side on (doc_id, feature) — the vocabulary-free vectorizer',
+    ],
+    'pipeline_leakage_safe_split': [
+        'CC labels arrive from checkpointed per-round plans (lineage',
+        'truncated); the split itself is a pure projection on the label —',
+        'no extra shuffle beyond the dedup pipeline that already ran',
+    ],
 }
 
 # Non-headline queries whose plan shape is load-bearing enough to publish.
@@ -157,6 +176,10 @@ EXTRA = (
     'text_packing_two_level',
     'q2_min_cost_supplier',
     'text_span_dedup',
+    'ann_ivfpq_topk',
+    'dedup_minhash_lsh_adaptive',
+    'text_hashed_features',
+    'pipeline_leakage_safe_split',
 )
 
 
