@@ -65,14 +65,14 @@ _MODULES = (
 # in iteration order (each round checks the first 50 entries), so the window
 # is rotated per round to retire unverified queries.  Round-4 rotation (per
 # VERDICT r3 "Next round #1"): positions 1-4 are the last four queries that
-# have never had a driver CORRECTNESS row in any round; 5-8 are this
-# round's new operators; 9-18 are queries whose code changed in round 4
+# have never had a driver CORRECTNESS row in any round; next are this
+# round's new operators (5-10); 11-20 are queries whose code changed in round 4
 # (the word_ngrams short-text guard + minhash md5 hoist flow into the whole
 # minhash/gram family; the CDC upsert sink got a new scratch-dir scheme;
-# the positional slice gained the non-numeric bucket path); 19-22 are
+# the positional slice gained the non-numeric bucket path); then four
 # below-window queries with stale driver signal after round-3's shared
-# refactors (canonical grams, tables.py cache); 23-31 keep the SURVEY-§2.1
-# graph-algebra block continuously verified; 32-50 backfill with the
+# refactors (canonical grams, tables.py cache); then the SURVEY-§2.1
+# graph-algebra block, kept continuously verified; the rest backfills with the
 # oldest driver rows (r1 relational/TPC-H + window/setop/subquery surface).
 # Everything below position 50 is driver-green in some round and unchanged
 # since (the local oracle gate re-verifies the FULL registry each session —
@@ -83,11 +83,13 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (4)
+    # new in round 4 (6)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
     'ann_ivfpq_topk',
+    'events_transition_matrix',
+    'text_length_curriculum',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -116,7 +118,7 @@ _PRIORITY = (
     'graph_branch_pruning',
     'graph_branch_projection',
     # oldest driver rows: r1 relational/TPC-H + window/setop/subquery
-    # surface (19) — fills the window to exactly 50
+    # surface (17) — fills the window to exactly 50
     'q1_pricing_summary',
     'q6_forecast_revenue',
     'q3_shipping_priority',
@@ -133,8 +135,6 @@ _PRIORITY = (
     'cube_flag_status',
     'groupingsets_flag_status',
     'setop_union_intersect',
-    'scalar_functions',
-    'date_functions',
     'subquery_scalar_avg',
     # positions 51+: driver-green in r1/r2/r3 and unchanged since; the
     # round-3 window (multimodal/ANN-kmeans/gopher/packing/streaming/CDC/

@@ -759,3 +759,42 @@ def events_cogroup_asof_pandas(spark, sf_dir):
             'view_id long, view_ts timestamp_ntz',
         )
     )
+
+
+@register(
+    'events_transition_matrix',
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts over per-user event sequences —
+    the sequence-feature extraction behind next-event models and
+    behavioral-anomaly scoring.
+
+    One shuffle on user_id orders each user's history (lag window), then
+    the transition counts partial-aggregate on the (prev, next) pair —
+    a TYPES^2-row result whatever the event volume. The deterministic
+    (ts, event_id) tiebreak makes the lag, and therefore every count,
+    exact across engines.
+    """
+    ev = table(spark, sf_dir, 'events')
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    seq = ev.select(
+        'event_type', F.lag('event_type').over(w).alias('prev_type')
+    )
+    return (
+        seq.filter(F.col('prev_type').isNotNull())
+        .groupBy('prev_type', F.col('event_type').alias('next_type'))
+        .agg(F.count(F.lit(1)).alias('n_transitions'))
+    )

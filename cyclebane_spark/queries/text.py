@@ -1466,3 +1466,68 @@ def text_hashed_features(spark, sf_dir):
         .agg(F.sum('sign').alias('weight'))
         .filter(F.col('weight') != 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency curriculum binning WITHOUT a global sort: the length-based
+# curriculum/bucketing step of a training pipeline (short docs first, or
+# per-bin batch shaping) needs each document's EXACT global quartile. The
+# naive statement — ntile(4) OVER (ORDER BY n_tokens) — funnels the corpus
+# through one reducer. This is the same problem the positional slice solved
+# (sources/arrays.py): group by the sort key (token count), cumulate the
+# per-key counts into start offsets over the ~|distinct lengths| rows
+# (metadata-sized), broadcast the offsets back, and compute each doc's
+# global rank as offset + within-key row_number — every window partitions
+# by the key, all sorts run in parallel. bin = (pos * 4) div N — the
+# floor-rank quantile definition, stated identically in the oracle, so
+# parity is definitional (ntile's remainder-spreading convention differs;
+# this query deliberately uses the simpler floor form on both engines).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'text_length_curriculum',
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1 AS pos
+        FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CAST((pos * 4) // (SELECT COUNT(*) FROM d) AS BIGINT) AS bin
+    FROM r
+    """,
+)
+def text_length_curriculum(spark, sf_dir):
+    """Exact equal-frequency quartile bin per document by token count,
+    computed with the bucketed two-level rank (no single-reducer sort) —
+    see the module note above."""
+    docs = table(spark, sf_dir, 'documents')
+    d = docs.select(
+        'doc_id',
+        F.size(F.split(F.trim(F.col('text')), r'\s+')).cast('bigint').alias('n_tokens'),
+    )
+    counts = d.groupBy('n_tokens').agg(F.count(F.lit(1)).alias('c'))
+    off_w = Window.orderBy('n_tokens').rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        'n_tokens', F.coalesce(F.sum('c').over(off_w), F.lit(0)).alias('off')
+    )
+    total = d.agg(F.count(F.lit(1)).alias('n'))
+    in_key = Window.partitionBy('n_tokens').orderBy('doc_id')
+    return (
+        d.join(F.broadcast(offsets), 'n_tokens')
+        .withColumn('pos', F.col('off') + F.row_number().over(in_key) - 1)
+        .crossJoin(F.broadcast(total))
+        .select(
+            'doc_id',
+            'n_tokens',
+            F.expr('(pos * 4) div n').cast('bigint').alias('bin'),
+        )
+    )

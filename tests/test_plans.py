@@ -389,3 +389,16 @@ def test_hashed_features_partial_aggregation(spark):
     plan = plan_of(spark, 'text_hashed_features')
     assert 'partial_sum' in plan
     assert raw_plan_of(spark, 'text_hashed_features').count('Exchange') == 1
+
+
+def test_length_curriculum_no_global_sort(spark):
+    """Equal-frequency binning must be the two-level form: the row_number
+    window partitions by the token-count key (parallel sorts), the offsets
+    and the 1-row total broadcast — no unpartitioned window over the
+    corpus."""
+    raw = raw_plan_of(spark, 'text_length_curriculum')
+    rn = [l for l in raw.splitlines() if 'row_number() windowspecdefinition' in l]
+    assert rn, raw
+    for line in rn:
+        assert '], [n_tokens' in line, line
+    assert raw.count('BroadcastExchange') >= 2
