@@ -16,7 +16,7 @@ from pyspark.sql import Window
 
 from ..tables import table
 from . import register
-from ._helpers import dsum, sql_dsum
+from ._helpers import davg, dsum, sql_davg, sql_dsum
 
 # ---------------------------------------------------------------------------
 # TPC-H Q7 shape: volume shipping between a nation pair.
@@ -1239,4 +1239,193 @@ def sketch_merge_hll(spark, sf_dir):
             .between(F.col('n_exact') * lo, F.col('n_exact') * hi)
             .alias('merged_in_bounds'),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape (adapted: this schema has no l_commitdate/l_receiptdate, so
+# "late" = a lineitem shipped more than 60 days after the order date):
+# order-priority histogram of orders with at least one late line — the
+# classic EXISTS → left-semi-join rewrite.
+# Scale: the semi join shuffles only (orderkey, orderdate) against
+# (l_orderkey, l_shipdate); the lineitem side prunes to two columns and the
+# aggregate collapses to 5 groups map-side before the final exchange.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q4_order_priority',
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """Correlated EXISTS stated as a left-semi join (the decorrelated plan
+    Catalyst itself would produce): the correlation predicate — shipdate
+    more than 60 days past the order date — rides in the join condition."""
+    orders = table(spark, sf_dir, 'orders').filter(
+        (F.col('o_orderdate') >= F.lit('1996-01-01').cast('timestamp'))
+        & (F.col('o_orderdate') < F.lit('1997-01-01').cast('timestamp'))
+    )
+    li = table(spark, sf_dir, 'lineitem').select('l_orderkey', 'l_shipdate')
+    cond = (F.col('l_orderkey') == F.col('o_orderkey')) & (
+        F.col('l_shipdate')
+        > F.col('o_orderdate') + F.expr('INTERVAL 60 DAYS')
+    )
+    return (
+        orders.join(li, cond, 'left_semi')
+        .groupBy('o_orderpriority')
+        .agg(F.count(F.lit(1)).alias('order_count'))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item reporting — top 20 customers by lost revenue from
+# returns in one quarter.
+# Scale: orders prunes on the quarter BEFORE the lineitem join (predicate
+# pushdown to the parquet scan); nation broadcasts; the top-20 runs as
+# TakeOrderedAndProject (no global sort materialization). Ties broken by
+# c_custkey so the limit is deterministic at any SF.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q10_returned_items',
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN nation ON n_nationkey = c_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    cust = table(spark, sf_dir, 'customer')
+    nation = table(spark, sf_dir, 'nation')
+    orders = table(spark, sf_dir, 'orders').filter(
+        (F.col('o_orderdate') >= F.lit('1996-01-01').cast('timestamp'))
+        & (F.col('o_orderdate') < F.lit('1996-04-01').cast('timestamp'))
+    )
+    li = table(spark, sf_dir, 'lineitem').filter(F.col('l_returnflag') == 'R')
+    rev = F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    return (
+        cust.join(F.broadcast(nation), F.col('n_nationkey') == F.col('c_nationkey'))
+        .join(orders, F.col('o_custkey') == F.col('c_custkey'))
+        .join(li, F.col('l_orderkey') == F.col('o_orderkey'))
+        .groupBy('c_custkey', 'c_name', 'c_acctbal', 'n_name')
+        .agg(dsum(rev).alias('revenue'))
+        .orderBy(F.col('revenue').desc(), 'c_custkey')
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape (adapted: no l_shipmode column, so the return flag serves
+# as the shipment category): conditional aggregation — per category, how many
+# lines belong to high- vs low-priority orders, counting only lines shipped
+# within 90 days of the order date during one year.
+# Scale: one fact-fact equi-join on orderkey; the CASE arms fold into the
+# partial aggregate (2 output groups), so the post-join exchange carries 2
+# rows per task. The year predicate pushes to the lineitem scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q12_priority_by_category',
+    oracle="""
+    SELECT l_returnflag AS ship_category,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_by_category(spark, sf_dir):
+    orders = table(spark, sf_dir, 'orders').select(
+        'o_orderkey', 'o_orderdate', 'o_orderpriority'
+    )
+    li = table(spark, sf_dir, 'lineitem').filter(
+        F.col('l_returnflag').isin('R', 'A')
+        & (F.col('l_shipdate') >= F.lit('1996-01-01').cast('timestamp'))
+        & (F.col('l_shipdate') < F.lit('1997-01-01').cast('timestamp'))
+    )
+    high = F.col('o_orderpriority').isin('1-URGENT', '2-HIGH')
+    return (
+        orders.join(li, F.col('o_orderkey') == F.col('l_orderkey'))
+        .filter(
+            (F.col('l_shipdate') >= F.col('o_orderdate'))
+            & (
+                F.col('l_shipdate')
+                < F.col('o_orderdate') + F.expr('INTERVAL 90 DAYS')
+            )
+        )
+        .groupBy(F.col('l_returnflag').alias('ship_category'))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast('bigint').alias('high_line_count'),
+            F.sum(F.when(~high, 1).otherwise(0)).cast('bigint').alias('low_line_count'),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue — the exact query (the general
+# decorrelation shape is `subquery_correlated_avg`; this is the
+# brand-filtered, 0.2x-threshold, /7.0 original).
+# Scale: the per-part average aggregates lineitem once (map-side partials),
+# then joins back on the SAME key — AQE reuses the exchange, so the
+# decorrelated plan costs one shuffle, not the naive per-row subquery. The
+# brand filter broadcasts the tiny part dim into both sides.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q17_small_quantity_revenue',
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * {sql_davg('l2.l_quantity')}
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Decorrelated Q17: per-part decimal-exact avg, joined back, threshold
+    applied as a plain predicate. Both engines compute the identical
+    (exact-decimal-sum / count) average, so the 0.2x double threshold and
+    the comparison are bit-identical."""
+    li = table(spark, sf_dir, 'lineitem')
+    part = table(spark, sf_dir, 'part').filter(F.col('p_brand') == 'Brand#23')
+    per_part = li.groupBy(F.col('l_partkey').alias('pk')).agg(
+        davg('l_quantity').alias('avg_qty')
+    )
+    return (
+        li.join(F.broadcast(part), F.col('p_partkey') == F.col('l_partkey'))
+        .join(per_part, F.col('pk') == F.col('l_partkey'))
+        .filter(F.col('l_quantity') < 0.2 * F.col('avg_qty'))
+        .agg((dsum('l_extendedprice') / 7.0).alias('avg_yearly'))
     )

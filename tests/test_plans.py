@@ -402,3 +402,30 @@ def test_length_curriculum_no_global_sort(spark):
     for line in rn:
         assert '], [n_tokens' in line, line
     assert raw.count('BroadcastExchange') >= 2
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """The correlated EXISTS is stated directly as a left-semi join with the
+    correlation predicate in the join condition — no fact-side aggregate or
+    distinct, and the lineitem scan reads only the two join columns."""
+    plan = plan_of(spark, 'q4_order_priority')
+    assert 'LeftSemi' in plan
+    m = re.findall(r'ReadSchema: ([^\n]+)', plan)
+    li_reads = [r for r in m if 'l_orderkey' in r]
+    assert li_reads and all(
+        'l_quantity' not in r and 'l_extendedprice' not in r for r in li_reads
+    )
+
+
+def test_q10_topk_and_broadcast_nation(spark):
+    plan = plan_of(spark, 'q10_returned_items')
+    assert 'TakeOrderedAndProject' in plan
+    assert 'BroadcastHashJoin' in plan
+    # the return-flag filter reaches the lineitem parquet scan
+    assert 'EqualTo(l_returnflag,R)' in plan
+
+
+def test_q17_broadcasts_filtered_part(spark):
+    plan = plan_of(spark, 'q17_small_quantity_revenue')
+    assert 'BroadcastHashJoin' in plan
+    assert 'EqualTo(p_brand,Brand#23)' in plan
