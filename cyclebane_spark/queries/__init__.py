@@ -83,13 +83,23 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (6)
+    # new in round 4 (16)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
     'ann_ivfpq_topk',
     'events_transition_matrix',
     'text_length_curriculum',
+    'q4_order_priority',
+    'q10_returned_items',
+    'q12_priority_by_category',
+    'q17_small_quantity_revenue',
+    'text_pmi_cooccurrence',
+    'text_quality_classifier',
+    'text_vocab_coverage',
+    'pipeline_seeded_shuffle',
+    'pipeline_weighted_upsampling',
+    'rfm_customer_segments',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -117,8 +127,10 @@ _PRIORITY = (
     'graph_branch_replacement',
     'graph_branch_pruning',
     'graph_branch_projection',
-    # oldest driver rows: r1 relational/TPC-H + window/setop/subquery
-    # surface (17) — fills the window to exactly 50
+    # oldest driver rows: r1 relational/TPC-H headliners + joins (7) —
+    # fills the window to exactly 50 (the displaced r1 window/setop/
+    # subquery entries are driver-green r1 and unchanged; never-seen
+    # queries outrank stale-but-green ones for window slots)
     'q1_pricing_summary',
     'q6_forecast_revenue',
     'q3_shipping_priority',
@@ -126,16 +138,6 @@ _PRIORITY = (
     'join_semi',
     'join_anti',
     'join_range_band',
-    'window_topk_per_group',
-    'window_running_total',
-    'window_lag_delta',
-    'topk_orders',
-    'distinct_pairs',
-    'rollup_order_priority',
-    'cube_flag_status',
-    'groupingsets_flag_status',
-    'setop_union_intersect',
-    'subquery_scalar_avg',
     # positions 51+: driver-green in r1/r2/r3 and unchanged since; the
     # round-3 window (multimodal/ANN-kmeans/gopher/packing/streaming/CDC/
     # PII/lateral/sketches and the q2/q11/q15/q16/q20/q21 checks) follows

@@ -1429,3 +1429,96 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .filter(F.col('l_quantity') < 0.2 * F.col('avg_qty'))
         .agg((dsum('l_extendedprice') / 7.0).alias('avg_yearly'))
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic warehouse customer-scoring pattern:
+# per-customer Recency (days since last order, anchored to the corpus max
+# order date so the query is deterministic), Frequency (order count), and
+# Monetary (exact-decimal revenue), bucketed by fixed thresholds into a
+# 3x3x3 segment code, then rolled up to a segment histogram.
+# Scale: one shuffle on custkey for the per-customer aggregate (map-side
+# combinable); the anchor date is a 1-row broadcast; the segment rollup
+# collapses to <=27 groups map-side. Fixed thresholds (not quantiles) keep
+# the plan free of global windows — the quantile variant is
+# text_length_curriculum's bucketed-rank shape applied here unchanged.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'rfm_customer_segments',
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), (SELECT max_d FROM anchor))
+                   AS rec_days,
+               COUNT(*) AS freq,
+               {sql_dsum('o_totalprice')} AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT CAST(CASE WHEN rec_days <= 90 THEN 3
+                         WHEN rec_days <= 365 THEN 2 ELSE 1 END AS BIGINT)
+                   AS r_score,
+               CAST(CASE WHEN freq >= 20 THEN 3
+                         WHEN freq >= 10 THEN 2 ELSE 1 END AS BIGINT)
+                   AS f_score,
+               CAST(CASE WHEN monetary >= 2000000 THEN 3
+                         WHEN monetary >= 1000000 THEN 2 ELSE 1 END AS BIGINT)
+                   AS m_score,
+               monetary
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(28,6))) AS DOUBLE) AS segment_value
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM score histogram with a broadcast anchor date and fixed
+    thresholds — see the module note for the no-global-window rationale."""
+    orders = table(spark, sf_dir, 'orders')
+    anchor = orders.agg(F.max('o_orderdate').alias('max_d'))
+    per_cust = (
+        orders.groupBy('o_custkey')
+        .agg(
+            F.max('o_orderdate').alias('last_d'),
+            F.count(F.lit(1)).alias('freq'),
+            dsum('o_totalprice').alias('monetary'),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn('rec_days', F.datediff('max_d', 'last_d'))
+    )
+    r_score = (
+        F.when(F.col('rec_days') <= 90, 3)
+        .when(F.col('rec_days') <= 365, 2)
+        .otherwise(1)
+        .cast('bigint')
+    )
+    f_score = (
+        F.when(F.col('freq') >= 20, 3)
+        .when(F.col('freq') >= 10, 2)
+        .otherwise(1)
+        .cast('bigint')
+    )
+    m_score = (
+        F.when(F.col('monetary') >= 2000000, 3)
+        .when(F.col('monetary') >= 1000000, 2)
+        .otherwise(1)
+        .cast('bigint')
+    )
+    return (
+        per_cust.select(
+            r_score.alias('r_score'),
+            f_score.alias('f_score'),
+            m_score.alias('m_score'),
+            'monetary',
+        )
+        .groupBy('r_score', 'f_score', 'm_score')
+        .agg(
+            F.count(F.lit(1)).alias('n_customers'),
+            dsum('monetary').alias('segment_value'),
+        )
+    )

@@ -1531,3 +1531,328 @@ def text_length_curriculum(spark, sf_dir):
             F.expr('(pos * 4) div n').cast('bigint').alias('bin'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Term co-occurrence with PMI-style lift — the association-mining step of a
+# corpus-analysis pipeline (collocation discovery, topic seeds, tokenizer
+# merge candidates). Presence-based: each doc contributes each unordered
+# term pair at most once.
+# Scale: the naive statement is a self-join of the (doc, term) table with
+# itself — quadratic in per-doc vocabulary. Bounded here the way production
+# does it: (1) distinct per doc first (explode + ONE hash agg), (2) a
+# document-frequency floor prunes rare terms BEFORE the pair join (the df
+# table is tiny — |vocab| rows — and broadcasts), (3) the pair join is
+# doc-blocked (equi-join on doc_id), never corpus-global. Lift
+# = P(x,y)/(P(x)P(y)) is computed from integer counts with two IEEE double
+# ops, so both engines are bit-identical; PMI itself is just log2(lift),
+# monotone in it, so the ranking is PMI ranking without cross-engine libm.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_DF = 25  # prune terms seen in <5% of docs before the pair join
+_PMI_TOP = 25
+
+
+@register(
+    'text_pmi_cooccurrence',
+    oracle=r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    df AS (
+        SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok
+        HAVING COUNT(*) >= 25
+    ),
+    ft AS (SELECT t.doc_id, t.tok, d.df FROM tok t JOIN df d USING (tok)),
+    pairs AS (
+        SELECT a.tok AS t1, b.tok AS t2,
+               a.df AS c_x, b.df AS c_y, COUNT(*) AS c_xy
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok, a.df, b.df
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok)
+    SELECT t1, t2, c_xy, c_x, c_y,
+           CAST(c_xy AS DOUBLE) * n_docs / (c_x * c_y) AS lift
+    FROM pairs, n
+    ORDER BY lift DESC, t1, t2
+    LIMIT 25
+    """,
+)
+def text_pmi_cooccurrence(spark, sf_dir):
+    """Top term-pair associations by lift (monotone in PMI). See the module
+    note for the df-floor + doc-blocked join scale shape."""
+    docs = table(spark, sf_dir, 'documents')
+    tok = docs.select(
+        'doc_id', F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok')
+    ).distinct()
+    df = (
+        tok.groupBy('tok')
+        .agg(F.count(F.lit(1)).alias('df'))
+        .filter(F.col('df') >= _PMI_MIN_DF)
+    )
+    ft = tok.join(F.broadcast(df), 'tok')
+    a = ft.select('doc_id', F.col('tok').alias('t1'), F.col('df').alias('c_x'))
+    b = ft.select('doc_id', F.col('tok').alias('t2'), F.col('df').alias('c_y'))
+    n = tok.agg(F.countDistinct('doc_id').alias('n_docs'))
+    return (
+        a.join(b, ['doc_id'])
+        .filter(F.col('t1') < F.col('t2'))
+        .groupBy('t1', 't2', 'c_x', 'c_y')
+        .agg(F.count(F.lit(1)).alias('c_xy'))
+        .crossJoin(F.broadcast(n))
+        .select(
+            't1',
+            't2',
+            'c_xy',
+            'c_x',
+            'c_y',
+            (
+                F.col('c_xy').cast('double')
+                * F.col('n_docs')
+                / (F.col('c_x') * F.col('c_y'))
+            ).alias('lift'),
+        )
+        .orderBy(F.col('lift').desc(), 't1', 't2')
+        .limit(_PMI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-engine linear quality classifier — the fasttext-style scoring step of a
+# data-curation pipeline, run AS a query: score(doc) = sum over tokens of
+# sign(tok) * w(feature(tok)), where feature/sign come from the same
+# vocabulary-free hashing as text_hashed_features and the weight table is a
+# fixed deterministic function of the feature index (a stand-in for trained
+# weights; swapping in a learned vector changes one expression, not the
+# plan). Integer arithmetic end to end, so parity is exact.
+# Scale: no feature-vector materialization — the score folds into ONE
+# map-side-combinable hash agg per doc (explode + groupBy(doc_id)); the
+# "model" is an expression, not a join, so 100 TB scoring is a single pass
+# with no shuffle besides the per-doc agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'text_quality_classifier',
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % 64
+                   AS feature,
+               CASE WHEN substring(md5(tok), 9, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 1 ELSE -1 END AS sign
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(SUM(sign * ((feature * 2654435761) % 1000 - 500)) AS BIGINT)
+               AS score,
+           CAST(SUM(sign * ((feature * 2654435761) % 1000 - 500)) AS BIGINT)
+               > 0 AS keep
+    FROM h GROUP BY doc_id
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Linear classifier over hashed features as a single-pass aggregate.
+    See the module note; weights are a fixed Knuth-multiplicative function
+    of the feature index so the gate is deterministic."""
+    docs = table(spark, sf_dir, 'documents')
+    tok = docs.select(
+        'doc_id', F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok')
+    )
+    m = F.md5('tok')
+    feature = F.pmod(
+        F.conv(F.substring(m, 1, 8), 16, 10).cast('long'), F.lit(_FEATURE_DIM)
+    )
+    sign = F.when(
+        F.substring(m, 9, 1).isin(*'01234567'), F.lit(1)
+    ).otherwise(F.lit(-1))
+    # DuckDB's % keeps the sign of the dividend; feature >= 0 here so a
+    # plain % (Spark: expr mod) matches. 2654435761 = Knuth's 2^32/phi.
+    weight = (feature * F.lit(2654435761)) % F.lit(1000) - F.lit(500)
+    return (
+        tok.select('doc_id', (sign * weight).alias('contrib'))
+        .groupBy('doc_id')
+        .agg(F.sum('contrib').cast('bigint').alias('score'))
+        .select('doc_id', 'score', (F.col('score') > 0).alias('keep'))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV-rate audit — the tokenizer-fit check run before
+# training: build the top-V corpus vocabulary, then measure each document's
+# out-of-vocabulary token rate.
+# Scale: the vocabulary is a TakeOrderedAndProject over the term-count
+# aggregate (V rows), broadcast back into a single-pass per-doc aggregate —
+# the corpus is scanned twice, shuffled only for the two hash aggs; the
+# vocab side never grows with corpus size (V is fixed).
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 16
+
+
+@register(
+    'text_vocab_coverage',
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM tok GROUP BY tok
+        ORDER BY COUNT(*) DESC, tok LIMIT 16
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               * 100.0 / COUNT(*) AS oov_pct
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Per-document OOV rate against the corpus top-V vocabulary. The vocab
+    is deterministic (count desc, token asc tiebreak) and broadcast."""
+    docs = table(spark, sf_dir, 'documents')
+    tok = docs.select(
+        'doc_id', F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok')
+    )
+    vocab = (
+        tok.groupBy('tok')
+        .agg(F.count(F.lit(1)).alias('c'))
+        .orderBy(F.col('c').desc(), 'tok')
+        .limit(_VOCAB_V)
+        .select('tok', F.lit(True).alias('_in_vocab'))
+    )
+    return (
+        tok.join(F.broadcast(vocab), 'tok', 'left')
+        .groupBy('doc_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_tokens'),
+            F.sum(F.when(F.col('_in_vocab').isNull(), 1).otherwise(0))
+            .cast('bigint')
+            .alias('n_oov'),
+        )
+        .select(
+            'doc_id',
+            'n_tokens',
+            'n_oov',
+            (F.col('n_oov') * 100.0 / F.col('n_tokens')).alias('oov_pct'),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seeded global shuffle + sharding — the "shuffle the corpus, cut it into
+# training shards" step every epoch pipeline runs. Deterministic: the
+# permutation key is md5(seed || doc_id), so reruns (and the oracle)
+# reproduce the identical order.
+# Scale: NO global sort. The shard assignment is a stateless hash-bucket
+# expression (narrow, no shuffle); the within-shard position is a
+# row_number PARTITIONED by shard — 64 parallel sorts of n/64 rows each
+# instead of one single-reducer sort of n. Writing then partitions by
+# shard (one file per shard), which is exactly the training-reader layout.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = 'seed42|'
+_N_SHARDS = 64
+
+
+@register(
+    'pipeline_seeded_shuffle',
+    oracle=r"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('seed42|' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substring(k, 1, 8)) AS BIGINT) % 64 AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY CAST(('0x' || substring(k, 1, 8)) AS BIGINT) % 64
+               ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def pipeline_seeded_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle into 64 training shards with in-shard
+    positions — partitioned ranks only, no global sort (module note)."""
+    docs = table(spark, sf_dir, 'documents')
+    k = F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col('doc_id').cast('string')))
+    keyed = docs.select(
+        'doc_id',
+        k.alias('k'),
+        F.pmod(
+            F.conv(F.substring(k, 1, 8), 16, 10).cast('long'), F.lit(_N_SHARDS)
+        ).alias('shard'),
+    )
+    w = Window.partitionBy('shard').orderBy('k', 'doc_id')
+    return keyed.select(
+        'doc_id', 'shard', F.row_number().over(w).cast('bigint').alias('pos')
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted upsampling (epoch mixing) — replicate each document according to
+# a per-source mixing weight, the standard way a training pipeline
+# over-represents high-quality slices without a separate materialized copy
+# per epoch. Copies are explicit rows with a copy index so downstream
+# shuffling treats them independently.
+# Scale: explode(sequence(1, n_copies)) is a NARROW op — zero shuffle, and
+# the amplification happens after the scan so the parquet read stays 1x.
+# The per-source weight table is a broadcast dim. The check aggregate
+# (copies per source) collapses map-side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'pipeline_weighted_upsampling',
+    oracle=r"""
+    WITH w AS (
+        SELECT source,
+               1 + CAST(('0x' || substring(md5(source), 1, 4)) AS BIGINT) % 3
+                   AS n_copies
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    expanded AS (
+        SELECT d.doc_id, d.source, u.copy
+        FROM documents d
+        JOIN w USING (source),
+        LATERAL unnest(generate_series(1, w.n_copies)) AS u(copy)
+    )
+    SELECT doc_id, source, copy FROM expanded
+    """,
+)
+def pipeline_weighted_upsampling(spark, sf_dir):
+    """Per-source deterministic mixing weights (1-3 copies) applied as an
+    explode of sequence(1, n) — zero-shuffle row amplification."""
+    docs = table(spark, sf_dir, 'documents')
+    w = docs.select('source').distinct().select(
+        'source',
+        (
+            1
+            + F.pmod(
+                F.conv(F.substring(F.md5('source'), 1, 4), 16, 10).cast('long'),
+                F.lit(3),
+            )
+        ).alias('n_copies'),
+    )
+    return (
+        docs.join(F.broadcast(w), 'source')
+        .select(
+            'doc_id',
+            'source',
+            F.explode(F.sequence(F.lit(1).cast('long'), F.col('n_copies'))).alias(
+                'copy'
+            ),
+        )
+        .select('doc_id', 'source', 'copy')
+    )

@@ -429,3 +429,55 @@ def test_q17_broadcasts_filtered_part(spark):
     plan = plan_of(spark, 'q17_small_quantity_revenue')
     assert 'BroadcastHashJoin' in plan
     assert 'EqualTo(p_brand,Brand#23)' in plan
+
+
+def test_pmi_df_floor_broadcasts_before_pair_join(spark):
+    """The document-frequency floor must prune BEFORE the quadratic pair
+    join: the df table broadcasts into the (doc, term) stream, and the pair
+    join itself is doc-blocked (equi-join on doc_id), never a cross."""
+    raw = re.sub(r'#\d+L?', '', raw_plan_of(spark, 'text_pmi_cooccurrence'))
+    assert 'BroadcastHashJoin [tok], [tok]' in raw
+    # the pair join is keyed on doc_id (broadcast at toy SF, sort-merge at
+    # scale — either way an equi-join, never a cross product)
+    assert re.search(r'(SortMerge|BroadcastHash)Join \[doc_id\], \[doc_id\]', raw)
+    assert 'TakeOrderedAndProject' in raw
+    assert 'CartesianProduct' not in raw
+
+
+def test_quality_classifier_single_pass(spark):
+    """The linear model is an expression: exactly one data Exchange (the
+    per-doc hash agg) and no joins anywhere in the plan."""
+    raw = raw_plan_of(spark, 'text_quality_classifier')
+    assert raw.count('Exchange') == 1
+    assert 'Join' not in raw
+    plan = plan_of(spark, 'text_quality_classifier')
+    assert 'partial_sum' in plan
+
+
+def test_seeded_shuffle_partitions_by_shard(spark):
+    """No global sort: the in-shard position window partitions by shard."""
+    plan = plan_of(spark, 'pipeline_seeded_shuffle')
+    assert 'windowspecdefinition(shard' in plan
+    assert 'SinglePartition' not in raw_plan_of(spark, 'pipeline_seeded_shuffle')
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    plan = plan_of(spark, 'text_vocab_coverage')
+    assert 'BroadcastHashJoin' in plan
+    assert 'TakeOrderedAndProject' in plan  # the top-V vocabulary
+
+
+def test_upsampling_explode_is_narrow(spark):
+    """The row amplification (explode of sequence) sits above the scan with
+    no shuffle of its own — the only Exchange feeds the tiny weights dim."""
+    raw = raw_plan_of(spark, 'pipeline_weighted_upsampling')
+    assert 'Generate explode(sequence' in raw
+    assert 'BroadcastHashJoin' in raw
+    # the explode sits ABOVE the join output with no Exchange above it
+    assert 'Exchange' not in raw.split('Generate explode')[0]
+
+
+def test_rfm_anchor_broadcast_and_partial_agg(spark):
+    plan = plan_of(spark, 'rfm_customer_segments')
+    assert 'BroadcastNestedLoopJoin' in plan  # 1-row anchor date
+    assert 'partial_count' in plan or 'partial_sum' in plan

@@ -154,6 +154,23 @@ NOTES = {
         'truncated); the split itself is a pure projection on the label —',
         'no extra shuffle beyond the dedup pipeline that already ran',
     ],
+    'text_pmi_cooccurrence': [
+        'the df-floor table broadcasts into the (doc, term) stream BEFORE',
+        'the pair join, so the quadratic stage only ever sees frequent',
+        'terms; the pair join is doc-blocked (equi-join on doc_id)',
+    ],
+    'text_quality_classifier': [
+        'the linear model is an expression, not a join: explode + ONE',
+        'map-side-combinable hash agg per doc — single-pass scoring',
+    ],
+    'pipeline_seeded_shuffle': [
+        'no global sort: shard is a stateless hash expression and the',
+        'in-shard position window PARTITIONS by shard (64 parallel sorts)',
+    ],
+    'q10_returned_items': [
+        'quarter + return-flag predicates reach both parquet scans;',
+        'nation broadcasts; top-20 is TakeOrderedAndProject',
+    ],
 }
 
 # Non-headline queries whose plan shape is load-bearing enough to publish.
@@ -180,6 +197,10 @@ EXTRA = (
     'dedup_minhash_lsh_adaptive',
     'text_hashed_features',
     'pipeline_leakage_safe_split',
+    'text_pmi_cooccurrence',
+    'text_quality_classifier',
+    'pipeline_seeded_shuffle',
+    'q10_returned_items',
 )
 
 
