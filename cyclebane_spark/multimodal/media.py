@@ -235,3 +235,31 @@ def audio_features(df: DataFrame, col: str = 'audio') -> DataFrame:
             )
 
     return df.select('doc_id', col).mapInPandas(features, AUDIO_FEATURES_SCHEMA)
+
+
+def embed_images(df: DataFrame, col: str = 'image', dim: int = 8) -> DataFrame:
+    """Image-encoder plug point: payload bytes -> fixed-dim embedding.
+
+    A real pipeline loads a vision tower (CLIP/SigLIP) here; this stub
+    parses the actual binary header and derives an integer embedding from
+    it, so the Spark plumbing — binary column in, Arrow batch through a
+    pandas UDF, ``array<bigint>`` out — is the production shape while the
+    gate stays deterministic and relationally recomputable (the header
+    fields derive from document columns; see multimodal_q.py's oracle).
+    """
+
+    @F.pandas_udf('array<long>')
+    def embed(payload: pd.Series) -> pd.Series:
+        out = []
+        for b in payload:
+            b = bytes(b)
+            if b[:8] != IMG_MAGIC:
+                raise NotImplementedError('unsupported image format')
+            w, h, seed = struct.unpack('<iiq', b[8:24])
+            out.append(
+                [(seed * (i + 1) + w * (i + 2) + h * (i + 3)) % 997
+                 for i in range(dim)]
+            )
+        return pd.Series(out)
+
+    return df.withColumn('image_emb', embed(F.col(col)))

@@ -83,7 +83,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (16)
+    # new in round 4 (17)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -100,6 +100,7 @@ _PRIORITY = (
     'pipeline_seeded_shuffle',
     'pipeline_weighted_upsampling',
     'rfm_customer_segments',
+    'multimodal_clip_filter',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -127,7 +128,7 @@ _PRIORITY = (
     'graph_branch_replacement',
     'graph_branch_pruning',
     'graph_branch_projection',
-    # oldest driver rows: r1 relational/TPC-H headliners + joins (7) —
+    # oldest driver rows: r1 relational/TPC-H headliners + joins (6) —
     # fills the window to exactly 50 (the displaced r1 window/setop/
     # subquery entries are driver-green r1 and unchanged; never-seen
     # queries outrank stale-but-green ones for window slots)
@@ -137,7 +138,6 @@ _PRIORITY = (
     'q5_local_supplier_volume',
     'join_semi',
     'join_anti',
-    'join_range_band',
     # positions 51+: driver-green in r1/r2/r3 and unchanged since; the
     # round-3 window (multimodal/ANN-kmeans/gopher/packing/streaming/CDC/
     # PII/lateral/sketches and the q2/q11/q15/q16/q20/q21 checks) follows

@@ -164,3 +164,87 @@ def multimodal_audio_features(spark, sf_dir):
     return audio_features(with_fake_audio(docs)).select(
         'doc_id', 'sample_rate', 'n_samples'
     )
+
+
+# ---------------------------------------------------------------------------
+# CLIP-score-style cross-modal alignment filter — the LAION recipe: embed
+# the image, embed the caption, keep pairs whose cosine clears a threshold.
+# Encoders are deterministic stubs (the image side genuinely parses the
+# binary payload through a pandas UDF — media.embed_images is the plug
+# point for a real vision tower; the text side is a JVM-side md5-derived
+# vector standing in for a text tower). The cosine test is stated in
+# INTEGERS — keep iff dot > 0 and 25*dot^2 >= 16*|a|^2*|b|^2 (cos >= 0.8)
+# — so both engines compare exactly, no float norms.
+# Scale: embeddings are computed per row (narrow, no shuffle); the filter
+# is a pure projection. At 100 TB this is one pass over the image shards
+# with the model broadcast to executors; nothing here shuffles at all.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'multimodal_clip_filter',
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(16 + n_chars % 17 AS BIGINT) AS w,
+               CAST(16 + doc_id % 13 AS BIGINT) AS h,
+               CAST(doc_id AS BIGINT) AS seed,
+               md5(text) AS m
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id,
+               (seed * (i + 1) + w * (i + 2) + h * (i + 3)) % 997 AS iv,
+               CAST(('0x' || substring(m, 1 + 4 * i, 4)) AS BIGINT) % 997 AS tv
+        FROM base, LATERAL unnest(generate_series(0, 7)) AS t(i)
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(iv * tv) AS BIGINT) AS dot,
+               CAST(SUM(iv * iv) AS BIGINT) AS img_norm2,
+               CAST(SUM(tv * tv) AS BIGINT) AS txt_norm2
+        FROM dims GROUP BY doc_id
+    )
+    SELECT doc_id, dot, img_norm2, txt_norm2,
+           (dot > 0 AND 25 * dot * dot >= 16 * img_norm2 * txt_norm2) AS keep
+    FROM scored
+    """,
+)
+def multimodal_clip_filter(spark, sf_dir):
+    """Image-text alignment scoring with an integer-exact cosine threshold.
+    See the module note; the image embedding really round-trips through the
+    binary payload (pandas UDF parse), the text embedding stays JVM-side."""
+    from ..multimodal.media import embed_images, with_fake_images
+
+    docs = table(spark, sf_dir, 'documents')
+    embedded = embed_images(with_fake_images(docs)).withColumn(
+        'txt_emb',
+        F.expr(
+            'transform(sequence(0, 7), i -> '
+            'CAST(conv(substring(md5(text), 1 + 4 * i, 4), 16, 10) AS BIGINT)'
+            ' % 997)'
+        ),
+    )
+    dot = F.expr(
+        'aggregate(zip_with(image_emb, txt_emb, (x, y) -> x * y), '
+        'CAST(0 AS BIGINT), (acc, v) -> acc + v)'
+    )
+    norm2 = (
+        'aggregate(transform({c}, x -> x * x), '
+        'CAST(0 AS BIGINT), (acc, v) -> acc + v)'
+    )
+    return embedded.select(
+        'doc_id',
+        dot.alias('dot'),
+        F.expr(norm2.format(c='image_emb')).alias('img_norm2'),
+        F.expr(norm2.format(c='txt_emb')).alias('txt_norm2'),
+    ).select(
+        '*',
+        (
+            (F.col('dot') > 0)
+            & (
+                25 * F.col('dot') * F.col('dot')
+                >= 16 * F.col('img_norm2') * F.col('txt_norm2')
+            )
+        ).alias('keep'),
+    )

@@ -82,3 +82,43 @@ def test_audio_features(spark):
     assert r.n_samples == 1600
     assert 0.8 < r.rms < 1.2  # standard normal
     assert 0 < r.zero_crossings < 1600
+
+
+def test_embed_images_matches_header_fields(spark):
+    """The stub image encoder derives the embedding from the PARSED binary
+    header; cross-check against an independent Python recomputation from
+    the document fields the payload was built from."""
+    from cyclebane_spark.multimodal.media import embed_images, with_fake_images
+    from cyclebane_spark.tables import table
+
+    docs = table(spark, '/root/testdata/sf0.001', 'documents').limit(20)
+    rows = embed_images(with_fake_images(docs)).select(
+        'doc_id', 'n_chars', 'image_emb'
+    ).collect()
+    assert rows
+    for r in rows:
+        w, h, seed = 16 + r.n_chars % 17, 16 + r.doc_id % 13, r.doc_id
+        expect = [
+            (seed * (i + 1) + w * (i + 2) + h * (i + 3)) % 997 for i in range(8)
+        ]
+        assert list(r.image_emb) == expect
+
+
+def test_clip_filter_keep_matches_float_cosine(spark):
+    """The integer threshold test (25*dot^2 >= 16*n1*n2, dot>0) must agree
+    with the float cosine >= 0.8 it encodes, checked independently."""
+    import math
+
+    from cyclebane_spark.queries import queries
+
+    rows = queries()['multimodal_clip_filter'](
+        spark, '/root/testdata/sf0.001'
+    ).collect()
+    assert rows
+    seen_keep = 0
+    for r in rows:
+        cos = r.dot / math.sqrt(r.img_norm2 * r.txt_norm2)
+        assert r.keep == (cos >= 0.8 - 1e-12 and r.dot > 0)
+        seen_keep += bool(r.keep)
+    # threshold is discriminative on this corpus: both classes appear
+    assert 0 < seen_keep < len(rows)
