@@ -83,7 +83,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (17)
+    # new in round 4 (19)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -101,6 +101,8 @@ _PRIORITY = (
     'pipeline_weighted_upsampling',
     'rfm_customer_segments',
     'multimodal_clip_filter',
+    'pipeline_tokenize_to_ids',
+    'text_langid_confusion',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -128,16 +130,14 @@ _PRIORITY = (
     'graph_branch_replacement',
     'graph_branch_pruning',
     'graph_branch_projection',
-    # oldest driver rows: r1 relational/TPC-H headliners + joins (6) —
+    # oldest driver rows: r1 relational/TPC-H headliners (4) —
     # fills the window to exactly 50 (the displaced r1 window/setop/
-    # subquery entries are driver-green r1 and unchanged; never-seen
-    # queries outrank stale-but-green ones for window slots)
+    # subquery/semi/anti-join entries are driver-green r1 and unchanged;
+    # never-seen queries outrank stale-but-green ones for window slots)
     'q1_pricing_summary',
     'q6_forecast_revenue',
     'q3_shipping_priority',
     'q5_local_supplier_volume',
-    'join_semi',
-    'join_anti',
     # positions 51+: driver-green in r1/r2/r3 and unchanged since; the
     # round-3 window (multimodal/ANN-kmeans/gopher/packing/streaming/CDC/
     # PII/lateral/sketches and the q2/q11/q15/q16/q20/q21 checks) follows

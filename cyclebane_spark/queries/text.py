@@ -1856,3 +1856,121 @@ def pipeline_weighted_upsampling(spark, sf_dir):
         )
         .select('doc_id', 'source', 'copy')
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-id encoding — the tokenize-to-ids step that feeds the trainer:
+# encode each document's token stream against the corpus top-V vocabulary
+# (id = frequency rank), OOV -> -1, ORDER PRESERVED.
+# Scale: the encode pass is a zero-shuffle projection — the vocabulary
+# aggregates once (TakeOrderedAndProject to V rows; the id-assigning
+# row_number runs over those V rows only, never the corpus), folds into a
+# ONE-ROW map via map_from_entries, broadcasts, and each doc encodes via
+# transform(tokens, t -> element_at(map, t)) entirely JVM-side. No explode
+# of the corpus, no per-token join — the shape that holds when the corpus
+# is 100 TB and the vocab is 100k entries.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'pipeline_tokenize_to_ids',
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok,
+               generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+                   AS ord
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) - 1
+                    AS BIGINT) AS id
+        FROM tok GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 16
+    )
+    SELECT t.doc_id,
+           list(coalesce(v.id, -1) ORDER BY t.ord) AS ids,
+           COUNT(*) AS n_tokens
+    FROM tok t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def pipeline_tokenize_to_ids(spark, sf_dir):
+    """Order-preserving token-id encoding against a broadcast one-row
+    vocabulary map — zero-shuffle encode pass (module note)."""
+    docs = table(spark, sf_dir, 'documents')
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    tok = docs.select(F.explode(toks).alias('tok'))
+    vocab = (
+        tok.groupBy('tok')
+        .agg(F.count(F.lit(1)).alias('c'))
+        .orderBy(F.col('c').desc(), 'tok')
+        .limit(_VOCAB_V)
+    )
+    w = Window.orderBy(F.col('c').desc(), 'tok')  # over V rows only
+    vmap = vocab.select(
+        'tok', (F.row_number().over(w) - 1).cast('bigint').alias('id')
+    ).agg(
+        F.map_from_entries(F.collect_list(F.struct('tok', 'id'))).alias('m')
+    )
+    return (
+        docs.crossJoin(F.broadcast(vmap))
+        .select(
+            'doc_id',
+            F.expr(
+                r"transform(split(trim(text), '\\s+'), "
+                't -> coalesce(element_at(m, t), CAST(-1 AS BIGINT)))'
+            ).alias('ids'),
+        )
+        .select('doc_id', 'ids', F.size('ids').cast('bigint').alias('n_tokens'))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation — the confusion matrix of the heuristic language
+# identifier against the gold ``lang`` label, the standard model-eval
+# rollup run in-engine after any scoring pass.
+# Scale: projection + ONE map-side-combinable agg to |langs|^2 rows; the
+# per-gold-class recall is a single IEEE divide of two integer counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'text_langid_confusion',
+    oracle="""
+    WITH pred AS (
+        SELECT lang,
+               CASE
+                 WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                 WHEN regexp_matches(text, '\\b(und|der|die|das|nicht|ist)\\b') THEN 'de'
+                 WHEN regexp_matches(text, '\\b(le|la|les|et|est|une?)\\b') THEN 'fr'
+                 WHEN regexp_matches(text, '\\b(el|los|las|y|es|una?)\\b') THEN 'es'
+                 ELSE 'en'
+               END AS predicted_lang
+        FROM documents
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN lang = predicted_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Confusion-matrix rollup of the language-ID heuristic vs gold."""
+    docs = table(spark, sf_dir, 'documents')
+    pred = None
+    for lang, pattern in reversed(_LANG_RULES):
+        hit = F.regexp_like('text', F.lit(pattern))
+        pred = F.when(hit, lang).otherwise(F.lit('en') if pred is None else pred)
+    return (
+        docs.select('lang', pred.alias('predicted_lang'))
+        .groupBy('lang', 'predicted_lang')
+        .agg(
+            F.count(F.lit(1)).alias('n'),
+            F.sum(
+                F.when(F.col('lang') == F.col('predicted_lang'), 1).otherwise(0)
+            )
+            .cast('bigint')
+            .alias('n_correct'),
+        )
+    )

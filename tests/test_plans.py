@@ -481,3 +481,15 @@ def test_rfm_anchor_broadcast_and_partial_agg(spark):
     plan = plan_of(spark, 'rfm_customer_segments')
     assert 'BroadcastNestedLoopJoin' in plan  # 1-row anchor date
     assert 'partial_count' in plan or 'partial_sum' in plan
+
+
+def test_tokenize_to_ids_zero_shuffle_encode(spark):
+    """The encode pass must be a broadcast of the one-row vocab map into a
+    projection over the documents scan: no per-token join of the corpus
+    (no shuffle join anywhere in the plan)."""
+    raw = raw_plan_of(spark, 'pipeline_tokenize_to_ids')
+    assert 'BroadcastNestedLoopJoin' in raw
+    assert 'SortMergeJoin' not in raw and 'ShuffledHashJoin' not in raw
+    # the vocab folds into a one-row broadcast map (collect_list of entries)
+    assert 'collect_list(struct(tok' in raw
+    assert 'TakeOrderedAndProject(limit=16' in raw
