@@ -83,7 +83,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (19)
+    # new in round 4 (21)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -103,6 +103,8 @@ _PRIORITY = (
     'multimodal_clip_filter',
     'pipeline_tokenize_to_ids',
     'text_langid_confusion',
+    'text_lexical_gini',
+    'events_interarrival_stats',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -130,14 +132,13 @@ _PRIORITY = (
     'graph_branch_replacement',
     'graph_branch_pruning',
     'graph_branch_projection',
-    # oldest driver rows: r1 relational/TPC-H headliners (4) —
-    # fills the window to exactly 50 (the displaced r1 window/setop/
-    # subquery/semi/anti-join entries are driver-green r1 and unchanged;
-    # never-seen queries outrank stale-but-green ones for window slots)
+    # oldest driver rows: r1 TPC-H headliners (2) — fills the window to
+    # exactly 50 (the displaced r1 relational/window/setop/subquery
+    # entries are driver-green r1 and unchanged; never-seen queries
+    # outrank stale-but-green ones for window slots; the headliners are
+    # additionally exercised by every BENCH run)
     'q1_pricing_summary',
     'q6_forecast_revenue',
-    'q3_shipping_priority',
-    'q5_local_supplier_volume',
     # positions 51+: driver-green in r1/r2/r3 and unchanged since; the
     # round-3 window (multimodal/ANN-kmeans/gopher/packing/streaming/CDC/
     # PII/lateral/sketches and the q2/q11/q15/q16/q20/q21 checks) follows

@@ -798,3 +798,57 @@ def events_transition_matrix(spark, sf_dir):
         .groupBy('prev_type', F.col('event_type').alias('next_type'))
         .agg(F.count(F.lit(1)).alias('n_transitions'))
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time features — the burstiness profile of each user's event
+# stream (bot detection, rate anomaly features). Gaps are exact integer
+# microseconds from one lag window; the aggregates stay integral except two
+# IEEE divides on identical operands (mean, burstiness = max/mean).
+# Scale: one shuffle on user_id shared by the window and the aggregate
+# (same partitioning, AQE reuses the exchange); no self-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_interarrival_stats',
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS mean_gap_us,
+           CAST(MAX(gap_us) AS DOUBLE)
+               / (CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us)) AS burstiness
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark, sf_dir):
+    """Per-user inter-arrival gap statistics in exact integer microseconds
+    plus two deterministic IEEE divides (module note)."""
+    ev = table(spark, sf_dir, 'events')
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    # ts is TIMESTAMP_NTZ; unix_micros needs an instant (UTC sessions, and
+    # the lag DIFFERENCE cancels any fixed offset anyway)
+    us = F.unix_micros(F.col('ts').cast('timestamp'))
+    gaps = ev.select(
+        'user_id', (us - F.lag(us).over(w)).alias('gap_us')
+    ).filter(F.col('gap_us').isNotNull())
+    mean = F.sum('gap_us').cast('double') / F.count('gap_us')
+    return gaps.groupBy('user_id').agg(
+        F.count('gap_us').alias('n_gaps'),
+        F.sum('gap_us').cast('bigint').alias('sum_gap_us'),
+        F.min('gap_us').cast('bigint').alias('min_gap_us'),
+        F.max('gap_us').cast('bigint').alias('max_gap_us'),
+        mean.alias('mean_gap_us'),
+        (F.max('gap_us').cast('double') / mean).alias('burstiness'),
+    )

@@ -1974,3 +1974,56 @@ def text_langid_confusion(spark, sf_dir):
             .alias('n_correct'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity via Gini impurity — the repetition/diversity scoring
+# used in quality filtering, stated as Gini (1 - sum(p_i^2)) rather than
+# Shannon entropy DELIBERATELY: Gini is a rational function of integer
+# counts ((n^2 - sum c_i^2) / n^2, one IEEE divide), so both engines are
+# bit-identical, while entropy's per-term log2 would hang parity on libm
+# rounding. Monotone enough for gating (both maximize at uniform usage).
+# Scale: two map-side-combinable hash aggs — (doc, token) counts, then
+# per-doc moment sums; no window, no join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'text_lexical_gini',
+    oracle=r"""
+    WITH tc AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents
+        ) GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+               / (SUM(c) * SUM(c)) AS gini
+    FROM tc GROUP BY doc_id
+    """,
+)
+def text_lexical_gini(spark, sf_dir):
+    """Per-document Gini-impurity lexical diversity from integer counts.
+    See the module note for why Gini, not entropy."""
+    docs = table(spark, sf_dir, 'documents')
+    tc = (
+        docs.select(
+            'doc_id',
+            F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok'),
+        )
+        .groupBy('doc_id', 'tok')
+        .agg(F.count(F.lit(1)).alias('c'))
+    )
+    n = F.sum('c')
+    return tc.groupBy('doc_id').agg(
+        n.cast('bigint').alias('n_tokens'),
+        F.count(F.lit(1)).cast('bigint').alias('n_types'),
+        ((n * n - F.sum(F.col('c') * F.col('c'))).cast('double') / (n * n)).alias(
+            'gini'
+        ),
+    )
