@@ -1,0 +1,119 @@
+"""Invariant tests for the round-4 pipeline operators — properties the
+DuckDB oracle equality cannot express (permutation-ness, bounds, monotone
+relationships) checked directly on small-SF output."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from cyclebane_spark.queries import queries
+
+SF_DIR = '/root/testdata/sf0.001'
+
+
+def test_seeded_shuffle_is_a_permutation(spark):
+    """Every document appears exactly once; shards cover [0, 64); in-shard
+    positions are 1..count(shard) with no gaps; and the assignment is
+    reproducible run to run (seeded, no RNG state)."""
+    out = queries()['pipeline_seeded_shuffle'](spark, SF_DIR)
+    rows = out.collect()
+    docs = [r.doc_id for r in rows]
+    assert len(docs) == len(set(docs)) == 500
+    assert all(0 <= r.shard < 64 for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    again = {
+        (r.doc_id, r.shard, r.pos)
+        for r in queries()['pipeline_seeded_shuffle'](spark, SF_DIR).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_upsampling_copy_counts_follow_weights(spark):
+    out = queries()['pipeline_weighted_upsampling'](spark, SF_DIR)
+    per_doc = (
+        out.groupBy('doc_id', 'source')
+        .agg(F.count(F.lit(1)).alias('n'), F.max('copy').alias('maxc'))
+        .collect()
+    )
+    assert len(per_doc) == 500
+    per_source = {}
+    for r in per_doc:
+        assert 1 <= r.n <= 3 and r.maxc == r.n  # copies are 1..n, no holes
+        per_source.setdefault(r.source, set()).add(r.n)
+    # the weight is a function of source alone
+    assert all(len(ns) == 1 for ns in per_source.values())
+
+
+def test_lexical_gini_bounds_and_extremes(spark):
+    rows = queries()['text_lexical_gini'](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_types <= r.n_tokens
+        # gini == 0 iff single type; gini upper bound 1 - 1/n_types
+        if r.n_types == 1:
+            assert r.gini == 0.0
+        assert r.gini <= 1.0 - 1.0 / r.n_types + 1e-12
+
+
+def test_tokenize_ids_lengths_and_vocab_range(spark):
+    rows = queries()['pipeline_tokenize_to_ids'](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    used = set()
+    for r in rows:
+        assert len(r.ids) == r.n_tokens
+        assert all(-1 <= i < 16 for i in r.ids)
+        used.update(r.ids)
+    # the whole 16-entry vocab is actually exercised, plus OOV
+    assert used == set(range(-1, 16))
+
+
+def test_interarrival_stats_internal_consistency(spark):
+    rows = queries()['events_interarrival_stats'](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.min_gap_us <= r.max_gap_us
+        assert r.n_gaps >= 1 and r.sum_gap_us >= r.n_gaps * r.min_gap_us
+        assert math.isclose(r.mean_gap_us, r.sum_gap_us / r.n_gaps, rel_tol=0)
+        assert r.burstiness >= 1.0 - 1e-12  # max >= mean always
+
+
+def test_quality_classifier_score_decomposes(spark):
+    """score(doc) must equal the dot product of the doc's hashed-feature
+    vector (text_hashed_features) with the fixed weight table — i.e. the
+    single-pass fold and the materialized-vector path agree."""
+    feats = queries()['text_hashed_features'](spark, SF_DIR).collect()
+    scores = {
+        r.doc_id: r.score
+        for r in queries()['text_quality_classifier'](spark, SF_DIR).collect()
+    }
+    agg = {}
+    for r in feats:
+        w = (r.feature * 2654435761) % 1000 - 500
+        agg[r.doc_id] = agg.get(r.doc_id, 0) + r.weight * w
+    for doc_id, s in agg.items():
+        assert scores[doc_id] == s
+    # docs whose features cancelled entirely (weight 0 rows filtered) still
+    # have a score entry
+    assert set(scores) >= set(agg)
+
+
+def test_pmi_lift_matches_counts(spark):
+    rows = queries()['text_pmi_cooccurrence'](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        assert r.t1 < r.t2
+        assert r.c_xy <= min(r.c_x, r.c_y)
+        assert r.lift == r.c_xy * 500 / (r.c_x * r.c_y)
+
+
+def test_vocab_coverage_oov_consistency(spark):
+    rows = queries()['text_vocab_coverage'](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert math.isclose(r.oov_pct, r.n_oov * 100.0 / r.n_tokens, rel_tol=0)
