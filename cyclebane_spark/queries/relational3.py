@@ -1420,8 +1420,15 @@ def q17_small_quantity_revenue(spark, sf_dir):
     the comparison are bit-identical."""
     li = table(spark, sf_dir, 'lineitem')
     part = table(spark, sf_dir, 'part').filter(F.col('p_brand') == 'Brand#23')
-    per_part = li.groupBy(F.col('l_partkey').alias('pk')).agg(
-        davg('l_quantity').alias('avg_qty')
+    # the correlation is on p_partkey, so the per-part average only ever
+    # matters for the brand's parts — semi-join restrict BEFORE the
+    # aggregate (the optimizer cannot push the brand filter across the
+    # aggregate boundary itself), cutting the agg input by ~|brands|x
+    brand_keys = part.select(F.col('p_partkey').alias('bk'))
+    per_part = (
+        li.join(F.broadcast(brand_keys), F.col('l_partkey') == F.col('bk'), 'left_semi')
+        .groupBy(F.col('l_partkey').alias('pk'))
+        .agg(davg('l_quantity').alias('avg_qty'))
     )
     return (
         li.join(F.broadcast(part), F.col('p_partkey') == F.col('l_partkey'))

@@ -429,6 +429,10 @@ def test_q17_broadcasts_filtered_part(spark):
     plan = plan_of(spark, 'q17_small_quantity_revenue')
     assert 'BroadcastHashJoin' in plan
     assert 'EqualTo(p_brand,Brand#23)' in plan
+    # the per-part average aggregates only the brand's lineitems: a
+    # broadcast LEFT-SEMI restriction sits below the aggregate
+    raw = raw_plan_of(spark, 'q17_small_quantity_revenue')
+    assert 'LeftSemi, BuildRight' in raw
 
 
 def test_pmi_df_floor_broadcasts_before_pair_join(spark):
