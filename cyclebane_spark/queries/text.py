@@ -1583,10 +1583,20 @@ _PMI_TOP = 25
 def text_pmi_cooccurrence(spark, sf_dir):
     """Top term-pair associations by lift (monotone in PMI). See the module
     note for the df-floor + doc-blocked join scale shape."""
+    from pyspark import StorageLevel
+
     docs = table(spark, sf_dir, 'documents')
-    tok = docs.select(
-        'doc_id', F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok')
-    ).distinct()
+    # ft feeds BOTH sides of the pair self-join and the df aggregate —
+    # three references; without a persist Spark would plan (and shuffle)
+    # the distinct (doc, term) stream three times (same idiom as the
+    # PageRank edge list in dedup.py)
+    tok = (
+        docs.select(
+            'doc_id', F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok')
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df = (
         tok.groupBy('tok')
         .agg(F.count(F.lit(1)).alias('df'))
