@@ -1045,3 +1045,65 @@ def dedup_minhash_estimator(spark, sf_dir):
             .alias('jac_union'),
         )
     )
+
+
+def _cluster_keep_best_oracle() -> str:
+    return (
+        _minhash_ctes(recursive=True)
+        + """,
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(doc_id, other) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc_id, e.d FROM reach r JOIN edges e ON r.other = e.s
+    ),
+    labels AS (
+        SELECT doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    lj AS (
+        SELECT l.cluster_id, d.doc_id, d.n_chars
+        FROM labels l JOIN documents d USING (doc_id)
+    ),
+    mx AS (SELECT cluster_id, MAX(n_chars) AS mx FROM lj GROUP BY cluster_id)
+    SELECT lj.cluster_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(lj.n_chars) AS BIGINT) AS total_chars,
+           MIN(CASE WHEN lj.n_chars = mx.mx THEN lj.doc_id END) AS rep_doc_id
+    FROM lj JOIN mx USING (cluster_id)
+    GROUP BY lj.cluster_id
+    """
+    )
+
+
+@register('dedup_cluster_representatives', oracle=_cluster_keep_best_oracle())
+def dedup_cluster_representatives(spark, sf_dir):
+    """Keep-best canonicalization after dedup clustering: per near-dup
+    cluster, the representative is the LONGEST document (ties -> lowest
+    doc_id), plus member count and total size — the selection step a
+    curation pipeline runs between clustering and corpus rewrite.
+
+    Scale: one join of the CC labels to the documents table (both keyed by
+    doc_id — co-partitioned), then ONE combinable hash agg per cluster;
+    the argmax is max(struct(n_chars, -doc_id)) — no window sort over
+    members, no second join-back (the oracle states the same argmax as a
+    max+filter two-level aggregate).
+    """
+    pairs = _minhash_pairs(spark, sf_dir)
+    docs = table(spark, sf_dir, 'documents')
+    labels = _connected_components(
+        pairs, docs.select('doc_id'), 'doc_a', 'doc_b', 'doc_id'
+    )
+    best = F.max(F.struct(F.col('n_chars'), (-F.col('doc_id')).alias('neg')))
+    return (
+        labels.join(docs.select('doc_id', 'n_chars'), 'doc_id')
+        .groupBy('cluster_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_members'),
+            F.sum('n_chars').cast('bigint').alias('total_chars'),
+            (-best.getField('neg')).alias('rep_doc_id'),
+        )
+    )
