@@ -83,7 +83,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (22)
+    # new in round 4 (23)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -106,6 +106,7 @@ _PRIORITY = (
     'text_lexical_gini',
     'events_interarrival_stats',
     'dedup_cluster_representatives',
+    'dedup_incremental_exact',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -133,12 +134,10 @@ _PRIORITY = (
     'graph_branch_replacement',
     'graph_branch_pruning',
     'graph_branch_projection',
-    # oldest driver row: the r1 TPC-H flagship (1) — fills the window to
-    # exactly 50 (the displaced r1 relational/window/setop/subquery
-    # entries are driver-green r1 and unchanged; never-seen queries
-    # outrank stale-but-green ones for window slots; the headliners are
+    # (all r1 relational/window/setop/subquery entries are displaced
+    # below the window: driver-green r1 and unchanged since; never-seen
+    # queries outrank stale-but-green ones, and the TPC-H headliners are
     # additionally exercised by every BENCH run)
-    'q1_pricing_summary',
     # positions 51+: driver-green in r1/r2/r3 and unchanged since; the
     # round-3 window (multimodal/ANN-kmeans/gopher/packing/streaming/CDC/
     # PII/lateral/sketches and the q2/q11/q15/q16/q20/q21 checks) follows

@@ -1107,3 +1107,49 @@ def dedup_cluster_representatives(spark, sf_dir):
             (-best.getField('neg')).alias('rep_doc_id'),
         )
     )
+
+
+@register(
+    'dedup_incremental_exact',
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT f FROM fp WHERE source = 'src0'),
+    incoming AS (SELECT * FROM fp WHERE source <> 'src0')
+    SELECT i.doc_id, i.source,
+           (c.f IS NOT NULL) AS already_in_corpus
+    FROM incoming i LEFT JOIN corpus c ON i.f = c.f
+    """,
+)
+def dedup_incremental_exact(spark, sf_dir):
+    """Incremental ingest dedup: flag each INCOMING document (source !=
+    'src0') whose canonical fingerprint already exists in the CORPUS
+    partition (source = 'src0') — the join every ingestion pipeline runs
+    against its historical fingerprint table instead of re-deduping the
+    whole corpus per batch.
+
+    Scale: the corpus side reduces to DISTINCT fingerprints once (in
+    production that table is maintained incrementally and bucketed by
+    fingerprint, making this a zero-exchange join on the corpus side);
+    the probe is one equi-join keyed on the hash — uniformly distributed
+    by construction, so no skew. A bloom filter on the corpus fingerprints
+    (built free by AQE's runtime filter when the incoming batch is
+    selective) short-circuits most probes before the shuffle.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col('text')), r'\s+', ' ')))
+    keyed = docs.select('doc_id', 'source', fp.alias('f'))
+    corpus = (
+        keyed.filter(F.col('source') == 'src0')
+        .select(F.col('f').alias('cf'))
+        .distinct()
+    )
+    incoming = keyed.filter(F.col('source') != 'src0')
+    return incoming.join(
+        corpus, incoming.f == corpus.cf, 'left'
+    ).select(
+        'doc_id', 'source', F.col('cf').isNotNull().alias('already_in_corpus')
+    )
