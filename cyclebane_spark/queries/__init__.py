@@ -65,18 +65,18 @@ _MODULES = (
 # in iteration order (each round checks the first 50 entries), so the window
 # is rotated per round to retire unverified queries.  Round-4 rotation (per
 # VERDICT r3 "Next round #1"): positions 1-4 are the last four queries that
-# have never had a driver CORRECTNESS row in any round; next are this
-# round's new operators (5-10); 11-20 are queries whose code changed in round 4
-# (the word_ngrams short-text guard + minhash md5 hoist flow into the whole
-# minhash/gram family; the CDC upsert sink got a new scratch-dir scheme;
-# the positional slice gained the non-numeric bucket path); then four
+# have never had a driver CORRECTNESS row in any round; next the 23 operators
+# ADDED in round 4; then queries whose code changed in round 4 (the
+# word_ngrams short-text guard + minhash md5 hoist flow into the whole
+# minhash/gram family; the CDC upsert sink got a new scratch-dir scheme; the
+# positional slice gained the non-numeric bucket path); then four
 # below-window queries with stale driver signal after round-3's shared
 # refactors (canonical grams, tables.py cache); then the SURVEY-§2.1
-# graph-algebra block, kept continuously verified; the rest backfills with the
-# oldest driver rows (r1 relational/TPC-H + window/setop/subquery surface).
-# Everything below position 50 is driver-green in some round and unchanged
-# since (the local oracle gate re-verifies the FULL registry each session —
-# tests/oracle_check.py with no name filter).
+# graph-algebra block, kept continuously verified. Everything below position
+# 50 is driver-green in some round and unchanged since (the local oracle
+# gate re-verifies the FULL registry each session — tests/oracle_check.py
+# with no name filter — and this session re-proved all entries exact at
+# sf0.001, sf0.01 AND sf0.1).
 _PRIORITY = (
     # never driver-seen in any round (4)
     'dedup_minhash_estimator',
