@@ -65,14 +65,16 @@ _MODULES = (
 # in iteration order (each round checks the first 50 entries), so the window
 # is rotated per round to retire unverified queries.  Round-4 rotation (per
 # VERDICT r3 "Next round #1"): positions 1-4 are the last four queries that
-# have never had a driver CORRECTNESS row in any round; next the 23 operators
+# have never had a driver CORRECTNESS row in any round; next the 24 operators
 # ADDED in round 4; then queries whose code changed in round 4 (the
 # word_ngrams short-text guard + minhash md5 hoist flow into the whole
 # minhash/gram family; the CDC upsert sink got a new scratch-dir scheme; the
 # positional slice gained the non-numeric bucket path); then four
 # below-window queries with stale driver signal after round-3's shared
 # refactors (canonical grams, tables.py cache); then the SURVEY-§2.1
-# graph-algebra block, kept continuously verified. Everything below position
+# graph-algebra block, kept continuously verified (branch projection, the
+# simplest of the r3-green branch trio, yields its slot to a new op this
+# round). Everything below position
 # 50 is driver-green in some round and unchanged since (the local oracle
 # gate re-verifies the FULL registry each session — tests/oracle_check.py
 # with no name filter — and this session re-proved all entries exact at
@@ -83,7 +85,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (23)
+    # new in round 4 (24)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -107,6 +109,7 @@ _PRIORITY = (
     'events_interarrival_stats',
     'dedup_cluster_representatives',
     'dedup_incremental_exact',
+    'ann_filtered_topk',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -133,7 +136,6 @@ _PRIORITY = (
     'graph_pandas_udaf_median',
     'graph_branch_replacement',
     'graph_branch_pruning',
-    'graph_branch_projection',
     # (all r1 relational/window/setop/subquery entries are displaced
     # below the window: driver-green r1 and unchanged since; never-seen
     # queries outrank stale-but-green ones, and the TPC-H headliners are

@@ -1037,3 +1037,50 @@ def embeddings_quantized_norm_arrow(spark, sf_dir):
     return emb.select('vec_id', 'embedding').mapInArrow(
         quantize, 'vec_id long, q_sum long, dim long'
     )
+
+
+@register(
+    'ann_filtered_topk',
+    oracle=f"""{_SQL_NORMED}
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_SQL_COS} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_SQL_COS} DESC, c.vec_id
+               ) AS rk
+        FROM n q JOIN n c
+          ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+         AND c.label IN (2, 5, 7)
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_filtered_topk(spark, sf_dir):
+    """Metadata-FILTERED vector search (the vector-DB "filtered ANN"
+    problem): top-k cosine neighbors among corpus vectors whose label is
+    in the predicate set, via PRE-filtering — the filter applies before
+    scoring, so recall@k over the admissible set is exact by construction
+    (post-filtering an unfiltered top-k would silently return < k or
+    degrade recall when the filter is selective).
+
+    Scale: the label predicate pushes down to the parquet scan (at 100 TB
+    the corpus partitions by coarse label, turning the filter into
+    partition pruning — scanned bytes shrink by the filter's selectivity
+    before any compute); the query side broadcasts; the corpus never
+    shuffles. The same pre-filter composes inside the IVF probe
+    (filter the inverted list before ADC) without changing shape.
+    """
+    emb = table(spark, sf_dir, 'embeddings')
+    n = emb.select(
+        'vec_id',
+        'label',
+        'embedding',
+        F.sqrt(_spark_dot(F.col('embedding'), F.col('embedding'))).alias('nrm'),
+    )
+    q = n.filter(F.col('vec_id') < N_QUERIES).alias('q')
+    c = (
+        n.filter(F.col('vec_id') >= N_QUERIES)
+        .filter(F.col('label').isin(2, 5, 7))
+        .alias('c')
+    )
+    return _ranked(F.broadcast(q).crossJoin(c), 'query_id')

@@ -497,3 +497,12 @@ def test_tokenize_to_ids_zero_shuffle_encode(spark):
     # the vocab folds into a one-row broadcast map (collect_list of entries)
     assert 'collect_list(struct(tok' in raw
     assert 'TakeOrderedAndProject(limit=16' in raw
+
+
+def test_ann_filtered_pushes_label_predicate(spark):
+    """Pre-filtered vector search: the label predicate must reach the
+    parquet scan (partition pruning at scale), and the query side stays a
+    broadcast — the corpus never shuffles."""
+    plan = plan_of(spark, 'ann_filtered_topk')
+    assert 'In(label, [2,5,7])' in plan
+    assert 'BroadcastNestedLoopJoin' in plan
