@@ -72,9 +72,9 @@ _MODULES = (
 # positional slice gained the non-numeric bucket path); then four
 # below-window queries with stale driver signal after round-3's shared
 # refactors (canonical grams, tables.py cache); then the SURVEY-§2.1
-# graph-algebra block, kept continuously verified (branch projection, the
-# simplest of the r3-green branch trio, yields its slot to a new op this
-# round). Everything below position
+# graph-algebra core (map/reduce/sweep/groupby/loc), kept continuously
+# verified — the r3-green-and-unchanged pandas-UDAF and branch-surgery
+# entries yield their slots to new operators this round. Everything below position
 # 50 is driver-green in some round and unchanged since (the local oracle
 # gate re-verifies the FULL registry each session — tests/oracle_check.py
 # with no name filter — and this session re-proved all entries exact at
@@ -85,7 +85,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (24)
+    # new in round 4 (27)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -110,6 +110,9 @@ _PRIORITY = (
     'dedup_cluster_representatives',
     'dedup_incremental_exact',
     'ann_filtered_topk',
+    'text_bpe_merge_candidates',
+    'events_value_histogram',
+    'profile_lineitem_columns',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -133,9 +136,6 @@ _PRIORITY = (
     'graph_param_sweep_broadcast',
     'graph_groupby_reduce',
     'graph_slice_loc',
-    'graph_pandas_udaf_median',
-    'graph_branch_replacement',
-    'graph_branch_pruning',
     # (all r1 relational/window/setop/subquery entries are displaced
     # below the window: driver-green r1 and unchanged since; never-seen
     # queries outrank stale-but-green ones, and the TPC-H headliners are

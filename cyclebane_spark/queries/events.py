@@ -852,3 +852,41 @@ def events_interarrival_stats(spark, sf_dir):
         mean.alias('mean_gap_us'),
         (F.max('gap_us').cast('double') / mean).alias('burstiness'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric profiling: fixed 20-bin histogram of the value column with
+# data-derived edges — the distribution summary every profiler emits.
+# Scale: pass 1 is a 1-row min/max aggregate (broadcast); pass 2 bins with
+# a pure expression and aggregates to 20 rows map-side. Both engines
+# compute bin = floor((v - min) * 20 / (max - min)) with the same IEEE op
+# sequence (and clamp the v = max edge into the last bin), so the integer
+# bins are identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_value_histogram',
+    oracle="""
+    WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+    SELECT LEAST(CAST(floor((value - lo) * 20 / (hi - lo)) AS BIGINT), 19)
+               AS bin,
+           COUNT(*) AS n
+    FROM events, mm
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark, sf_dir):
+    """Fixed 20-bin histogram with broadcast min/max edges (module note)."""
+    ev = table(spark, sf_dir, 'events')
+    mm = ev.agg(F.min('value').alias('lo'), F.max('value').alias('hi'))
+    bin_ = F.least(
+        F.floor((F.col('value') - F.col('lo')) * 20 / (F.col('hi') - F.col('lo')))
+        .cast('bigint'),
+        F.lit(19).cast('bigint'),
+    )
+    return (
+        ev.crossJoin(F.broadcast(mm))
+        .groupBy(bin_.alias('bin'))
+        .agg(F.count(F.lit(1)).alias('n'))
+    )

@@ -1529,3 +1529,57 @@ def rfm_customer_segments(spark, sf_dir):
             dsum('monetary').alias('segment_value'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling — the (column, null-rate, distinct-count) summary a data
+# catalog computes on every ingest. Stated as ONE aggregate over the fact
+# table unpivoted to rows (no per-column scans).
+# Scale: Spark plans multi-distinct aggregates with an Expand (one scan,
+# one row per (row, column) pair pre-aggregated map-side); at 100 TB the
+# exact distincts can swap for approx_count_distinct or the bitmap pattern
+# (events_bitmap_distinct_users) without changing the output contract.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'profile_lineitem_columns',
+    oracle="""
+    SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+           COUNT(DISTINCT l_orderkey) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', COUNT(*), COUNT(*) - COUNT(l_partkey),
+           COUNT(DISTINCT l_partkey) FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag) FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate) FROM lineitem
+    """,
+)
+def profile_lineitem_columns(spark, sf_dir):
+    """Catalog-style column profile (nulls + exact distincts) in one
+    aggregate pass over an unpivoted projection — see the module note."""
+    li = table(spark, sf_dir, 'lineitem')
+    cols = ['l_orderkey', 'l_partkey', 'l_returnflag', 'l_shipdate']
+    long = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias('column_name'),
+                        F.col(c).cast('string').alias('v'),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias('cv')
+    ).select('cv.column_name', 'cv.v')
+    return long.groupBy('column_name').agg(
+        F.count(F.lit(1)).alias('n_rows'),
+        (F.count(F.lit(1)) - F.count('v')).alias('n_nulls'),
+        F.countDistinct('v').alias('n_distinct'),
+    )

@@ -2037,3 +2037,63 @@ def text_lexical_gini(spark, sf_dir):
             'gini'
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer step — the merge-candidate count of byte-pair encoding: the
+# weighted frequency of each ADJACENT character pair, where the weight is
+# the token's corpus frequency. This is how real BPE trainers iterate:
+# collapse the corpus to a (token, count) vocabulary ONCE, then do all
+# pair counting over the vocabulary table (|V| rows), never the corpus.
+# Scale: one corpus-sized hash agg (token counts), then the pair explode
+# fans out over |V| rows only — the 100 TB corpus is touched exactly once
+# regardless of how many merge iterations follow.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'text_bpe_merge_candidates',
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    pairs AS (
+        -- single-char tokens yield no pairs (stated on both engines:
+        -- Spark's sequence(1, 0) would DESCEND, the word_ngrams trap)
+        SELECT substring(tok, i, 2) AS pair, c
+        FROM tf, LATERAL unnest(generate_series(1, length(tok) - 1)) AS t(i)
+        WHERE length(tok) >= 2
+    )
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_merge_candidates(spark, sf_dir):
+    """Top-20 BPE merge candidates (adjacent char pairs weighted by token
+    frequency), counted over the collapsed vocabulary (module note)."""
+    docs = table(spark, sf_dir, 'documents')
+    tf = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok')
+        )
+        .groupBy('tok')
+        .agg(F.count(F.lit(1)).alias('c'))
+    )
+    return (
+        tf.filter(F.length('tok') >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    'transform(sequence(1, length(tok) - 1), '
+                    'i -> substring(tok, i, 2))'
+                )
+            ).alias('pair'),
+            'c',
+        )
+        .groupBy('pair')
+        .agg(F.sum('c').cast('bigint').alias('n'))
+        .orderBy(F.col('n').desc(), 'pair')
+        .limit(20)
+    )
