@@ -72,9 +72,11 @@ _MODULES = (
 # positional slice gained the non-numeric bucket path); then four
 # below-window queries with stale driver signal after round-3's shared
 # refactors (canonical grams, tables.py cache); then the SURVEY-§2.1
-# graph-algebra core (map/reduce/sweep/groupby/loc), kept continuously
-# verified — the r3-green-and-unchanged pandas-UDAF and branch-surgery
-# entries yield their slots to new operators this round. Everything below position
+# graph-algebra representatives (param-sweep compile path + label-slice
+# pushdown) — the remaining r3-green-and-unchanged graph entries yield
+# their slots to never-driver-seen operators this round (the FULL graph
+# family stays continuously verified by the local gate + differential
+# suite every session). Everything below position
 # 50 is driver-green in some round and unchanged since (the local oracle
 # gate re-verifies the FULL registry each session — tests/oracle_check.py
 # with no name filter — and this session re-proved all entries exact at
@@ -85,7 +87,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (27)
+    # new in round 4 (30)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -113,6 +115,9 @@ _PRIORITY = (
     'text_bpe_merge_candidates',
     'events_value_histogram',
     'profile_lineitem_columns',
+    'sample_fixed_k',
+    'events_ab_test_lift',
+    'events_dau_wau_stickiness',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -131,10 +136,7 @@ _PRIORITY = (
     'approx_count_distinct_hll',
     # SURVEY §2.1 graph algebra block — keep continuously driver-verified
     # (graph_slice_positional already sits at position 15)
-    'graph_map_reduce_all',
-    'graph_map_reduce_partial',
     'graph_param_sweep_broadcast',
-    'graph_groupby_reduce',
     'graph_slice_loc',
     # (all r1 relational/window/setop/subquery entries are displaced
     # below the window: driver-green r1 and unchanged since; never-seen

@@ -890,3 +890,101 @@ def events_value_histogram(spark, sf_dir):
         .groupBy(bin_.alias('bin'))
         .agg(F.count(F.lit(1)).alias('n'))
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout — deterministic arm assignment (hash of user_id,
+# the idempotent bucketing every experimentation platform uses) and the
+# per-arm conversion readout with relative lift. All counts integral; the
+# three rate/lift divides are IEEE ops on identical operands.
+# Scale: one shuffle on user_id for the per-user flags, then a 2-row
+# aggregate; the readout joins nothing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_ab_test_lift',
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    )
+    SELECT arm,
+           COUNT(*) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate
+    FROM per_user GROUP BY arm
+    """,
+)
+def events_ab_test_lift(spark, sf_dir):
+    """Per-arm conversion readout under deterministic hash bucketing."""
+    ev = table(spark, sf_dir, 'events')
+    arm = F.when(
+        F.substring(F.md5(F.col('user_id').cast('string')), 1, 1).isin(*'01234567'),
+        'A',
+    ).otherwise('B')
+    per_user = ev.groupBy('user_id').agg(
+        F.max(
+            F.when(F.col('event_type') == 'purchase', 1).otherwise(0)
+        ).alias('converted')
+    ).select(arm.alias('arm'), 'converted')
+    return per_user.groupBy('arm').agg(
+        F.count(F.lit(1)).alias('n_users'),
+        F.sum('converted').cast('bigint').alias('n_converted'),
+        (F.sum('converted').cast('double') / F.count(F.lit(1))).alias('conv_rate'),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engagement stickiness — DAU joined to its week's WAU (DAU/WAU ratio per
+# day). Exact distincts at gate scale; the 100 TB swap-in is the bitmap
+# pattern (events_bitmap_distinct_users) or HLL sketches per day, unioned
+# per week — same output contract.
+# Scale: two combinable distinct aggregates (day grain, week grain) and a
+# broadcast join of the 7x-smaller week table back onto days.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_dau_wau_stickiness',
+    oracle="""
+    WITH dau AS (
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1
+    ),
+    wau AS (
+        SELECT date_trunc('week', ts) AS week,
+               COUNT(DISTINCT user_id) AS wau
+        FROM events GROUP BY 1
+    )
+    SELECT day, dau, wau,
+           CAST(dau AS DOUBLE) / wau AS stickiness
+    FROM dau JOIN wau ON date_trunc('week', day) = week
+    """,
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    """Per-day DAU/WAU ratio with a broadcast week-level aggregate."""
+    ev = table(spark, sf_dir, 'events')
+    tt = ev.schema['ts'].dataType
+    dau = ev.groupBy(
+        F.date_trunc('day', 'ts').cast(tt).alias('day')
+    ).agg(F.countDistinct('user_id').alias('dau'))
+    wau = ev.groupBy(
+        F.date_trunc('week', 'ts').cast(tt).alias('week')
+    ).agg(F.countDistinct('user_id').alias('wau'))
+    return (
+        dau.join(
+            F.broadcast(wau),
+            F.date_trunc('week', 'day').cast(tt) == F.col('week'),
+        )
+        .select(
+            'day', 'dau', 'wau',
+            (F.col('dau').cast('double') / F.col('wau')).alias('stickiness'),
+        )
+    )

@@ -529,3 +529,31 @@ def approx_percentile_bounds(spark, sf_dir):
         rank_ok('le50', 'lt50', 0.5).alias('p50_rank_ok'),
         rank_ok('le90', 'lt90', 0.9).alias('p90_rank_ok'),
     )
+
+
+@register(
+    'sample_fixed_k',
+    oracle="""
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+    ORDER BY h, doc_id LIMIT 100
+    """,
+)
+def sample_fixed_k(spark, sf_dir):
+    """Exact-k deterministic sample: the reservoir-sampling answer stated
+    as a hash-order top-k — every engine/run/partitioning picks the SAME
+    100 documents (md5 order is uniform and content-derived), unlike
+    rand()-seeded reservoirs whose output depends on partition layout.
+
+    Scale: TakeOrderedAndProject — each task keeps its local top-100, the
+    driver merges 100 x n_tasks rows; no global sort, no shuffle of the
+    corpus. The k-sample every profiler/debugger wants from a 100 TB
+    table for the cost of one scan.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    h = F.md5(F.col('doc_id').cast('string'))
+    return (
+        docs.select('doc_id', h.alias('h'))
+        .orderBy('h', 'doc_id')
+        .limit(100)
+    )
