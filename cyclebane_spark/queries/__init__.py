@@ -72,8 +72,7 @@ _MODULES = (
 # positional slice gained the non-numeric bucket path); then four
 # below-window queries with stale driver signal after round-3's shared
 # refactors (canonical grams, tables.py cache); then the SURVEY-§2.1
-# graph-algebra representatives (param-sweep compile path + label-slice
-# pushdown) — the remaining r3-green-and-unchanged graph entries yield
+# graph-algebra representative (the param-sweep compile path) — the remaining r3-green-and-unchanged graph entries yield
 # their slots to never-driver-seen operators this round (the FULL graph
 # family stays continuously verified by the local gate + differential
 # suite every session). Everything below position
@@ -87,7 +86,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (30)
+    # new in round 4 (31)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -118,6 +117,7 @@ _PRIORITY = (
     'sample_fixed_k',
     'events_ab_test_lift',
     'events_dau_wau_stickiness',
+    'events_cdc_tombstones',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -137,7 +137,6 @@ _PRIORITY = (
     # SURVEY §2.1 graph algebra block — keep continuously driver-verified
     # (graph_slice_positional already sits at position 15)
     'graph_param_sweep_broadcast',
-    'graph_slice_loc',
     # (all r1 relational/window/setop/subquery entries are displaced
     # below the window: driver-green r1 and unchanged since; never-seen
     # queries outrank stale-but-green ones, and the TPC-H headliners are

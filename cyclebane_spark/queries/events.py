@@ -988,3 +988,63 @@ def events_dau_wau_stickiness(spark, sf_dir):
             (F.col('dau').cast('double') / F.col('wau')).alias('stickiness'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction WITH TOMBSTONES — the delete semantics
+# events_cdc_compaction omits: a changelog carries upserts AND deletes,
+# and compaction must (1) pick the LAST operation per key (ts, unique-id
+# tiebreak), then (2) drop keys whose last operation is a delete. The op
+# column is synthesized deterministically from the event id (md5 first
+# hex in {e, f} -> ~1/8 deletes) since the fixture log has no op column;
+# swapping in a real op column changes one expression.
+# Scale: identical shape to the upsert-only path — ONE max_by partial
+# aggregate (the op rides in the payload struct), then a pure filter; no
+# window sort of the log, no second pass. This is the MERGE INTO ...
+# WHEN MATCHED AND op = 'D' THEN DELETE statement in combinable form.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_cdc_tombstones',
+    oracle="""
+    WITH log AS (
+        SELECT user_id, event_type, event_id, ts, value,
+               CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                         IN ('e', 'f') THEN 'D' ELSE 'U' END AS op
+        FROM events
+    )
+    SELECT user_id, event_type, event_id, ts, value
+    FROM log
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+    ) = 1 AND op = 'U'
+    """,
+)
+def events_cdc_tombstones(spark, sf_dir):
+    """Last-write-wins compaction honoring delete tombstones — see the
+    module note; the delete filter applies AFTER the argmax (a delete
+    followed by nothing must erase the key, not resurrect an older row)."""
+    ev = table(spark, sf_dir, 'events')
+    op = F.when(
+        F.substring(F.md5(F.col('event_id').cast('string')), 1, 1).isin('e', 'f'),
+        'D',
+    ).otherwise('U')
+    return (
+        ev.select('user_id', 'event_type', 'event_id', 'ts', 'value', op.alias('op'))
+        .groupBy('user_id', 'event_type')
+        .agg(
+            F.max_by(
+                F.struct('event_id', 'ts', 'value', 'op'),
+                F.struct('ts', 'event_id'),
+            ).alias('last')
+        )
+        .filter(F.col('last.op') == 'U')
+        .select(
+            'user_id',
+            'event_type',
+            F.col('last.event_id').alias('event_id'),
+            F.col('last.ts').alias('ts'),
+            F.col('last.value').alias('value'),
+        )
+    )
