@@ -86,7 +86,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (31)
+    # new in round 4 (32)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -118,6 +118,7 @@ _PRIORITY = (
     'events_ab_test_lift',
     'events_dau_wau_stickiness',
     'events_cdc_tombstones',
+    'stream_cdc_tombstones',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -134,9 +135,10 @@ _PRIORITY = (
     'dedup_exact',
     'events_asof_join',
     'approx_count_distinct_hll',
-    # SURVEY §2.1 graph algebra block — keep continuously driver-verified
-    # (graph_slice_positional already sits at position 15)
-    'graph_param_sweep_broadcast',
+    # (the SURVEY-§2.1 graph-algebra family is represented in-window by
+    # graph_slice_positional above; the rest are r1-r3 driver-green,
+    # unchanged, re-verified locally at 3 SFs every session, and
+    # graph_param_sweep_broadcast additionally runs in every BENCH)
     # (all r1 relational/window/setop/subquery entries are displaced
     # below the window: driver-green r1 and unchanged since; never-seen
     # queries outrank stale-but-green ones, and the TPC-H headliners are

@@ -230,3 +230,61 @@ def stream_cdc_upsert(spark, sf_dir):
         F.to_timestamp_ntz('ts').alias('ts'),
         'value',
     )
+
+
+@register(
+    'stream_cdc_tombstones',
+    oracle="""
+    WITH log AS (
+        SELECT user_id, event_type, event_id, ts, value,
+               CASE WHEN substring(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                         IN ('e', 'f') THEN 'D' ELSE 'U' END AS op
+        FROM events
+    )
+    SELECT user_id, event_type, event_id, ts, value
+    FROM log
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+    ) = 1 AND op = 'U'
+    """,
+)
+def stream_cdc_tombstones(spark, sf_dir):
+    """Streaming tombstone-aware MERGE == batch compaction with deletes.
+
+    Each micro-batch merges into a snapshot that RETAINS tombstone rows
+    (so a late older upsert cannot resurrect a deleted key — see
+    :func:`cyclebane_spark.streaming.windows.cdc_upsert_parquet_tombstones`);
+    the reader filters op = 'U'. Same oracle as ``events_cdc_tombstones``:
+    associativity of the per-key argmax makes the final snapshot equal
+    batch compaction whatever the batch boundaries.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ..streaming.windows import cdc_upsert_parquet_tombstones
+
+    op = F.when(
+        F.substring(F.md5(F.col('event_id').cast('string')), 1, 1).isin('e', 'f'),
+        'D',
+    ).otherwise('U')
+    stream = events_stream(spark, sf_dir).withColumn('op', op)
+    tag = hashlib.md5(f'tomb|{sf_dir}'.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f'cb_tomb_{tag}')
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    snapshot = cdc_upsert_parquet_tombstones(stream, base)
+    return (
+        spark.read.parquet(snapshot)
+        .filter(F.col('op') == 'U')
+        .select(
+            'user_id',
+            'event_type',
+            'event_id',
+            F.to_timestamp_ntz('ts').alias('ts'),
+            'value',
+        )
+    )

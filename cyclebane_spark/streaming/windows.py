@@ -390,3 +390,61 @@ def cdc_upsert_parquet(stream: DataFrame, base_dir: str) -> str:
     query.awaitTermination()
     assert state['cur'] is not None, 'stream produced no batches'
     return state['cur']
+
+
+def latest_per_key_with_op(df: DataFrame) -> DataFrame:
+    """``latest_per_key`` carrying an ``op`` column (U/D) in the payload —
+    tombstones must SURVIVE compaction (a retained delete suppresses any
+    older upsert that arrives in a later batch); the final reader filters
+    them out."""
+    return (
+        df.groupBy('user_id', 'event_type')
+        .agg(
+            F.max_by(
+                F.struct('event_id', 'ts', 'value', 'op'),
+                F.struct('ts', 'event_id'),
+            ).alias('last')
+        )
+        .select(
+            'user_id',
+            'event_type',
+            F.col('last.event_id').alias('event_id'),
+            F.col('last.ts').alias('ts'),
+            F.col('last.value').alias('value'),
+            F.col('last.op').alias('op'),
+        )
+    )
+
+
+def cdc_upsert_parquet_tombstones(stream: DataFrame, base_dir: str) -> str:
+    """Tombstone-aware streaming MERGE: like :func:`cdc_upsert_parquet`,
+    but the log carries deletes. Each snapshot retains tombstone rows
+    (op = 'D') so late-arriving older upserts cannot resurrect a deleted
+    key; merge associativity is preserved because the retained row is
+    still just the per-key argmax. Consumers read the snapshot WHERE
+    op = 'U' — the Delta/Iceberg ``MERGE ... WHEN MATCHED AND op = 'D'
+    THEN DELETE`` semantics with the delete deferred to read time (a real
+    deployment drops tombstones older than the replay horizon during
+    periodic compaction)."""
+    state: dict[str, str | None] = {'cur': None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        latest = latest_per_key_with_op(batch_df)
+        if state['cur'] is not None:
+            latest = latest_per_key_with_op(
+                sp.read.parquet(state['cur']).unionByName(latest)
+            )
+        out = f'{base_dir}/v{batch_id}'
+        latest.write.mode('overwrite').parquet(out)
+        state['cur'] = out
+
+    query = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option('checkpointLocation', f'{base_dir}/_ckpt')
+        .start()
+    )
+    query.awaitTermination()
+    assert state['cur'] is not None, 'stream produced no batches'
+    return state['cur']

@@ -515,3 +515,60 @@ def test_cdc_merge_is_associative_under_random_splits(spark):
                 batch if snapshot is None else snapshot.unionByName(batch)
             )
         assert sorted(map(tuple, snapshot.collect())) == expected
+
+
+def test_tombstone_survives_batches_and_blocks_resurrection(spark, tmp_path):
+    """The delete-retention property: a key deleted in an EARLY batch must
+    stay deleted when a LATER batch replays an OLDER upsert for it — the
+    snapshot's retained tombstone (newer ts) wins the argmax. Exercised
+    across two real micro-batches in a controlled order."""
+    import os
+
+    from pyspark.sql import Row
+
+    from cyclebane_spark.streaming.windows import (
+        cdc_upsert_parquet_tombstones,
+    )
+
+    def ts(s):
+        import datetime
+
+        return datetime.datetime.fromisoformat(s)
+
+    b1 = spark.createDataFrame(
+        [
+            Row(user_id=1, event_type='click', event_id=10,
+                ts=ts('2024-01-01T10:00:00'), value=1.0, op='U'),
+            Row(user_id=1, event_type='click', event_id=30,
+                ts=ts('2024-01-01T12:00:00'), value=3.0, op='D'),
+            Row(user_id=2, event_type='view', event_id=11,
+                ts=ts('2024-01-01T10:30:00'), value=2.0, op='U'),
+        ]
+    )
+    # the late batch replays an OLDER upsert for the deleted key
+    b2 = spark.createDataFrame(
+        [
+            Row(user_id=1, event_type='click', event_id=20,
+                ts=ts('2024-01-01T11:00:00'), value=2.0, op='U'),
+        ]
+    )
+    src = str(tmp_path / 'src')
+    os.makedirs(src)
+    # one file per batch, maxFilesPerTrigger=1; file order = write order
+    b1.coalesce(1).write.parquet(f'{src}/b1')
+    b2.coalesce(1).write.parquet(f'{src}/b2')
+    schema = spark.read.parquet(f'{src}/b1').schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(f'{src}/b*')
+    )
+    snapshot = cdc_upsert_parquet_tombstones(stream, str(tmp_path / 'target'))
+    rows = spark.read.parquet(snapshot).collect()
+    by_key = {(r.user_id, r.event_type): r for r in rows}
+    # tombstone retained in the snapshot...
+    assert by_key[(1, 'click')].op == 'D'
+    assert by_key[(1, 'click')].event_id == 30  # the delete, not the replay
+    # ...and the live view hides the deleted key but keeps the other
+    live = [r for r in rows if r.op == 'U']
+    assert {(r.user_id, r.event_type) for r in live} == {(2, 'view')}
