@@ -1583,3 +1583,116 @@ def profile_lineitem_columns(spark, sf_dir):
         (F.count(F.lit(1)) - F.count('v')).alias('n_nulls'),
         F.countDistinct('v').alias('n_distinct'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint report (the Deequ/Great-Expectations pattern run
+# IN-ENGINE): completeness, uniqueness, domain and range checks computed in
+# ONE aggregate pass over the fact table, plus one anti-join for
+# referential integrity — each constraint emits (name, violation metric,
+# passed). At 100 TB the column checks stay a single scan (all metrics in
+# one agg, unpivoted after), and the RI check is a broadcast/shuffle
+# anti-join on the key — the report costs barely more than reading the
+# table once.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'quality_constraint_report',
+    oracle="""
+    WITH col_checks AS (
+        SELECT CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS null_orderkey,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+               CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_returnflag
+        FROM lineitem
+    ),
+    uniq AS (
+        SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS dup_orderkeys
+        FROM orders
+    ),
+    orphans AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lineitems
+        FROM lineitem l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+        )
+    )
+    SELECT 'orderkey_complete' AS constraint_name,
+           null_orderkey AS violations, null_orderkey = 0 AS passed
+    FROM col_checks
+    UNION ALL
+    SELECT 'quantity_in_1_50', qty_out_of_range, qty_out_of_range = 0
+    FROM col_checks
+    UNION ALL
+    SELECT 'returnflag_domain', bad_returnflag, bad_returnflag = 0
+    FROM col_checks
+    UNION ALL
+    SELECT 'orderkey_unique', dup_orderkeys, dup_orderkeys = 0 FROM uniq
+    UNION ALL
+    SELECT 'lineitem_ri_orders', orphan_lineitems, orphan_lineitems = 0
+    FROM orphans
+    """,
+)
+def quality_constraint_report(spark, sf_dir):
+    """Five-constraint validation report: one aggregate pass for the
+    column checks, one anti-join for referential integrity (module note)."""
+    li = table(spark, sf_dir, 'lineitem')
+    orders = table(spark, sf_dir, 'orders')
+    col_checks = li.agg(
+        (F.count(F.lit(1)) - F.count('l_orderkey')).alias('null_orderkey'),
+        F.sum(
+            F.when((F.col('l_quantity') < 1) | (F.col('l_quantity') > 50), 1)
+            .otherwise(0)
+        ).cast('bigint').alias('qty_out_of_range'),
+        F.sum(
+            F.when(~F.col('l_returnflag').isin('A', 'N', 'R'), 1).otherwise(0)
+        ).cast('bigint').alias('bad_returnflag'),
+    )
+    uniq = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct('o_orderkey')).alias('dup_orderkeys')
+    )
+    orphans = (
+        li.join(orders, F.col('o_orderkey') == F.col('l_orderkey'), 'left_anti')
+        .agg(F.count(F.lit(1)).alias('orphan_lineitems'))
+    )
+
+    # the three column checks fan out of ONE 1-row aggregate via explode —
+    # referencing col_checks three times would re-plan (and re-scan) the
+    # lineitem aggregate per reference
+    col_rows = col_checks.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit('orderkey_complete').alias('constraint_name'),
+                    F.col('null_orderkey').alias('violations'),
+                ),
+                F.struct(
+                    F.lit('quantity_in_1_50').alias('constraint_name'),
+                    F.col('qty_out_of_range').alias('violations'),
+                ),
+                F.struct(
+                    F.lit('returnflag_domain').alias('constraint_name'),
+                    F.col('bad_returnflag').alias('violations'),
+                ),
+            )
+        ).alias('c')
+    ).select('c.constraint_name', 'c.violations')
+
+    def row(src, name, col):
+        return src.select(
+            F.lit(name).alias('constraint_name'),
+            F.col(col).alias('violations'),
+        )
+
+    return (
+        col_rows.unionByName(row(uniq, 'orderkey_unique', 'dup_orderkeys'))
+        .unionByName(row(orphans, 'lineitem_ri_orders', 'orphan_lineitems'))
+        .select(
+            'constraint_name',
+            'violations',
+            (F.col('violations') == 0).alias('passed'),
+        )
+    )
