@@ -71,8 +71,10 @@ _MODULES = (
 # minhash/gram family; the CDC upsert sink got a new scratch-dir scheme; the
 # positional slice gained the non-numeric bucket path); then four
 # below-window queries with stale driver signal after round-3's shared
-# refactors (canonical grams, tables.py cache; events_asof_join yields its
-# slot — its cogroup as-of twin holds window position 3); then the SURVEY-§2.1
+# refactors (canonical grams, tables.py cache; events_asof_join and
+# approx_count_distinct_hll yield their slots — the cogroup as-of twin
+# holds window position 3 and the r3-green sketch_merge_hll exercises the
+# same HLL machinery); then the SURVEY-§2.1
 # graph-algebra representative (the param-sweep compile path) — the remaining r3-green-and-unchanged graph entries yield
 # their slots to never-driver-seen operators this round (the FULL graph
 # family stays continuously verified by the local gate + differential
@@ -87,7 +89,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (33)
+    # new in round 4 (34)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -121,6 +123,7 @@ _PRIORITY = (
     'events_cdc_tombstones',
     'stream_cdc_tombstones',
     'quality_constraint_report',
+    'events_udtf_longest_run',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
@@ -135,7 +138,6 @@ _PRIORITY = (
     # stale driver signal from round-3 shared-helper refactors (4)
     'dedup_simhash',
     'dedup_exact',
-    'approx_count_distinct_hll',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

@@ -1048,3 +1048,75 @@ def events_cdc_tombstones(spark, sf_dir):
             F.col('last.value').alias('value'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF with a TABLE argument (Spark 4 polymorphic table function): the
+# operator shape for per-partition sequential logic that windows cannot
+# state cleanly — here, the longest consecutive same-type run per user.
+# PARTITION BY user_id ORDER BY (ts, event_id) hands each UDTF instance
+# ONE user's ordered stream; state is O(|event types|) per instance and
+# results emit at partition end (terminate). The oracle states the same
+# semantics relationally (gaps-and-islands double row_number).
+# Scale: one shuffle on user_id — identical to the window formulation —
+# but the Python instance sees rows AS AN ORDERED STREAM, which is what
+# CEP-style logic (resets, thresholds, grammars) needs and frame-based
+# windows can't express without N self-joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_udtf_longest_run',
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                   AS grp
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, COUNT(*) AS run_len
+        FROM s GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, event_type, CAST(MAX(run_len) AS BIGINT) AS max_run
+    FROM runs GROUP BY user_id, event_type
+    """,
+)
+def events_udtf_longest_run(spark, sf_dir):
+    """Longest same-type streak per user via a TABLE-argument UDTF — see
+    the module note for when this beats a window statement."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType='user_id: bigint, event_type: string, max_run: bigint')
+    class LongestRuns:
+        def __init__(self):
+            self._user = None
+            self._prev = None
+            self._cur = 0
+            self._best: dict[str, int] = {}
+
+        def eval(self, row):
+            self._user = row['user_id']
+            t = row['event_type']
+            self._cur = self._cur + 1 if t == self._prev else 1
+            self._prev = t
+            if self._cur > self._best.get(t, 0):
+                self._best[t] = self._cur
+
+        def terminate(self):
+            for t, n in self._best.items():
+                yield self._user, t, n
+
+    spark.udtf.register('longest_runs', LongestRuns)
+    table(spark, sf_dir, 'events').createOrReplaceTempView('__events_for_udtf')
+    return spark.sql(
+        """
+        SELECT * FROM longest_runs(
+            TABLE(__events_for_udtf)
+            PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
