@@ -40,6 +40,13 @@ QUERIES = (
     'ann_pq_adc_topk',              # ADC distance ties at denser corpora
     'text_packing_two_level',       # remainder-merge cumsum at more shards
     'q11_important_parts',          # threshold compare near ties at scale
+    # round-4 additions whose constants interact with corpus size
+    'text_pmi_cooccurrence',        # df floor + lift ties at denser vocab
+    'text_vocab_coverage',          # top-V vocab cutoff ties at scale
+    'pipeline_tokenize_to_ids',     # vocab-rank ties -> id assignment
+    'events_value_histogram',       # bin-edge arithmetic at denser values
+    'events_interarrival_stats',    # gap microsecond sums at more events
+    'q17_small_quantity_revenue',   # 0.2x-avg threshold compare near ties
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')
