@@ -171,6 +171,26 @@ NOTES = {
         'quarter + return-flag predicates reach both parquet scans;',
         'nation broadcasts; top-20 is TakeOrderedAndProject',
     ],
+    'quality_constraint_report': [
+        'three column checks fan out of ONE 1-row aggregate (no re-scan',
+        'per constraint); referential integrity is a single anti-join',
+    ],
+    'dedup_incremental_exact': [
+        'hash-keyed probe join: uniform by construction, no skew; the',
+        'corpus side distincts once (bucketed fingerprint table at scale)',
+    ],
+    'ann_filtered_topk': [
+        'label predicate lands in PushedFilters (partition pruning at',
+        'scale); query side broadcasts, corpus never shuffles',
+    ],
+    'rfm_customer_segments': [
+        'one custkey shuffle; anchor date is a 1-row broadcast; the',
+        'segment rollup collapses to <=27 groups map-side',
+    ],
+    'pipeline_tokenize_to_ids': [
+        'encode pass is broadcast-map + projection — no per-token join,',
+        'no corpus explode; vocab = TakeOrderedAndProject to V rows',
+    ],
 }
 
 # Non-headline queries whose plan shape is load-bearing enough to publish.
@@ -201,6 +221,11 @@ EXTRA = (
     'text_quality_classifier',
     'pipeline_seeded_shuffle',
     'q10_returned_items',
+    'quality_constraint_report',
+    'dedup_incremental_exact',
+    'ann_filtered_topk',
+    'rfm_customer_segments',
+    'pipeline_tokenize_to_ids',
 )
 
 
