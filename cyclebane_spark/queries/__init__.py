@@ -71,6 +71,10 @@ _MODULES = (
 # minhash/gram family; the CDC upsert sink got a new scratch-dir scheme; the
 # positional slice gained the non-numeric bucket path); then four
 # below-window queries with stale driver signal after round-3's shared
+# helper edits (dedup_simhash/dedup_ngram_jaccard also changed via the
+# r4 short-text gram guard, a no-op on this corpus — every doc has >= 3
+# tokens — and both are locally exact at 3 SFs; they yield window slots
+# to never-driver-seen operators);
 # refactors (canonical grams, tables.py cache; events_asof_join and
 # approx_count_distinct_hll yield their slots — the cogroup as-of twin
 # holds window position 3 and the r3-green sketch_merge_hll exercises the
@@ -89,7 +93,7 @@ _PRIORITY = (
     'events_bitmap_distinct_users',
     'events_cogroup_asof_pandas',
     'embeddings_quantized_norm_arrow',
-    # new in round 4 (34)
+    # new in round 4 (36)
     'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
     'text_hashed_features',
@@ -124,19 +128,19 @@ _PRIORITY = (
     'stream_cdc_tombstones',
     'quality_constraint_report',
     'events_udtf_longest_run',
+    'events_cdc_asof_snapshot',
+    'events_concurrent_sessions',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
     'dedup_connected_components',
     'graph_pagerank_neardup',
     'graph_triangles_neardup',
-    'dedup_ngram_jaccard',
     'text_decontamination',
     'pipeline_clean_corpus',
     'stream_cdc_upsert',
     'graph_slice_positional',
     # stale driver signal from round-3 shared-helper refactors (4)
-    'dedup_simhash',
     'dedup_exact',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,

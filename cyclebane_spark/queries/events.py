@@ -1120,3 +1120,135 @@ def events_udtf_longest_run(spark, sf_dir):
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (AS OF) snapshot over the changelog — time travel without a
+# table format: restrict the log to ts <= T, then the same last-write-wins
+# compaction. What Delta/Iceberg VERSION AS OF does from its metadata log,
+# stated directly on the event log.
+# Scale: the AS OF predicate pushes to the parquet scan (with time-
+# partitioned logs it prunes whole partitions), then ONE combinable
+# max_by aggregate — reconstruction cost scales with the log BEFORE T,
+# not total history.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_cdc_asof_snapshot',
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    WHERE ts <= TIMESTAMP '2024-01-08 00:00:00'
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def events_cdc_asof_snapshot(spark, sf_dir):
+    """Table state AS OF 2024-01-08: pushdown time filter + LWW argmax."""
+    ev = table(spark, sf_dir, 'events')
+    cutoff = F.lit('2024-01-08 00:00:00').cast(ev.schema['ts'].dataType)
+    return (
+        ev.filter(F.col('ts') <= cutoff)
+        .groupBy('user_id', 'event_type')
+        .agg(
+            F.max_by(
+                F.struct('event_id', 'ts', 'value'),
+                F.struct('ts', 'event_id'),
+            ).alias('last')
+        )
+        .select(
+            'user_id',
+            'event_type',
+            F.col('last.event_id').alias('event_id'),
+            F.col('last.ts').alias('ts'),
+            F.col('last.value').alias('value'),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concurrent-interval counting (sweep line) — how many sessions are open
+# at once, per user stream: derive sessions (the sessionization intervals),
+# emit +1/-1 boundary events, cumulative-sum in time order. The interval-
+# overlap question answered WITHOUT an interval self-join — the self-join
+# statement is O(n^2) in overlapping intervals; the sweep is one sort.
+# Tie rule stated identically on both engines: at an identical instant,
+# starts count before ends (delta DESC), i.e. touching intervals overlap.
+# Scale: boundaries are 2 rows per session; the cumsum window is global
+# ordered — for a per-key sweep (typical: concurrency per server/tenant)
+# it partitions by that key; the global form shown here is the
+# whole-system concurrency curve whose input is already session-sized
+# (2 rows per session), thousands of times smaller than the event log.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_concurrent_sessions',
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id,
+               ts
+        FROM flagged
+    ),
+    intervals AS (
+        SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+        FROM sessions GROUP BY user_id, session_id
+    ),
+    boundaries AS (
+        SELECT s AS t, 1 AS delta, user_id, session_id FROM intervals
+        UNION ALL
+        SELECT e AS t, -1 AS delta, user_id, session_id FROM intervals
+    )
+    SELECT t, delta, user_id, session_id,
+           CAST(SUM(delta) OVER (
+               ORDER BY t, delta DESC, user_id, session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_open
+    FROM boundaries
+    """,
+)
+def events_concurrent_sessions(spark, sf_dir):
+    """Sweep-line concurrency over session intervals (module note)."""
+    ev = table(spark, sf_dir, 'events')
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag('ts').over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col('ts') > prev_ts + F.expr("INTERVAL '30' MINUTE")),
+        1,
+    ).otherwise(0)
+    intervals = (
+        ev.select('user_id', 'event_id', 'ts')
+        .withColumn('new_session', new_session)
+        .withColumn('session_id', F.sum('new_session').over(cum).cast('bigint'))
+        .groupBy('user_id', 'session_id')
+        .agg(F.min('ts').alias('s'), F.max('ts').alias('e'))
+    )
+    starts = intervals.select(
+        F.col('s').alias('t'), F.lit(1).alias('delta'), 'user_id', 'session_id'
+    )
+    ends = intervals.select(
+        F.col('e').alias('t'), F.lit(-1).alias('delta'), 'user_id', 'session_id'
+    )
+    sweep = Window.orderBy(
+        't', F.col('delta').desc(), 'user_id', 'session_id'
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return starts.unionByName(ends).select(
+        't', 'delta', 'user_id', 'session_id',
+        F.sum('delta').over(sweep).cast('bigint').alias('n_open'),
+    )
