@@ -1153,3 +1153,113 @@ def dedup_incremental_exact(spark, sf_dir):
     ).select(
         'doc_id', 'source', F.col('cf').isNotNull().alias('already_in_corpus')
     )
+
+
+# -- prefix-filtered exact set-similarity join (AllPairs / PPJoin) -----------
+
+
+@register(
+    'dedup_jaccard_prefix_filter',
+    oracle=f"""{_SQL_TOKS},
+    sh AS (
+        SELECT doc_id, unnest({_sql_shingles(3)}) AS s FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           (CAST(c AS DOUBLE) / (sa.n + sb.n - c)) AS jaccard
+    FROM co
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (CAST(c AS DOUBLE) / (sa.n + sb.n - c)) >= 0.5
+    """,
+)
+def dedup_jaccard_prefix_filter(spark, sf_dir):
+    """Exact 3-gram Jaccard >= 0.5 via prefix filtering (AllPairs/PPJoin).
+
+    Same output as ``dedup_ngram_jaccard`` — the oracle IS the brute-force
+    inverted-index join — but the candidate generation only indexes each
+    document's PREFIX under a rarest-first global token order: with
+    threshold t and set size n, any pair with J >= t must share one of the
+    first ``n - ceil(t*n) + 1`` tokens (Bayardo et al., WWW'07; Xiao et
+    al., WWW'08). A length filter (``t*|a| <= |b| <= |a|/t``) prunes the
+    rest, then surviving candidate pairs are verified exactly against the
+    full per-doc shingle arrays.
+
+    Scale: this is THE web-scale formulation. The full inverted index on a
+    near-dup corpus is quadratic in the hot posting lists (stop-shingles
+    shared by half the corpus); the prefix index keeps only each doc's
+    rarest ~(1-t) fraction, so frequent shingles — the skew — are exactly
+    the ones dropped from the index. Verification joins two fixed-width
+    per-doc arrays on the (small) deduped candidate set instead of
+    re-aggregating the token stream. Two token-stream shuffles (global df,
+    per-doc rank) + one candidate shuffle, all key-uniform.
+    """
+    docs = spread(table(spark, sf_dir, 'documents'), 'doc_id')
+    return _prefix_filter_pairs(docs, t=0.5)
+
+
+def _prefix_filter_pairs(docs, t: float):
+    """AllPairs/PPJoin candidate generation + exact verification.
+
+    ``docs`` must have (doc_id, text); returns (doc_a, doc_b, jaccard) for
+    every pair with 3-gram set Jaccard >= ``t``, doc_a < doc_b. Exact —
+    property-tested against brute force on adversarial corpora
+    (tests/test_dedup_skew.py).
+    """
+    from pyspark.sql import Window
+
+    sh = docs.select('doc_id', F.explode(_spark_shingles(3)).alias('s'))
+
+    # Global document frequency per shingle: the rarest-first total order.
+    by_s = Window.partitionBy('s')
+    by_doc = Window.partitionBy('doc_id')
+    ranked = (
+        sh.withColumn('df', F.count(F.lit(1)).over(by_s))
+        .withColumn('n', F.count(F.lit(1)).over(by_doc))
+        .withColumn(
+            'pos',
+            F.row_number().over(by_doc.orderBy(F.asc('df'), F.asc('s'))),
+        )
+    )
+    # Jaccard-t prefix: n - ceil(t*n) + 1 tokens.
+    prefix = ranked.filter(
+        F.col('pos') <= F.col('n') - F.ceil(F.lit(t) * F.col('n')) + 1
+    )
+
+    a, b = prefix.alias('a'), prefix.alias('b')
+    cand = (
+        a.join(
+            b,
+            (F.col('a.s') == F.col('b.s'))
+            & (F.col('a.doc_id') < F.col('b.doc_id'))
+            # length filter: J >= t forces t*|b| <= |a| and t*|a| <= |b|
+            & (F.lit(t) * F.col('b.n') <= F.col('a.n'))
+            & (F.lit(t) * F.col('a.n') <= F.col('b.n')),
+        )
+        .select(
+            F.col('a.doc_id').alias('doc_a'), F.col('b.doc_id').alias('doc_b')
+        )
+        .distinct()
+    )
+
+    sets = sh.groupBy('doc_id').agg(
+        F.collect_list('s').alias('arr'), F.count(F.lit(1)).alias('n')
+    )
+    sa, sb = sets.alias('sa'), sets.alias('sb')
+    inter = F.size(F.array_intersect(F.col('sa.arr'), F.col('sb.arr')))
+    verified = (
+        cand.join(sa, F.col('doc_a') == F.col('sa.doc_id'))
+        .join(sb, F.col('doc_b') == F.col('sb.doc_id'))
+        .withColumn('c', inter)
+    )
+    jac = F.col('c').cast('double') / (
+        F.col('sa.n') + F.col('sb.n') - F.col('c')
+    )
+    return verified.select(
+        'doc_a', 'doc_b', jac.alias('jaccard')
+    ).filter(F.col('jaccard') >= t)

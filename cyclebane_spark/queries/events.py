@@ -1252,3 +1252,153 @@ def events_concurrent_sessions(spark, sf_dir):
         't', 'delta', 'user_id', 'session_id',
         F.sum('delta').over(sweep).cast('bigint').alias('n_open'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Slowly-changing dimension, type 2: compress a changelog into validity
+# intervals. The event stream is the changelog of each user's tracked
+# attribute (event_type here); SCD2 keeps ONE row per distinct run of the
+# attribute with [valid_from, valid_to) and an is_current flag — the shape
+# every warehouse dimension load emits.
+# Scale: one shuffle on user_id serves both windows (change detection and
+# interval stitching run over the same partitioning+ordering, so Catalyst
+# plans a single Exchange + sort); no self-join, no per-row state. At 100 TB
+# the changelog is time-partitioned and the load is incremental — the same
+# two-window statement over (previous dim current rows UNION new changelog
+# slice), which this batch form is the oracle for.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_scd2_dimension',
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    ),
+    chg AS (
+        SELECT user_id, event_type, ts, event_id FROM c
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS attr, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM chg
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_scd2_dimension(spark, sf_dir):
+    """Type-2 SCD build from a changelog (module note above)."""
+    ev = table(spark, sf_dir, 'events')
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    chg = (
+        ev.select('user_id', 'event_type', 'ts', 'event_id')
+        .withColumn('prev', F.lag('event_type').over(w))
+        .filter(
+            F.col('prev').isNull() | (F.col('prev') != F.col('event_type'))
+        )
+    )
+    return chg.select(
+        'user_id',
+        F.col('event_type').alias('attr'),
+        F.col('ts').alias('valid_from'),
+        F.lead('ts').over(w).alias('valid_to'),
+        F.row_number().over(w).cast('bigint').alias('version'),
+        F.lead('ts').over(w).isNull().alias('is_current'),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation: diff the per-user last-write-wins state of two
+# extract windows and classify each key as added / removed / changed —
+# the anti-entropy check run between a source system and its replica (or
+# two pipeline runs) before promoting a dataset.
+# Scale: each side is ONE combinable max_by aggregate (the
+# events_cdc_asof_snapshot shape), then a single full-outer equi-join on
+# the key. No windows, no collect; unchanged keys are dropped before any
+# driver sees them. With bucketed state tables both sides co-locate and
+# the join is exchange-free.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_snapshot_diff',
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-10 00:00:00'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) = 1
+    ),
+    w2 AS (
+        SELECT user_id, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) = 1
+    )
+    SELECT COALESCE(w1.user_id, w2.user_id) AS user_id,
+           CASE WHEN w1.user_id IS NULL THEN 'added'
+                WHEN w2.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           w1.event_type AS old_type, w2.event_type AS new_type,
+           w1.value AS old_value, w2.value AS new_value
+    FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id
+    WHERE w1.user_id IS NULL OR w2.user_id IS NULL
+       OR w1.event_type <> w2.event_type OR w1.value <> w2.value
+    """,
+)
+def events_snapshot_diff(spark, sf_dir):
+    """Anti-entropy diff of two LWW snapshots (module note above)."""
+    ev = table(spark, sf_dir, 'events')
+    ts_t = ev.schema['ts'].dataType
+
+    def state(lo: str, hi: str):
+        return (
+            ev.filter(
+                (F.col('ts') >= F.lit(lo).cast(ts_t))
+                & (F.col('ts') < F.lit(hi).cast(ts_t))
+            )
+            .groupBy('user_id')
+            .agg(
+                F.max_by(
+                    F.struct('event_type', 'value'), F.struct('ts', 'event_id')
+                ).alias('last')
+            )
+            .select(
+                'user_id',
+                F.col('last.event_type').alias('event_type'),
+                F.col('last.value').alias('value'),
+            )
+        )
+
+    w1 = state('2024-01-01 00:00:00', '2024-01-10 00:00:00').alias('w1')
+    w2 = state('2024-01-10 00:00:00', '2024-01-20 00:00:00').alias('w2')
+    joined = w1.join(w2, F.col('w1.user_id') == F.col('w2.user_id'), 'full')
+    status = (
+        F.when(F.col('w1.user_id').isNull(), 'added')
+        .when(F.col('w2.user_id').isNull(), 'removed')
+        .otherwise('changed')
+    )
+    return joined.filter(
+        F.col('w1.user_id').isNull()
+        | F.col('w2.user_id').isNull()
+        | (F.col('w1.event_type') != F.col('w2.event_type'))
+        | (F.col('w1.value') != F.col('w2.value'))
+    ).select(
+        F.coalesce(F.col('w1.user_id'), F.col('w2.user_id')).alias('user_id'),
+        status.alias('status'),
+        F.col('w1.event_type').alias('old_type'),
+        F.col('w2.event_type').alias('new_type'),
+        F.col('w1.value').alias('old_value'),
+        F.col('w2.value').alias('new_value'),
+    )

@@ -160,3 +160,62 @@ def test_adaptive_threshold_boundary_is_strict(spark, organic_docs):
     # any multi-member bucket (there is at least one pair on this corpus or
     # none) — with threshold 0, ANY bucket of >=1 member trips the gate
     assert 'ga#' in plan and 'gb#' in plan
+
+
+# -- prefix-filtered exact similarity join -----------------------------------
+
+
+def _brute_force_jaccard(rows, n, t):
+    """Reference all-pairs distinct-n-gram Jaccard in plain Python."""
+    import itertools
+
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.strip().split()
+        sets[doc_id] = {
+            ' '.join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        union = len(sa | sb)
+        if union == 0:
+            continue
+        j = len(sa & sb) / union
+        if j >= t:
+            out[a, b] = j
+    return out
+
+
+@pytest.mark.parametrize('t', [0.3, 0.5, 0.8])
+def test_prefix_filter_matches_brute_force(spark, t):
+    """Candidate completeness: prefix filtering must lose NO qualifying pair.
+
+    Adversarial corpus: exact duplicates, boilerplate near-dups sharing a
+    hot shingle (the posting list the prefix index must be allowed to
+    drop), short docs, disjoint docs, and size-mismatched pairs straddling
+    the length filter.
+    """
+    from cyclebane_spark.queries.dedup import _prefix_filter_pairs
+
+    boiler = 'terms of service apply to all content on this page'
+    rows = [
+        (1, 'alpha beta gamma delta epsilon zeta'),
+        (2, 'alpha beta gamma delta epsilon zeta'),  # exact dup of 1
+        (3, 'alpha beta gamma delta epsilon eta'),  # near dup of 1
+        (4, boiler),
+        (5, boiler + ' all rights reserved'),
+        (6, boiler + ' contact us for licensing'),
+        (7, 'one two three'),  # single shingle
+        (8, 'one two three'),  # its dup
+        (9, 'totally different words everywhere here now'),
+        (10, 'alpha beta gamma'),  # subset of 1: size-mismatched pair
+        (11, boiler + ' ' + boiler),  # doubled boilerplate (same set)
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _prefix_filter_pairs(docs, t=t).collect()
+    }
+    want = _brute_force_jaccard(rows, 3, t)
+    assert got == want
