@@ -65,7 +65,7 @@ _MODULES = (
 # in iteration order (each round checks the first 50 entries), so the window
 # is rotated per round to retire unverified queries.  Round-4 rotation (per
 # VERDICT r3 "Next round #1"): positions 1-4 are the last four queries that
-# have never had a driver CORRECTNESS row in any round; next the 24 operators
+# have never had a driver CORRECTNESS row in any round; next the operators
 # ADDED in round 4; then queries whose code changed in round 4 (the
 # word_ngrams short-text guard + minhash md5 hoist flow into the whole
 # minhash/gram family; the CDC upsert sink got a new scratch-dir scheme; the
@@ -130,18 +130,24 @@ _PRIORITY = (
     'events_udtf_longest_run',
     'events_cdc_asof_snapshot',
     'events_concurrent_sessions',
-    # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path)
+    'dedup_jaccard_prefix_filter',
+    'events_scd2_dimension',
+    'events_snapshot_diff',
+    # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path).
+    # graph_pagerank_neardup, graph_triangles_neardup and dedup_exact yield
+    # their slots to the three never-seen queries above: all three were
+    # driver-green earlier (r3/r3/r1), the r4 gram-guard change is a
+    # provable no-op on this corpus (every doc has >= 3 tokens), the
+    # pagerank/triangle queries consume the same LSH candidate-pair
+    # machinery as the in-window dedup_connected_components, and all are
+    # re-proved locally exact at sf0.001/0.01/0.1 every session.
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
     'dedup_connected_components',
-    'graph_pagerank_neardup',
-    'graph_triangles_neardup',
     'text_decontamination',
     'pipeline_clean_corpus',
     'stream_cdc_upsert',
     'graph_slice_positional',
-    # stale driver signal from round-3 shared-helper refactors (4)
-    'dedup_exact',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and
