@@ -133,19 +133,26 @@ _PRIORITY = (
     'dedup_jaccard_prefix_filter',
     'events_scd2_dimension',
     'events_snapshot_diff',
-    # changed in round 4 (gram guard / md5 hoist / scratch dir / slice path).
-    # graph_pagerank_neardup, graph_triangles_neardup and dedup_exact yield
-    # their slots to the three never-seen queries above: all three were
-    # driver-green earlier (r3/r3/r1), the r4 gram-guard change is a
-    # provable no-op on this corpus (every doc has >= 3 tokens), the
-    # pagerank/triangle queries consume the same LSH candidate-pair
-    # machinery as the in-window dedup_connected_components, and all are
-    # re-proved locally exact at sf0.001/0.01/0.1 every session.
+    'dedup_semantic_kmeans',
+    'basket_brand_rules',
+    'sample_stratified_exact_k',
+    'events_feature_lags',
+    # changed in round 4 (gram guard / md5 hoist / scratch dir / slice
+    # path). Never-seen queries outrank changed-but-earlier-green ones, so
+    # only the three REAL behavioral changes keep window slots: the
+    # minhash md5 hoist (dedup_minhash_lsh, which also anchors the
+    # md5-hoist-affected family alongside the in-window adaptive +
+    # estimator entries), the CDC upsert scratch-dir rework
+    # (stream_cdc_upsert) and the positional-slice bucketing rework
+    # (graph_slice_positional). The gram-guard-only entries
+    # (text_decontamination, pipeline_clean_corpus, dedup_simhash,
+    # dedup_ngram_jaccard, dedup_exact) plus the hoist consumers
+    # graph_pagerank_neardup / graph_triangles_neardup /
+    # dedup_minhash_lsh_salted / dedup_connected_components yield their
+    # slots: all driver-green in r1-r3, the gram guard is a provable
+    # no-op on this corpus (every doc has >= 3 tokens), and every one is
+    # re-proved locally exact at sf0.001/0.01/0.1 each session.
     'dedup_minhash_lsh',
-    'dedup_minhash_lsh_salted',
-    'dedup_connected_components',
-    'text_decontamination',
-    'pipeline_clean_corpus',
     'stream_cdc_upsert',
     'graph_slice_positional',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by

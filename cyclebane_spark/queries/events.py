@@ -1402,3 +1402,70 @@ def events_snapshot_diff(spark, sf_dir):
         F.col('w1.value').alias('old_value'),
         F.col('w2.value').alias('new_value'),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML feature engineering on a time series: per-user daily rollup with lag
+# and rolling-window features — the standard offline feature-store shape
+# (one row per (entity, day) with trailing aggregates the model trains on).
+# Daily sums accumulate in DECIMAL (order-independent, so shuffle order
+# can't flip a bit); the rolling sum stays decimal inside the frame and
+# casts to double only at the end; lag copies the exact value. Frames are
+# ROWS-based ("previous 2 OBSERVED days"), stated identically both sides.
+# Scale: ONE shuffle on user_id serves the daily aggregate, the lag and
+# the rolling frame (the window reuses the aggregate's partitioning);
+# frames are O(1) per row. This is the per-key sequential-feature pass
+# every training pipeline runs over an event log.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_feature_lags',
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               SUM(CAST(value AS DECIMAL(28,6))) AS dv,
+               COUNT(*) AS n_events
+        FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT user_id, day,
+           CAST(dv AS DOUBLE) AS day_value,
+           n_events,
+           CAST(lag(dv) OVER (
+               PARTITION BY user_id ORDER BY day
+           ) AS DOUBLE) AS prev_value,
+           CAST(SUM(dv) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE)
+           / COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS rolling3
+    FROM daily
+    """,
+)
+def events_feature_lags(spark, sf_dir):
+    """Per-user daily lag/rolling feature table (module note above)."""
+    ev = table(spark, sf_dir, 'events')
+    tt = ev.schema['ts'].dataType
+    daily = (
+        ev.groupBy('user_id', F.date_trunc('day', 'ts').cast(tt).alias('day'))
+        .agg(
+            F.sum(F.col('value').cast('decimal(28,6)')).alias('dv'),
+            F.count(F.lit(1)).alias('n_events'),
+        )
+    )
+    w = Window.partitionBy('user_id').orderBy('day')
+    frame = w.rowsBetween(-2, 0)
+    return daily.select(
+        'user_id',
+        'day',
+        F.col('dv').cast('double').alias('day_value'),
+        'n_events',
+        F.lag('dv').over(w).cast('double').alias('prev_value'),
+        (
+            F.sum('dv').over(frame).cast('double')
+            / F.count(F.lit(1)).over(frame)
+        ).alias('rolling3'),
+    )

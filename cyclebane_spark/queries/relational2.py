@@ -8,6 +8,7 @@ Scale notes inline; everything stays in whole-stage codegen (no Python).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from ..tables import table
 from . import register
@@ -556,4 +557,40 @@ def sample_fixed_k(spark, sf_dir):
         docs.select('doc_id', h.alias('h'))
         .orderBy('h', 'doc_id')
         .limit(100)
+    )
+
+
+@register(
+    'sample_stratified_exact_k',
+    oracle="""
+    SELECT doc_id, lang, h, rk FROM (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= 40
+    """,
+)
+def sample_stratified_exact_k(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sample: 40 documents per
+    language, chosen by content-derived md5 order — the per-group
+    reservoir answer (eval/val splits want EXACT per-language counts,
+    which rate-based sampling can't promise on skewed strata).
+
+    Scale: one shuffle keyed on the stratum; each window partition ranks
+    only its own language's rows — no global sort, no driver. Skewed
+    strata cost their own partition only; with a two-level rank (the
+    positional-slice shape) even a single giant stratum splits. Unlike
+    ``sample_fixed_k`` (global TakeOrderedAndProject), the per-stratum
+    guarantee needs the groupwise rank.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    h = F.md5(F.col('doc_id').cast('string'))
+    w = Window.partitionBy('lang').orderBy('h', 'doc_id')
+    return (
+        docs.select('doc_id', 'lang', h.alias('h'))
+        .withColumn('rk', F.row_number().over(w).cast('long'))
+        .filter(F.col('rk') <= 40)
     )

@@ -1696,3 +1696,98 @@ def quality_constraint_report(spark, sf_dir):
             (F.col('violations') == 0).alias('passed'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (A-Priori pass 1+2) over the order
+# baskets: which part brands are co-purchased more often than chance.
+# Baskets = distinct (order, brand); pair support from a self-join on the
+# order key — fan-out is bounded by the basket size (a TPC-H order has at
+# most 7 lineitems, so at most 7 brands), which is what keeps pair-gen
+# linear in the fact table, not quadratic. Confidence and lift derive
+# from integer counts with a fixed IEEE op sequence, so both engines
+# produce bit-identical doubles.
+# Scale: one shuffle to distinct the baskets (combinable), one bounded
+# self-join keyed on the order, combinable pair counts; the 25-row brand
+# singles and the 1-row basket total broadcast back into the rule join.
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 50
+
+
+@register(
+    'basket_brand_rules',
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT ok) AS n FROM baskets),
+    singles AS (SELECT b, COUNT(*) AS s FROM baskets GROUP BY b),
+    pairs AS (
+        SELECT a.b AS ba, c.b AS bb, COUNT(*) AS c
+        FROM baskets a JOIN baskets c ON a.ok = c.ok AND a.b < c.b
+        GROUP BY a.b, c.b
+        HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    ),
+    directed AS (
+        SELECT ba AS antecedent, bb AS consequent, c FROM pairs
+        UNION ALL
+        SELECT bb AS antecedent, ba AS consequent, c FROM pairs
+    )
+    SELECT d.antecedent, d.consequent, d.c AS support_cnt,
+           CAST(d.c AS DOUBLE) / sa.s AS confidence,
+           (CAST(d.c AS DOUBLE) * tot.n)
+               / (CAST(sa.s AS DOUBLE) * sb.s) AS lift
+    FROM directed d
+    JOIN singles sa ON sa.b = d.antecedent
+    JOIN singles sb ON sb.b = d.consequent
+    CROSS JOIN tot
+    """,
+)
+def basket_brand_rules(spark, sf_dir):
+    """Brand co-purchase association rules (module note above)."""
+    li = table(spark, sf_dir, 'lineitem')
+    part = table(spark, sf_dir, 'part')
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col('l_orderkey').alias('ok'), F.col('p_brand').alias('b'))
+        .distinct()
+    )
+    tot = baskets.agg(F.countDistinct('ok').alias('n'))
+    singles = baskets.groupBy('b').agg(F.count(F.lit(1)).alias('s'))
+    a, c = baskets.alias('a'), baskets.alias('c')
+    pairs = (
+        a.join(
+            c, (F.col('a.ok') == F.col('c.ok')) & (F.col('a.b') < F.col('c.b'))
+        )
+        .groupBy(F.col('a.b').alias('ba'), F.col('c.b').alias('bb'))
+        .agg(F.count(F.lit(1)).alias('c'))
+        .filter(F.col('c') >= BASKET_MIN_SUPPORT)
+    )
+    directed = pairs.select(
+        F.col('ba').alias('antecedent'), F.col('bb').alias('consequent'), 'c'
+    ).unionByName(
+        pairs.select(
+            F.col('bb').alias('antecedent'),
+            F.col('ba').alias('consequent'),
+            'c',
+        )
+    )
+    sa = singles.select(F.col('b').alias('antecedent'), F.col('s').alias('sa'))
+    sb = singles.select(F.col('b').alias('consequent'), F.col('s').alias('sb'))
+    return (
+        directed.join(F.broadcast(sa), 'antecedent')
+        .join(F.broadcast(sb), 'consequent')
+        .crossJoin(F.broadcast(tot))
+        .select(
+            'antecedent',
+            'consequent',
+            F.col('c').alias('support_cnt'),
+            (F.col('c').cast('double') / F.col('sa')).alias('confidence'),
+            (
+                (F.col('c').cast('double') * F.col('n'))
+                / (F.col('sa').cast('double') * F.col('sb'))
+            ).alias('lift'),
+        )
+    )

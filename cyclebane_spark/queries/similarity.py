@@ -1084,3 +1084,81 @@ def ann_filtered_topk(spark, sf_dir):
         .alias('c')
     )
     return _ranked(F.broadcast(q).crossJoin(c), 'query_id')
+
+
+# ---------------------------------------------------------------------------
+# SemDedup (Abbas et al., 2023): semantic deduplication of an embedding
+# corpus — k-means-cluster first, then drop near-duplicates WITHIN each
+# cluster only. Clustering is what makes semantic dedup tractable: the
+# pairwise test runs inside cells, so the quadratic is bounded by the cell
+# size, and K grows with the corpus to hold |cell| constant (the published
+# recipe: K ~ sqrt(N) keeps cells O(sqrt N)). Reuses the trained integer
+# quantizer from the IVF family, so distances are bit-exact across engines
+# (dist2 on unit-norm vectors is monotone in cosine: dist2 ~ 2*SCALE^2 *
+# (1 - cos), so the integer threshold below IS a cosine >= 0.35 gate).
+# Keep rule: a vector is dropped iff some SMALLER vec_id in its cell is
+# within the threshold — deterministic, no ordering ambiguity.
+# Scale: one corpus shuffle to cells, per-cell bounded pair-gen, component
+# join only on surviving candidate pairs, one anti-join-shaped flag merge.
+# ---------------------------------------------------------------------------
+
+# integer dist2 threshold == cosine >= 0.35 on unit-norm inputs
+SEM_T = (2 * KM_SCALE * KM_SCALE * 65) // 100
+
+
+@register(
+    'dedup_semantic_kmeans',
+    oracle=f"""{_sql_kmeans_ctes()},
+    cellpairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM af a JOIN af b ON a.cl = b.cl AND a.vec_id < b.vec_id
+    ),
+    pd AS (
+        SELECT p.va, p.vb,
+               SUM((ea.q - eb.q) * (ea.q - eb.q)) AS dist2
+        FROM cellpairs p
+        JOIN e ea ON ea.vec_id = p.va
+        JOIN e eb ON eb.vec_id = p.vb AND eb.pos = ea.pos
+        GROUP BY p.va, p.vb
+    ),
+    dups AS (SELECT DISTINCT vb AS vec_id FROM pd WHERE dist2 <= {SEM_T})
+    SELECT af.vec_id, CAST(af.cl AS BIGINT) AS cl,
+           (d.vec_id IS NULL) AS kept
+    FROM af LEFT JOIN dups d ON af.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic_kmeans(spark, sf_dir):
+    """SemDedup: per-cluster semantic near-dup removal (module note above)."""
+    e, _cent, final_assigned, _assign = _kmeans_train(spark, sf_dir)
+    mem = final_assigned.select('vec_id', 'cl')
+
+    a, b = mem.alias('ma'), mem.alias('mb')
+    cellpairs = a.join(
+        b,
+        (F.col('ma.cl') == F.col('mb.cl'))
+        & (F.col('ma.vec_id') < F.col('mb.vec_id')),
+    ).select(F.col('ma.vec_id').alias('va'), F.col('mb.vec_id').alias('vb'))
+
+    ea = e.select(F.col('vec_id').alias('va'), 'pos', F.col('q').alias('qa'))
+    eb = e.select(F.col('vec_id').alias('vb'), 'pos', F.col('q').alias('qb'))
+    pd = (
+        cellpairs.join(ea, 'va')
+        .join(eb, ['vb', 'pos'])
+        .groupBy('va', 'vb')
+        .agg(
+            F.sum(
+                (F.col('qa') - F.col('qb')) * (F.col('qa') - F.col('qb'))
+            ).alias('dist2')
+        )
+    )
+    dups = (
+        pd.filter(F.col('dist2') <= SEM_T)
+        .select(F.col('vb').alias('vec_id'))
+        .distinct()
+        .withColumn('dup', F.lit(True))
+    )
+    return mem.join(dups, 'vec_id', 'left').select(
+        'vec_id',
+        F.col('cl').cast('bigint').alias('cl'),
+        F.col('dup').isNull().alias('kept'),
+    )

@@ -117,3 +117,72 @@ def test_vocab_coverage_oov_consistency(spark):
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
         assert math.isclose(r.oov_pct, r.n_oov * 100.0 / r.n_tokens, rel_tol=0)
+
+
+def test_semantic_dedup_matches_numpy_brute_force(spark):
+    """Recompute the within-cluster quantized distances in numpy (an
+    engine-independent twin) and verify every kept/dropped flag: a vector
+    is dropped iff some SMALLER vec_id in ITS cluster is within SEM_T."""
+    import numpy as np
+    import pandas as pd
+
+    from cyclebane_spark.queries.similarity import KM_SCALE, SEM_T
+
+    out = queries()['dedup_semantic_kmeans'](spark, SF_DIR).collect()
+    emb = pd.read_parquet(f'{SF_DIR}/embeddings.parquet')
+    q = {
+        int(r.vec_id): np.round(np.asarray(r.embedding, float) * KM_SCALE)
+        for r in emb.itertuples(index=False)
+    }
+    by_cl = {}
+    for r in out:
+        by_cl.setdefault(r.cl, []).append(r)
+    assert sum(len(v) for v in by_cl.values()) == 495
+    for members in by_cl.values():
+        members.sort(key=lambda r: r.vec_id)
+        for i, r in enumerate(members):
+            near_smaller = any(
+                np.sum((q[r.vec_id] - q[m.vec_id]) ** 2) <= SEM_T
+                for m in members[:i]
+            )
+            assert r.kept == (not near_smaller), r
+
+
+def test_basket_rules_mirrored_and_bounded(spark):
+    rows = queries()['basket_brand_rules'](spark, '/root/testdata/sf0.01').collect()
+    assert rows, 'no rules above min support'
+    seen = {(r.antecedent, r.consequent): r for r in rows}
+    for (a, c), r in seen.items():
+        assert a != c
+        assert r.support_cnt >= 50
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+        mirror = seen[(c, a)]  # every rule ships with its reverse
+        assert mirror.support_cnt == r.support_cnt
+        assert mirror.lift == r.lift  # lift is direction-symmetric
+
+
+def test_stratified_sample_exact_k_per_language(spark):
+    rows = queries()['sample_stratified_exact_k'](spark, SF_DIR).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.rk)
+    for lang, rks in per_lang.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), lang
+        assert len(rks) <= 40
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_feature_lags_frame_semantics(spark):
+    rows = queries()['events_feature_lags'](spark, SF_DIR).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    total_events = sum(r.n_events for r in rows)
+    assert total_events == spark.read.parquet(f'{SF_DIR}/events.parquet').count()
+    for days in by_user.values():
+        days.sort(key=lambda r: r.day)
+        assert days[0].prev_value is None
+        assert days[0].rolling3 == days[0].day_value
+        for prev, cur in zip(days, days[1:]):
+            assert cur.prev_value == prev.day_value

@@ -47,6 +47,8 @@ QUERIES = (
     'events_value_histogram',       # bin-edge arithmetic at denser values
     'events_interarrival_stats',    # gap microsecond sums at more events
     'q17_small_quantity_revenue',   # 0.2x-avg threshold compare near ties
+    'events_feature_lags',          # decimal rolling frames at denser days
+    'dedup_semantic_kmeans',        # quantized cell distances at denser cells
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

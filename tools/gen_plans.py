@@ -191,6 +191,27 @@ NOTES = {
         'encode pass is broadcast-map + projection — no per-token join,',
         'no corpus explode; vocab = TakeOrderedAndProject to V rows',
     ],
+    'dedup_jaccard_prefix_filter': [
+        'only the rarest-first PREFIX of each doc is indexed — the hot',
+        'stop-shingle posting lists (the skew) never enter the pair join;',
+        'verification joins fixed-width per-doc arrays on candidates only',
+    ],
+    'events_scd2_dimension': [
+        'change-detect lag and interval-stitch lead/row_number share ONE',
+        'user_id Exchange + Sort (Catalyst reuses the window partitioning)',
+    ],
+    'dedup_semantic_kmeans': [
+        'pair-gen is an equi-join on the cell id — quadratic bounded by',
+        'cell size (K scales with N); component join only on in-cell pairs',
+    ],
+    'basket_brand_rules': [
+        'self-join keyed on the order: fan-out capped by basket size;',
+        'pair counts partial-agg; singles + total broadcast into the rules',
+    ],
+    'events_feature_lags': [
+        'daily aggregate, lag and rolling frame all ride ONE user_id',
+        'Exchange; frames are ROWS-bounded O(1) per row',
+    ],
 }
 
 # Non-headline queries whose plan shape is load-bearing enough to publish.
@@ -226,6 +247,11 @@ EXTRA = (
     'ann_filtered_topk',
     'rfm_customer_segments',
     'pipeline_tokenize_to_ids',
+    'dedup_jaccard_prefix_filter',
+    'events_scd2_dimension',
+    'dedup_semantic_kmeans',
+    'basket_brand_rules',
+    'events_feature_lags',
 )
 
 
