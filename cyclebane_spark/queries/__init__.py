@@ -137,22 +137,22 @@ _PRIORITY = (
     'basket_brand_rules',
     'sample_stratified_exact_k',
     'events_feature_lags',
+    'text_bpe_train_iterative',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice
     # path). Never-seen queries outrank changed-but-earlier-green ones, so
-    # only the three REAL behavioral changes keep window slots: the
-    # minhash md5 hoist (dedup_minhash_lsh, which also anchors the
-    # md5-hoist-affected family alongside the in-window adaptive +
-    # estimator entries), the CDC upsert scratch-dir rework
-    # (stream_cdc_upsert) and the positional-slice bucketing rework
-    # (graph_slice_positional). The gram-guard-only entries
+    # only two REAL behavioral changes keep window slots: the CDC upsert
+    # scratch-dir rework (stream_cdc_upsert) and the positional-slice
+    # bucketing rework (graph_slice_positional). The md5-hoist family
+    # (dedup_minhash_lsh, salted, connected_components, pagerank,
+    # triangles) is anchored in-window by dedup_minhash_lsh_adaptive and
+    # dedup_minhash_estimator, which consume the same reworked
+    # _minhash_sig_expr; the gram-guard-only entries
     # (text_decontamination, pipeline_clean_corpus, dedup_simhash,
-    # dedup_ngram_jaccard, dedup_exact) plus the hoist consumers
-    # graph_pagerank_neardup / graph_triangles_neardup /
-    # dedup_minhash_lsh_salted / dedup_connected_components yield their
-    # slots: all driver-green in r1-r3, the gram guard is a provable
-    # no-op on this corpus (every doc has >= 3 tokens), and every one is
-    # re-proved locally exact at sf0.001/0.01/0.1 each session.
-    'dedup_minhash_lsh',
+    # dedup_ngram_jaccard, dedup_exact) yield their slots too: all
+    # driver-green in r1-r3, the gram guard is a provable no-op on this
+    # corpus (every doc has >= 3 tokens), and every displaced query is
+    # re-proved locally exact at sf0.001/0.01/0.1 each session, with
+    # dedup_minhash_lsh additionally re-run by every BENCH.
     'stream_cdc_upsert',
     'graph_slice_positional',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by

@@ -2097,3 +2097,150 @@ def text_bpe_merge_candidates(spark, sf_dir):
         .orderBy(F.col('n').desc(), 'pair')
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE trainer: three full greedy merge rounds, not just the
+# candidate count. Each round (a) counts weighted adjacent-symbol pairs
+# over the COLLAPSED vocabulary, (b) picks the argmax pair (ties broken
+# lexicographically), (c) applies the merge to every vocabulary word and
+# recounts. Words are separator-joined symbol strings ('·a·b·c·'), so
+# applying a merge is ONE non-overlapping left-to-right string replace —
+# Spark's replace(), DuckDB's replace() and Python's str.replace all scan
+# left-to-right and resume AFTER the inserted text, so greedy-merge
+# semantics ('aaa' + merge(a,a) -> [aa, a]) are identical by construction.
+# Scale: the corpus is scanned ONCE (token counts); every merge round
+# touches |V| rows — pair explode, 1-row argmax broadcast, projection.
+# Real tokenizer training runs thousands of rounds over exactly this
+# shape; 3 unrolled rounds keep the gate plan finite while exercising the
+# recount-after-merge dependency that the single-step candidate query
+# cannot.
+# ---------------------------------------------------------------------------
+
+BPE_SEP = '·'  # absent from the corpus (lowercase ASCII + spaces)
+
+
+def _bpe_sql_round(i: int) -> str:
+    prev = f'v{i - 1}'
+    return f"""p{i} AS (
+        SELECT s[i] AS lhs, s[i + 1] AS rhs, c
+        FROM (SELECT string_split(trim(w, '{BPE_SEP}'), '{BPE_SEP}') AS s, c
+              FROM {prev}),
+             LATERAL unnest(generate_series(1, len(s) - 1)) AS t(i)
+        WHERE len(s) >= 2
+    ),
+    m{i} AS (
+        SELECT lhs, rhs, CAST(SUM(c) AS BIGINT) AS n
+        FROM p{i} GROUP BY lhs, rhs ORDER BY n DESC, lhs, rhs LIMIT 1
+    ),
+    v{i} AS (
+        SELECT replace(w, '{BPE_SEP}' || m{i}.lhs || '{BPE_SEP}' || m{i}.rhs
+                          || '{BPE_SEP}',
+                       '{BPE_SEP}' || m{i}.lhs || m{i}.rhs || '{BPE_SEP}') AS w,
+               c
+        FROM v{i - 1} CROSS JOIN m{i}
+    )"""
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    parts = [
+        rf"""tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    v0 AS (
+        SELECT '{BPE_SEP}' || regexp_replace(tok, '(.)', '\1{BPE_SEP}', 'g')
+                   AS w,
+               c
+        FROM tf
+    )"""
+    ]
+    parts.extend(_bpe_sql_round(i) for i in range(1, rounds + 1))
+    selects = ' UNION ALL '.join(
+        f'SELECT {i} AS step, lhs, rhs, n FROM m{i}'
+        for i in range(1, rounds + 1)
+    )
+    return 'WITH ' + ',\n    '.join(parts) + '\n    ' + selects
+
+
+BPE_ROUNDS = 3
+
+
+@register('text_bpe_train_iterative', oracle=_bpe_train_oracle(BPE_ROUNDS))
+def text_bpe_train_iterative(spark, sf_dir):
+    """Three greedy BPE merge rounds over the collapsed vocabulary
+    (module note above). Returns one row per round: (step, lhs, rhs, n)."""
+    docs = table(spark, sf_dir, 'documents')
+    tf = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok')
+        )
+        .groupBy('tok')
+        .agg(F.count(F.lit(1)).alias('c'))
+    )
+    v = tf.select(
+        F.concat(
+            F.lit(BPE_SEP),
+            F.regexp_replace('tok', '(.)', '$1' + BPE_SEP),
+        ).alias('w'),
+        'c',
+    )
+    # The vocabulary is re-derived by every round's pair count AND the
+    # merge projection; persist the collapsed table once (it is |V|-sized,
+    # tiny next to the corpus scan that produced it).
+    v = v.persist()
+
+    merges = []
+    for step in range(1, BPE_ROUNDS + 1):
+        # project the symbol array ONCE — interpreted HOF lambdas get no
+        # common-subexpression elimination, so inlining the split into the
+        # transform would re-split per element (the minhash md5 lesson)
+        pairs = (
+            v.select(
+                F.split(
+                    F.expr(f"trim(BOTH '{BPE_SEP}' FROM w)"), BPE_SEP, -1
+                ).alias('s'),
+                'c',
+            )
+            .filter(F.size('s') >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        'transform(sequence(0, size(s) - 2), '
+                        'i -> struct(s[i] AS lhs, s[i + 1] AS rhs))'
+                    )
+                ).alias('p'),
+                'c',
+            )
+            .select('p.lhs', 'p.rhs', 'c')
+        )
+        m = (
+            pairs.groupBy('lhs', 'rhs')
+            .agg(F.sum('c').cast('bigint').alias('n'))
+            .orderBy(F.col('n').desc(), 'lhs', 'rhs')
+            .limit(1)
+        )
+        merges.append(m.select(F.lit(step).alias('step'), 'lhs', 'rhs', 'n'))
+        nxt = v.crossJoin(F.broadcast(m.select('lhs', 'rhs'))).select(
+            F.replace(
+                F.col('w'),
+                F.concat(
+                    F.lit(BPE_SEP),
+                    F.col('lhs'),
+                    F.lit(BPE_SEP),
+                    F.col('rhs'),
+                    F.lit(BPE_SEP),
+                ),
+                F.concat(
+                    F.lit(BPE_SEP), F.col('lhs'), F.col('rhs'), F.lit(BPE_SEP)
+                ),
+            ).alias('w'),
+            'c',
+        )
+        v = nxt.persist() if step < BPE_ROUNDS else nxt
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -186,3 +186,37 @@ def test_feature_lags_frame_semantics(spark):
         assert days[0].rolling3 == days[0].day_value
         for prev, cur in zip(days, days[1:]):
             assert cur.prev_value == prev.day_value
+
+
+def test_bpe_train_matches_pure_python(spark):
+    """Re-run the three greedy merge rounds in pure Python (collections +
+    str.replace — same left-to-right non-overlapping semantics) and
+    require identical (step, lhs, rhs, n) rows."""
+    from collections import Counter
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    tf = Counter()
+    for text in docs.text:
+        tf.update(text.strip().split())
+    vocab = {'·' + '·'.join(w) + '·': c for w, c in tf.items()}
+    # identical-word collisions impossible: keys are distinct words
+    expected = []
+    for step in (1, 2, 3):
+        pc = Counter()
+        for w, c in vocab.items():
+            s = w.strip('·').split('·')
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        (lhs, rhs), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((step, lhs, rhs, n))
+        vocab = {
+            w.replace(f'·{lhs}·{rhs}·', f'·{lhs}{rhs}·'): c
+            for w, c in vocab.items()
+        }
+    rows = queries()['text_bpe_train_iterative'](spark, SF_DIR).collect()
+    got = sorted((r.step, r.lhs, r.rhs, r.n) for r in rows)
+    assert got == expected
