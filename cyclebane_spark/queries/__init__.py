@@ -135,9 +135,11 @@ _PRIORITY = (
     'events_snapshot_diff',
     'dedup_semantic_kmeans',
     'basket_brand_rules',
-    'sample_stratified_exact_k',
     'events_feature_lags',
     'text_bpe_train_iterative',
+    'ann_rp_lsh_multiprobe',
+    'pipeline_rag_rerank',
+    'dedup_incremental_minhash',
     # changed in round 4 (gram guard / md5 hoist / scratch dir / slice
     # path). Never-seen queries outrank changed-but-earlier-green ones, so
     # only two REAL behavioral changes keep window slots: the CDC upsert
@@ -153,6 +155,11 @@ _PRIORITY = (
     # corpus (every doc has >= 3 tokens), and every displaced query is
     # re-proved locally exact at sf0.001/0.01/0.1 each session, with
     # dedup_minhash_lsh additionally re-run by every BENCH.
+    # Positions 51-53: the window overflow — one trap-free never-seen
+    # query (a plain stratum-partitioned window rank, the same shape as
+    # the r1-driver-green window_topk_per_group) and the two remaining
+    # changed entries; all three are first in line for the r5 rotation.
+    'sample_stratified_exact_k',
     'stream_cdc_upsert',
     'graph_slice_positional',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by

@@ -1263,3 +1263,50 @@ def _prefix_filter_pairs(docs, t: float):
     return verified.select(
         'doc_a', 'doc_b', jac.alias('jaccard')
     ).filter(F.col('jaccard') >= t)
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup ingest: probe each incoming document's LSH band
+# buckets against the CORPUS partition's band table — the near-duplicate
+# analogue of dedup_incremental_exact, and the join every ingestion
+# pipeline runs per batch instead of re-banding the whole corpus. In
+# production the corpus band table is maintained incrementally (append
+# the incoming bands after the probe) and bucketed on (band_id, bh), so
+# the probe is a zero-exchange join on the corpus side; the band hash is
+# md5-uniform, so no skew beyond genuine boilerplate — which the salted
+# variant's triangle decomposition already covers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'dedup_incremental_minhash',
+    oracle=_minhash_ctes()
+    + """,
+    src AS (SELECT doc_id, source FROM documents),
+    cand AS (
+        SELECT DISTINCT i.doc_id AS in_doc, c.doc_id AS corpus_doc
+        FROM bands i
+        JOIN bands c ON i.band_id = c.band_id AND i.bh = c.bh
+        JOIN src si ON si.doc_id = i.doc_id AND si.source <> 'src0'
+        JOIN src sc ON sc.doc_id = c.doc_id AND sc.source = 'src0'
+    )
+    SELECT in_doc, corpus_doc FROM cand
+    """,
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Batch-vs-corpus near-dup probe (module note above)."""
+    docs = _minhash_docs(spark, sf_dir)
+    bands = _minhash_bands(docs)
+    src = docs.select('doc_id', 'source')
+    keyed = bands.join(src, 'doc_id')
+    incoming = keyed.filter(F.col('source') != 'src0').select(
+        F.col('doc_id').alias('in_doc'), 'band_id', 'bh'
+    )
+    corpus = keyed.filter(F.col('source') == 'src0').select(
+        F.col('doc_id').alias('corpus_doc'), 'band_id', 'bh'
+    )
+    return (
+        incoming.join(corpus, ['band_id', 'bh'])
+        .select('in_doc', 'corpus_doc')
+        .distinct()
+    )

@@ -1162,3 +1162,150 @@ def dedup_semantic_kmeans(spark, sf_dir):
         F.col('cl').cast('bigint').alias('cl'),
         F.col('dup').isNull().alias('kept'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe sign-LSH: probe the query's own bucket PLUS every bucket at
+# Hamming distance 1 (flip each of the 8 bits) — the standard multiprobe
+# trade (Lv et al., VLDB'07): recall rises steeply for a 9x probe cost on
+# the QUERY side only. Corpus vectors still live in exactly ONE bucket,
+# so the probe set is disjoint and no candidate dedup is needed; the
+# corpus-side plan is IDENTICAL to the single-probe query (same bucket
+# projection, same equi-join key) — only the tiny query side fans out.
+# ---------------------------------------------------------------------------
+
+_SQL_PROBES = (
+    'list_prepend(bucket, list_transform(range(1, 9), i -> '
+    "substring(bucket, 1, i - 1) || "
+    "(CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END) || "
+    'substring(bucket, i + 1, 8)))'
+)
+
+
+@register(
+    'ann_rp_lsh_multiprobe',
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm,
+               {_SQL_BUCKET} AS bucket
+        FROM embeddings
+    ),
+    qp AS (
+        SELECT vec_id, embedding, nrm, unnest({_SQL_PROBES}) AS probe
+        FROM n WHERE vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_SQL_COS} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_SQL_COS} DESC, c.vec_id
+               ) AS rk
+        FROM qp q JOIN n c
+          ON q.probe = c.bucket AND c.vec_id >= {N_QUERIES}
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_rp_lsh_multiprobe(spark, sf_dir):
+    """Hamming-1 multiprobe over the sign-LSH buckets (module note)."""
+    emb = table(spark, sf_dir, 'embeddings')
+    bits = [
+        F.when(
+            _spark_dot(
+                F.col('embedding'), F.array(*[F.lit(w) for w in plane])
+            ) >= 0,
+            '1',
+        ).otherwise('0')
+        for plane in _PLANES
+    ]
+    n = emb.select(
+        'vec_id',
+        'embedding',
+        F.sqrt(_spark_dot(F.col('embedding'), F.col('embedding'))).alias('nrm'),
+        F.concat(*bits).alias('bucket'),
+    )
+    probes = F.expr(
+        "array_prepend(transform(sequence(1, 8), i -> "
+        "concat(substring(bucket, 1, i - 1), "
+        "if(substring(bucket, i, 1) = '1', '0', '1'), "
+        "substring(bucket, i + 1, 8))), bucket)"
+    )
+    q = (
+        n.filter(F.col('vec_id') < N_QUERIES)
+        .select('vec_id', 'embedding', 'nrm', F.explode(probes).alias('probe'))
+        .alias('q')
+    )
+    c = n.filter(F.col('vec_id') >= N_QUERIES).alias('c')
+    joined = F.broadcast(q).join(c, F.col('q.probe') == F.col('c.bucket'))
+    return _ranked(joined, 'query_id')
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval (the production RAG shape): a cheap quantized ANN
+# stage recalls top-10 candidates per query, then a full-precision exact
+# cosine RERANKS just those candidates and keeps the top 5. The precision
+# stage touches Q x 10 rows — raw vectors are fetched by equi-join on
+# vec_id (point lookups into the bucketed vector store at scale), never a
+# corpus scan. This is the retrieve-then-rerank split every vector search
+# deployment runs; the quantized stage bounds cost, the rerank stage
+# restores full-precision ordering.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'pipeline_rag_rerank',
+    oracle=f"""
+    WITH s1 AS ({_sql_kmeans_search(1)}),
+    n AS (
+        SELECT vec_id, embedding,
+               sqrt({SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings
+    )
+    SELECT query_id, neighbor_id, cosine, rk2 FROM (
+        SELECT s1.query_id, s1.neighbor_id,
+               round({SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                     / (q.nrm * c.nrm), 9) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s1.query_id
+                   ORDER BY round({SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                                  / (q.nrm * c.nrm), 9) DESC, s1.neighbor_id
+               ) AS rk2
+        FROM s1
+        JOIN n q ON q.vec_id = s1.query_id
+        JOIN n c ON c.vec_id = s1.neighbor_id
+    ) WHERE rk2 <= 5
+    """,
+)
+def pipeline_rag_rerank(spark, sf_dir):
+    """Quantized-recall + exact-precision rerank (module note above)."""
+    s1 = _kmeans_search(spark, sf_dir, 1).select('query_id', 'neighbor_id')
+    emb = table(spark, sf_dir, 'embeddings')
+    n = emb.select(
+        'vec_id',
+        'embedding',
+        F.sqrt(_spark_dot(F.col('embedding'), F.col('embedding'))).alias('nrm'),
+    )
+    q = n.select(
+        F.col('vec_id').alias('query_id'),
+        F.col('embedding').alias('qe'),
+        F.col('nrm').alias('qn'),
+    )
+    c = n.select(
+        F.col('vec_id').alias('neighbor_id'),
+        F.col('embedding').alias('ce'),
+        F.col('nrm').alias('cn'),
+    )
+    cos = F.round(
+        _spark_dot(F.col('qe'), F.col('ce')) / (F.col('qn') * F.col('cn')), 9
+    )
+    w = Window.partitionBy('query_id').orderBy(
+        F.desc('cosine'), F.asc('neighbor_id')
+    )
+    return (
+        s1.join(F.broadcast(q), 'query_id')
+        .join(c, 'neighbor_id')
+        .select('query_id', 'neighbor_id', cos.alias('cosine'))
+        .withColumn('rk2', F.row_number().over(w).cast('long'))
+        .filter(F.col('rk2') <= 5)
+    )

