@@ -1310,3 +1310,105 @@ def dedup_incremental_minhash(spark, sf_dir):
         .select('in_doc', 'corpus_doc')
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Large-star / small-star connected components — the alternating-star
+# algorithm for billion-edge graphs (Kiveris et al., "Connected Components
+# in MapReduce and Beyond", SoCC'14). Same contract (and oracle) as
+# `dedup_connected_components`; different convergence mechanics:
+#
+#   large-star(u): attach every STRICTLY LARGER neighbor of u to
+#                  m = min(N(u) + {u});
+#   small-star(u): over edges directed larger->smaller, attach u and its
+#                  smaller neighbors to m = min of that set.
+#
+# Label propagation converges in diameter(D) rounds; alternating stars
+# converge in O(log n) rounds REGARDLESS of diameter — the right choice when
+# dedup clusters chain (A~B~C~... boilerplate chains at web scale produce
+# long paths that defeat per-round min-propagation). Each round is two
+# (groupBy min + join back) stages over the current edge list; edges stay
+# deduplicated so the list shrinks toward one star per component. The
+# convergence check rides the per-round localCheckpoint as an observe()
+# metric (rounds become stable when every edge already points at its
+# component min and both stars emit the edge set unchanged) — one job per
+# half-round, no extra scan, same design as `_connected_components`.
+# ---------------------------------------------------------------------------
+
+
+def _star_round(edges, large: bool):
+    """One star contraction. ``edges`` is (s, d) — symmetric for the large
+    star, directed larger->smaller for the small star. Returns the emitted
+    (s, d) edge list, deduplicated, self-loops dropped."""
+    m = (
+        edges.groupBy('s')
+        .agg(F.least(F.col('s'), F.min('d')).alias('m'))
+        .select(F.col('s').alias('u'), 'm')
+    )
+    joined = edges.join(m, edges['s'] == F.col('u'))
+    if large:
+        out = joined.filter(F.col('d') > F.col('s')).select(
+            F.col('d').alias('s'), F.col('m').alias('d')
+        )
+    else:
+        out = joined.filter(F.col('d') != F.col('m')).select(
+            F.col('d').alias('s'), F.col('m').alias('d')
+        ).unionByName(
+            m.filter(F.col('u') != F.col('m')).select(
+                F.col('u').alias('s'), F.col('m').alias('d')
+            )
+        )
+    return out.filter(F.col('s') != F.col('d')).distinct()
+
+
+@register('dedup_cc_largestar', oracle=_cc_oracle())
+def dedup_cc_largestar(spark, sf_dir):
+    """Duplicate clusters via alternating large-star/small-star contraction
+    (module note above): every document labeled with the min doc_id of its
+    near-dup component. Identical result set to the label-propagation
+    variant `dedup_connected_components` — both run against the same
+    recursive-CTE oracle, and tests/test_dedup.py asserts the two Spark
+    implementations agree on adversarial chain/star graphs."""
+    from pyspark.sql import Observation
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col('doc_a').alias('s'), F.col('doc_b').alias('d'))
+    rev = pairs.select(F.col('doc_b').alias('s'), F.col('doc_a').alias('d'))
+    edges = fwd.union(rev).distinct().localCheckpoint()
+    prev = None
+    for _ in range(12):  # O(log n) rounds; 2^12 components is the cap here
+        # Large star consumes the symmetric list; small star consumes the
+        # larger->smaller orientation of the large star's output.
+        sym = _star_round(
+            edges.select('s', 'd')
+            .unionByName(edges.select(F.col('d').alias('s'), F.col('s').alias('d')))
+            .distinct(),
+            large=True,
+        )
+        directed = (
+            sym.select(F.greatest('s', 'd').alias('s'), F.least('s', 'd').alias('d'))
+            .distinct()
+        )
+        obs = Observation()
+        edges = (
+            _star_round(directed, large=False)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias('n'),
+                F.bit_xor(F.xxhash64('s', 'd')).alias('sig'),
+            )
+            .localCheckpoint()  # eager: materializes + collects the metric
+        )
+        cur = (obs.get['n'], obs.get['sig'])
+        if cur == prev:
+            break
+        prev = cur
+    # Converged edges are stars (member -> component min). Singletons map to
+    # themselves; min() guards the (already converged) star property.
+    nodes = table(spark, sf_dir, 'documents').select('doc_id')
+    stars = edges.groupBy('s').agg(F.min('d').alias('root'))
+    return nodes.join(
+        stars, nodes['doc_id'] == stars['s'], 'left'
+    ).select(
+        'doc_id', F.coalesce('root', 'doc_id').alias('cluster_id')
+    )

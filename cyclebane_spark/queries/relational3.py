@@ -1791,3 +1791,46 @@ def basket_brand_rules(spark, sf_dir):
             ).alias('lift'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14: promotion effect — share of one month's revenue that came from
+# promotional parts. Completes the full 22-query TPC-H shape sweep (adapted:
+# this generator's p_type is a single word, so the promo class is equality,
+# not LIKE 'PROMO%' — same plan shape, the predicate still evaluates on the
+# broadcast dim side).
+# Scale: the month predicate pushes to the lineitem scan (partition/file
+# pruning on a date-clustered layout); part is a broadcast dim; both CASE
+# arms fold into ONE partial aggregate, so the post-join exchange carries a
+# single row per task and the result is one row. The percent is one IEEE
+# divide of two decimal-exact sums — cross-engine bit-equal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'q14_promo_revenue',
+    oracle=f"""
+    SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' "
+                             'THEN l_extendedprice * (1 - l_discount) '
+                             'ELSE 0 END')}
+           / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional revenue share over a month window."""
+    li = table(spark, sf_dir, 'lineitem').filter(
+        (F.col('l_shipdate') >= F.lit('1996-03-01').cast('timestamp'))
+        & (F.col('l_shipdate') < F.lit('1996-04-01').cast('timestamp'))
+    )
+    part = table(spark, sf_dir, 'part').select('p_partkey', 'p_type')
+    rev = F.col('l_extendedprice') * (1 - F.col('l_discount'))
+    promo = F.when(F.col('p_type') == 'PROMO', rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col('l_partkey') == F.col('p_partkey'))
+        .agg(
+            (100.0 * dsum(promo) / dsum(rev)).alias('promo_revenue'),
+        )
+    )

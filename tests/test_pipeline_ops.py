@@ -220,3 +220,83 @@ def test_bpe_train_matches_pure_python(spark):
     rows = queries()['text_bpe_train_iterative'](spark, SF_DIR).collect()
     got = sorted((r.step, r.lhs, r.rhs, r.n) for r in rows)
     assert got == expected
+
+
+def test_largestar_cc_agrees_with_label_propagation_on_adversarial_graphs(spark):
+    """The alternating-star CC and the label-propagation CC must produce the
+    identical labeling on graphs chosen to stress each: a long CHAIN
+    (diameter = n-1, the label-propagation worst case the star algorithm
+    exists to kill), a STAR rooted at the max id (forces the small-star
+    re-rooting), two disjoint cliques, and isolated singletons."""
+    from cyclebane_spark.queries.dedup import (
+        _connected_components,
+        _star_round,
+    )
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
+    chain = [(i, i + 1) for i in range(20, 40)]  # one 21-node path
+    star = [(99, v) for v in range(90, 99)]  # hub has the LARGEST id
+    cliques = [(a, b) for a in range(3) for b in range(3) if a < b] + [
+        (a, b) for a in range(50, 54) for b in range(50, 54) if a < b
+    ]
+    pairs = spark.createDataFrame(
+        chain + star + cliques, ['doc_a', 'doc_b']
+    )
+    node_ids = sorted(
+        {x for p in chain + star + cliques for x in p} | {7, 8}
+    )  # 7, 8: isolated singletons
+    nodes = spark.createDataFrame([(n,) for n in node_ids], ['doc_id'])
+
+    lp = {
+        r['doc_id']: r['cluster_id']
+        for r in _connected_components(
+            pairs, nodes, 'doc_a', 'doc_b', 'doc_id'
+        ).collect()
+    }
+
+    edges = (
+        pairs.select(F.col('doc_a').alias('s'), F.col('doc_b').alias('d'))
+        .union(pairs.select(F.col('doc_b').alias('s'), F.col('doc_a').alias('d')))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(12):
+        sym = _star_round(
+            edges.select('s', 'd')
+            .unionByName(
+                edges.select(F.col('d').alias('s'), F.col('s').alias('d'))
+            )
+            .distinct(),
+            large=True,
+        )
+        directed = sym.select(
+            F.greatest('s', 'd').alias('s'), F.least('s', 'd').alias('d')
+        ).distinct()
+        obs = Observation()
+        edges = (
+            _star_round(directed, large=False)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias('n'),
+                F.bit_xor(F.xxhash64('s', 'd')).alias('sig'),
+            )
+            .localCheckpoint()
+        )
+        cur = (obs.get['n'], obs.get['sig'])
+        if cur == prev:
+            break
+        prev = cur
+    stars = edges.groupBy('s').agg(F.min('d').alias('root'))
+    ls = {
+        r['doc_id']: r['cluster_id']
+        for r in nodes.join(stars, nodes['doc_id'] == stars['s'], 'left')
+        .select('doc_id', F.coalesce('root', 'doc_id').alias('cluster_id'))
+        .collect()
+    }
+
+    assert lp == ls
+    assert ls[40] == 20 and ls[21] == 20  # chain collapses to its min
+    assert ls[99] == 90  # star re-roots at the MIN member, not the hub
+    assert ls[7] == 7 and ls[8] == 8  # singletons self-label
