@@ -162,6 +162,15 @@ _PRIORITY = (
     'sample_stratified_exact_k',
     'stream_cdc_upsert',
     'graph_slice_positional',
+    # Positions 54+: operators added late in round 4 (after the window was
+    # sized) — all oracle-exact locally at sf0.001/0.01/0.1; together with
+    # positions 51-53 they are first in line for the r5 rotation.
+    'q14_promo_revenue',
+    'dedup_cc_largestar',
+    'text_bigram_lm_score',
+    'dedup_tf_cosine_pairs',
+    'stream_static_enrich',
+    'pipeline_mv_incremental',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

@@ -1412,3 +1412,99 @@ def dedup_cc_largestar(spark, sf_dir):
     ).select(
         'doc_id', F.coalesce('root', 'doc_id').alias('cluster_id')
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse-vector cosine similarity join (inverted-index AllPairs): the
+# bag-of-words counterpart to the dense-embedding ANN family — TF vectors
+# never materialize; the dot product is assembled from the inverted index
+# (tf rows joined on the shared token), which is exactly how sparse
+# similarity is computed at scale (Elasticsearch/Lucene scoring, AllPairs/
+# PPJoin literature). Distinct from `dedup_ngram_jaccard` (set overlap —
+# weights ignored) and `dedup_embedding_cosine` (dense float vectors).
+#
+# Exactness: integer tf counts; per-pair dot and per-doc squared norms are
+# integer sums; the ranking statistic is cosine^2 = dot^2/(|a|^2*|b|^2) —
+# one IEEE divide of exactly-representable integers, monotone in cosine
+# (all dots are >= 0 here), so the top-25 set and order match bit-for-bit
+# with the doc-id tiebreak.
+#
+# Scale: the (doc_a, doc_b) partial products are map-side combinable; the
+# shuffle keys on the pair, never on a doc's full vector. The known cost of
+# EXACT AllPairs is sum(df^2) over tokens — stop-token skew lands on the
+# same salting machinery measured in SCALE.md, and thresholded production
+# workloads prune with the rarest-first prefix filter already shipped as
+# `dedup_jaccard_prefix_filter` (dropping hot terms from the INDEX changes
+# cosine, so the exact gate keeps the full index).
+# ---------------------------------------------------------------------------
+
+_COS_PAIR_K = 25
+
+
+@register(
+    'dedup_tf_cosine_pairs',
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    n2 AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1
+    ),
+    dp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dot,
+           CAST(dot * dot AS DOUBLE) / CAST(na.n2 * nb.n2 AS DOUBLE) AS cos2
+    FROM dp
+    JOIN n2 na ON doc_a = na.doc_id
+    JOIN n2 nb ON doc_b = nb.doc_id
+    ORDER BY cos2 DESC, doc_a, doc_b LIMIT {_COS_PAIR_K}
+    """,
+)
+def dedup_tf_cosine_pairs(spark, sf_dir):
+    """Top-25 most cosine-similar document pairs over TF bag-of-words
+    vectors via the inverted index (module note above)."""
+    docs = table(spark, sf_dir, 'documents')
+    tf = (
+        docs.select('doc_id', F.explode(_CF.tokens('text')).alias('tok'))
+        .groupBy('doc_id', 'tok')
+        .agg(F.count(F.lit(1)).alias('tf'))
+    )
+    n2 = tf.groupBy('doc_id').agg(
+        F.sum(F.col('tf') * F.col('tf')).cast('bigint').alias('n2')
+    )
+    a = tf.select(
+        F.col('doc_id').alias('doc_a'), 'tok', F.col('tf').alias('tfa')
+    )
+    b = tf.select(
+        F.col('doc_id').alias('doc_b'), 'tok', F.col('tf').alias('tfb')
+    )
+    dp = (
+        a.join(b, 'tok')
+        .filter(F.col('doc_a') < F.col('doc_b'))
+        .groupBy('doc_a', 'doc_b')
+        .agg(F.sum(F.col('tfa') * F.col('tfb')).cast('bigint').alias('dot'))
+    )
+    na = n2.select(F.col('doc_id').alias('doc_a'), F.col('n2').alias('na2'))
+    nb = n2.select(F.col('doc_id').alias('doc_b'), F.col('n2').alias('nb2'))
+    return (
+        dp.join(na, 'doc_a')
+        .join(nb, 'doc_b')
+        .select(
+            'doc_a',
+            'doc_b',
+            'dot',
+            (
+                (F.col('dot') * F.col('dot')).cast('double')
+                / (F.col('na2') * F.col('nb2')).cast('double')
+            ).alias('cos2'),
+        )
+        .orderBy(F.desc('cos2'), 'doc_a', 'doc_b')
+        .limit(_COS_PAIR_K)
+    )

@@ -288,3 +288,34 @@ def stream_cdc_tombstones(spark, sf_dir):
             'value',
         )
     )
+
+
+@register(
+    'stream_static_enrich',
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast star-join == the batch join + rollup.
+
+    Stateless per-batch join against broadcast dims, stateful only in the
+    25-row nation aggregate — see
+    :func:`cyclebane_spark.streaming.windows.static_enrich`.
+    """
+    from ..tables import table
+
+    from ..streaming.windows import static_enrich
+
+    return run_to_memory(
+        static_enrich(
+            events_stream(spark, sf_dir),
+            table(spark, sf_dir, 'customer'),
+            table(spark, sf_dir, 'nation'),
+        ),
+        output_mode='complete',
+    )

@@ -16,6 +16,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
+from .. import functions as _CF
 from ..tables import table
 from . import register
 
@@ -2244,3 +2245,119 @@ def text_bpe_train_iterative(spark, sf_dir):
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Statistical-LM fluency filter (the CCNet/KenLM recipe, in-engine): train a
+# bigram model over the corpus, then score every document by how predictable
+# its token sequence is under that model. Low-likelihood documents are the
+# classic junk signal (boilerplate tables, mangled encodings, word salad).
+#
+# Cross-engine exactness: the usual perplexity is exp(-mean log p) — but ln
+# is the one libm call the two engines are NOT contracted to round
+# identically, so the gate statistic is the arithmetic-mean INVERSE bigram
+# probability, in integers: per bigram, inv = ((c1 + V) * 1e6) div (c12 + 1)
+# — the reciprocal of the add-one-smoothed p(w2|w1), scaled and floored.
+# AM >= GM, so this upper-bounds true per-doc perplexity, ranks documents
+# the same way for the filtering decision, and is bit-equal everywhere
+# (integer ops + one final IEEE divide). V is the vocabulary observed in
+# bigram slots (model-derived; singleton-token docs contribute no bigrams).
+#
+# Scale: the model is two hash aggregates over the exploded bigram stream
+# (map-side combinable; |model| = bigram types, capped in production by a
+# count floor exactly like the PMI df-floor). Scoring joins the corpus
+# bigram stream against the BROADCAST model and re-aggregates per doc_id —
+# partial aggs collapse each doc map-side, so the only corpus-sized shuffle
+# keys on doc_id. No window, no sort, no Python.
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000
+_LM_KEEP_BELOW = 30_000_000  # inv-probability proxy; tuned on this corpus
+
+
+def _sql_bigrams() -> str:
+    return "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+
+
+@register(
+    'text_bigram_lm_score',
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest({_sql_bigrams()}) AS g FROM t
+    ),
+    m AS (SELECT g, COUNT(*) AS c12 FROM g GROUP BY g),
+    ctx AS (
+        SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM m GROUP BY 1
+    ),
+    v AS (
+        SELECT COUNT(*) AS vsize FROM (
+            SELECT DISTINCT split_part(g, ' ', 1) AS tok FROM m
+            UNION
+            SELECT DISTINCT split_part(g, ' ', 2) FROM m
+        )
+    )
+    SELECT gg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(((ctx.c1 + v.vsize) * {_LM_SCALE}) // (m.c12 + 1))
+                AS BIGINT) AS inv_mass,
+           CAST(SUM(((ctx.c1 + v.vsize) * {_LM_SCALE}) // (m.c12 + 1))
+                AS DOUBLE) / COUNT(*) AS ppl_proxy,
+           CAST(SUM(((ctx.c1 + v.vsize) * {_LM_SCALE}) // (m.c12 + 1))
+                AS DOUBLE) / COUNT(*) < {_LM_KEEP_BELOW} AS keep
+    FROM g gg JOIN m ON gg.g = m.g
+    JOIN ctx ON split_part(gg.g, ' ', 1) = ctx.w1
+    CROSS JOIN v
+    GROUP BY gg.doc_id
+    """,
+)
+def text_bigram_lm_score(spark, sf_dir):
+    """Bigram-LM fluency score per document (module note above)."""
+    docs = table(spark, sf_dir, 'documents')
+    grams = docs.select(
+        'doc_id', F.explode(_CF.word_ngrams('text', 2)).alias('g')
+    )
+    m = grams.groupBy('g').agg(F.count(F.lit(1)).alias('c12'))
+    w1 = F.split_part(F.col('g'), F.lit(' '), F.lit(1))
+    w2 = F.split_part(F.col('g'), F.lit(' '), F.lit(2))
+    ctx = (
+        m.groupBy(w1.alias('w1'))
+        .agg(F.sum('c12').cast('bigint').alias('c1'))
+    )
+    vocab = (
+        m.select(w1.alias('tok'))
+        .union(m.select(w2.alias('tok')))
+        .agg(F.countDistinct('tok').alias('vsize'))
+    )
+    model = (
+        m.join(ctx, w1 == ctx['w1'])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            'g',
+            F.expr(f'((c1 + vsize) * {_LM_SCALE}) div (c12 + 1)').alias('inv'),
+        )
+    )
+    return (
+        grams.join(F.broadcast(model), 'g')
+        .groupBy('doc_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_bigrams'),
+            F.sum('inv').cast('bigint').alias('inv_mass'),
+        )
+        .select(
+            'doc_id',
+            'n_bigrams',
+            'inv_mass',
+            (F.col('inv_mass').cast('double') / F.col('n_bigrams')).alias(
+                'ppl_proxy'
+            ),
+            (
+                F.col('inv_mass').cast('double') / F.col('n_bigrams')
+                < _LM_KEEP_BELOW
+            ).alias('keep'),
+        )
+    )

@@ -448,3 +448,30 @@ def cdc_upsert_parquet_tombstones(stream: DataFrame, base_dir: str) -> str:
     query.awaitTermination()
     assert state['cur'] is not None, 'stream produced no batches'
     return state['cur']
+
+
+def static_enrich(
+    stream: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Stream-static dimension enrichment + per-nation rollup.
+
+    The canonical streaming star-join: each micro-batch of the fact stream
+    joins two STATIC dims (no state — the static side is re-planned per
+    batch, and small dims broadcast so the stream never shuffles for the
+    join), then feeds a streaming aggregation. State = one row per nation.
+    At 100 TB/day the join stays map-side; only the 25-row aggregate is
+    stateful.
+    """
+    from ..queries._helpers import dsum
+
+    enriched = stream.join(
+        F.broadcast(customer.select('c_custkey', 'c_nationkey')),
+        stream['user_id'] == F.col('c_custkey'),
+    ).join(
+        F.broadcast(nation.select('n_nationkey', 'n_name')),
+        F.col('c_nationkey') == F.col('n_nationkey'),
+    )
+    return enriched.groupBy('n_name').agg(
+        F.count(F.lit(1)).alias('n_events'),
+        dsum('value').alias('total_value'),
+    )
