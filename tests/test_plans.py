@@ -506,3 +506,36 @@ def test_ann_filtered_pushes_label_predicate(spark):
     plan = plan_of(spark, 'ann_filtered_topk')
     assert 'In(label, [2,5,7])' in plan
     assert 'BroadcastNestedLoopJoin' in plan
+
+
+def test_q14_broadcasts_part_and_single_aggregate(spark):
+    plan = plan_of(spark, 'q14_promo_revenue')
+    assert 'BroadcastHashJoin' in plan
+    # month predicates reach the lineitem scan
+    assert 'GreaterThanOrEqual(l_shipdate' in plan
+    assert 'LessThan(l_shipdate' in plan
+    # global one-row aggregate: no sort anywhere
+    assert 'TakeOrdered' not in plan and raw_plan_of(
+        spark, 'q14_promo_revenue'
+    ).count('Sort') == 0
+
+
+def test_bigram_lm_scoring_joins_are_broadcast(spark):
+    """The LM model (and the 1-row vocab size) must BROADCAST into the
+    scoring pass — a sort-merge join on the gram would shuffle the whole
+    corpus bigram stream twice."""
+    raw = raw_plan_of(spark, 'text_bigram_lm_score')
+    assert 'BroadcastHashJoin' in raw
+    assert 'BroadcastNestedLoopJoin' in raw  # 1-row vocab crossJoin
+    # the corpus-side stream is never sort-merge-joined
+    assert 'SortMergeJoin' not in raw
+
+
+def test_tf_cosine_topk_is_take_ordered(spark):
+    """Top-25 pair selection must be TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort of all candidate pairs."""
+    raw = raw_plan_of(spark, 'dedup_tf_cosine_pairs')
+    assert 'TakeOrderedAndProject' in raw
+    # partial aggregation on the (doc_a, doc_b) dot products: both the
+    # partial and final HashAggregate appear
+    assert raw.count('HashAggregate') >= 4

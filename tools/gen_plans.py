@@ -215,6 +215,23 @@ NOTES = {
 }
 
 # Non-headline queries whose plan shape is load-bearing enough to publish.
+NOTES['q14_promo_revenue'] = [
+    'month predicates pushed to the lineitem scan; part dim broadcast',
+    'both CASE arms fold into ONE partial aggregate — single-row result,',
+    'zero sorts',
+]
+NOTES['text_bigram_lm_score'] = [
+    'model (gram -> inv-probability) and 1-row vocab size BROADCAST into',
+    'the scoring pass — the corpus bigram stream is never sort-merge-joined',
+    'per-doc partial aggregation collapses each doc map-side; the only',
+    'corpus-sized exchange keys on doc_id',
+]
+NOTES['dedup_tf_cosine_pairs'] = [
+    'inverted-index pair partials combine map-side (partial+final',
+    'HashAggregate on (doc_a, doc_b))',
+    'top-25 via TakeOrderedAndProject — never a global sort of all pairs',
+]
+
 EXTRA = (
     'events_funnel_3step',
     'q19_disjunctive_predicates',
@@ -252,6 +269,9 @@ EXTRA = (
     'dedup_semantic_kmeans',
     'basket_brand_rules',
     'events_feature_lags',
+    'q14_promo_revenue',
+    'text_bigram_lm_score',
+    'dedup_tf_cosine_pairs',
 )
 
 
