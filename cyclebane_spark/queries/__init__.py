@@ -171,6 +171,8 @@ _PRIORITY = (
     'dedup_tf_cosine_pairs',
     'stream_static_enrich',
     'pipeline_mv_incremental',
+    'pipeline_rrf_fusion',
+    'join_null_safe_eq',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

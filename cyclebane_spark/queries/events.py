@@ -1543,3 +1543,60 @@ def pipeline_mv_incremental(spark, sf_dir):
             F.sum('value_dec').cast('double').alias('total_value'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the missing-key
+# segment is a REAL segment — a plain equi-join silently drops every row
+# whose join key is NULL (unattributed traffic, unparsed props), which at
+# 100 TB is a silently-wrong rollup, not an error. The null-safe operator
+# keeps the NULL bucket joinable to its dim row ('unattributed') while
+# still planning as a broadcast HASH join (null-safe equality hashes the
+# key's null flag; it does NOT degrade to a nested-loop join — pinned in
+# tests/test_plans.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'join_null_safe_eq',
+    oracle=f"""
+    WITH ev AS (
+        SELECT NULLIF(CAST(json_extract(props, '$.k') AS BIGINT) % 10, 7)
+                   AS seg,
+               value
+        FROM events
+    ),
+    dim(seg, tier) AS (
+        SELECT * FROM (VALUES
+            (0, 'low'), (1, 'low'), (2, 'low'), (3, 'low'), (4, 'low'),
+            (5, 'high'), (6, 'high'), (8, 'high'), (9, 'high'),
+            (CAST(NULL AS BIGINT), 'unattributed'))
+    )
+    SELECT d.tier,
+           COUNT(*) AS n_events,
+           {sql_dsum('ev.value')} AS total_value
+    FROM ev JOIN dim d ON ev.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.tier
+    """,
+)
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe dim decode: the NULL segment joins its 'unattributed' dim
+    row instead of being dropped (module note above)."""
+    ev = table(spark, sf_dir, 'events').select(
+        F.nullif(
+            F.get_json_object('props', '$.k').cast('bigint') % 10, F.lit(7)
+        ).alias('seg'),
+        'value',
+    )
+    rows = [(s, 'low') for s in range(5)] + [
+        (s, 'high') for s in (5, 6, 8, 9)
+    ] + [(None, 'unattributed')]
+    dim = spark.createDataFrame(rows, 'seg bigint, tier string')
+    return (
+        ev.join(F.broadcast(dim), ev['seg'].eqNullSafe(dim['seg']))
+        .groupBy('tier')
+        .agg(
+            F.count(F.lit(1)).alias('n_events'),
+            dsum('value').alias('total_value'),
+        )
+    )

@@ -1309,3 +1309,163 @@ def pipeline_rag_rerank(spark, sf_dir):
         .withColumn('rk2', F.row_number().over(w).cast('long'))
         .filter(F.col('rk2') <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (Reciprocal Rank Fusion): the modern RAG retrieval
+# stack — a DENSE ranking (exact embedding cosine, the `ann_*` family) and a
+# SPARSE ranking (inverted-index TF cosine of the query document's text, the
+# `dedup_tf_cosine_pairs` machinery) fused per query with RRF:
+#     score(d) = sum over lists containing d of  1e6 div (60 + rank_list(d))
+# (Cormack et al.'s k=60), kept in INTEGERS so the fused ranking is
+# bit-identical across engines — no float accumulation anywhere.
+#
+# Scale: each list is its own already-scaled retrieval plan (queries
+# broadcast, corpus never shuffles); the fusion is a full-outer equi-join of
+# two Q x 10 result sets — driver-trivial at any corpus size — plus one
+# Q-partitioned window over <= 20 rows per query.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+_RRF_TOP = 5
+
+
+@register(
+    'pipeline_rrf_fusion',
+    oracle=f"""{_SQL_NORMED},
+    dense AS (
+        SELECT query_id, neighbor_id, rk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_SQL_COS} DESC, c.vec_id
+                   ) AS rk
+            FROM n q JOIN n c
+              ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        ) WHERE rk <= {TOP_K}
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    n2 AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1
+    ),
+    sdot AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS cand_id,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tf a JOIN tf b ON a.tok = b.tok
+        WHERE a.doc_id < {N_QUERIES} AND b.doc_id >= {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    sparse AS (
+        SELECT query_id, cand_id, rk FROM (
+            SELECT s.query_id, s.cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.query_id
+                       ORDER BY CAST(s.dot * s.dot AS DOUBLE)
+                                / CAST(na.n2 * nb.n2 AS DOUBLE) DESC,
+                                s.cand_id
+                   ) AS rk
+            FROM sdot s
+            JOIN n2 na ON s.query_id = na.doc_id
+            JOIN n2 nb ON s.cand_id = nb.doc_id
+        ) WHERE rk <= {TOP_K}
+    ),
+    fused AS (
+        SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+               COALESCE(d.neighbor_id, s.cand_id) AS doc_id,
+               CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + d.rk), 0)
+                    + COALESCE({_RRF_SCALE} // ({_RRF_K} + s.rk), 0)
+                    AS BIGINT) AS rrf_score,
+               d.rk IS NOT NULL AS in_dense,
+               s.rk IS NOT NULL AS in_sparse
+        FROM dense d
+        FULL OUTER JOIN sparse s
+          ON d.query_id = s.query_id AND d.neighbor_id = s.cand_id
+    )
+    SELECT query_id, doc_id, rrf_score, in_dense, in_sparse, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+        ) AS rk FROM fused
+    ) WHERE rk <= {_RRF_TOP}
+    """,
+)
+def pipeline_rrf_fusion(spark, sf_dir):
+    """Fuse the dense (embedding cosine) and sparse (TF cosine) top-10
+    lists per query with integer Reciprocal Rank Fusion; return the top-5
+    fused results per query (module note above)."""
+    from pyspark.sql import Window as W
+
+    dense = ann_bruteforce_topk(spark, sf_dir).select(
+        'query_id', F.col('neighbor_id').alias('doc_id'),
+        F.col('rk').alias('rk_d'),
+    )
+
+    docs = table(spark, sf_dir, 'documents')
+    tf = (
+        docs.select(
+            'doc_id',
+            F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok'),
+        )
+        .groupBy('doc_id', 'tok')
+        .agg(F.count(F.lit(1)).alias('tf'))
+    )
+    n2 = tf.groupBy('doc_id').agg(
+        F.sum(F.col('tf') * F.col('tf')).cast('bigint').alias('n2')
+    )
+    qtf = tf.filter(F.col('doc_id') < N_QUERIES).select(
+        F.col('doc_id').alias('query_id'), 'tok', F.col('tf').alias('tfa')
+    )
+    ctf = tf.filter(F.col('doc_id') >= N_QUERIES).select(
+        F.col('doc_id').alias('cand_id'), 'tok', F.col('tf').alias('tfb')
+    )
+    sdot = (
+        F.broadcast(qtf)
+        .join(ctf, 'tok')
+        .groupBy('query_id', 'cand_id')
+        .agg(F.sum(F.col('tfa') * F.col('tfb')).cast('bigint').alias('dot'))
+    )
+    na = n2.select(F.col('doc_id').alias('query_id'), F.col('n2').alias('na2'))
+    nb = n2.select(F.col('doc_id').alias('cand_id'), F.col('n2').alias('nb2'))
+    ws = W.partitionBy('query_id').orderBy(F.desc('cos2'), F.asc('cand_id'))
+    sparse = (
+        sdot.join(F.broadcast(na), 'query_id')
+        .join(nb, 'cand_id')
+        .select(
+            'query_id',
+            'cand_id',
+            (
+                (F.col('dot') * F.col('dot')).cast('double')
+                / (F.col('na2') * F.col('nb2')).cast('double')
+            ).alias('cos2'),
+        )
+        .withColumn('rk_s', F.row_number().over(ws))
+        .filter(F.col('rk_s') <= TOP_K)
+        .select('query_id', F.col('cand_id').alias('doc_id'), 'rk_s')
+    )
+
+    fused = (
+        dense.join(sparse, ['query_id', 'doc_id'], 'full_outer')
+        .select(
+            'query_id',
+            'doc_id',
+            (
+                F.coalesce(
+                    F.expr(f'{_RRF_SCALE} div ({_RRF_K} + rk_d)'), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f'{_RRF_SCALE} div ({_RRF_K} + rk_s)'), F.lit(0)
+                )
+            ).cast('bigint').alias('rrf_score'),
+            F.col('rk_d').isNotNull().alias('in_dense'),
+            F.col('rk_s').isNotNull().alias('in_sparse'),
+        )
+    )
+    wf = W.partitionBy('query_id').orderBy(F.desc('rrf_score'), F.asc('doc_id'))
+    return (
+        fused.withColumn('rk', F.row_number().over(wf).cast('long'))
+        .filter(F.col('rk') <= _RRF_TOP)
+    )

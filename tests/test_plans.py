@@ -539,3 +539,21 @@ def test_tf_cosine_topk_is_take_ordered(spark):
     # partial aggregation on the (doc_a, doc_b) dot products: both the
     # partial and final HashAggregate appear
     assert raw.count('HashAggregate') >= 4
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    """eqNullSafe must plan as a broadcast HASH join (hashing the key's
+    null flag), not degrade to BroadcastNestedLoopJoin."""
+    raw = raw_plan_of(spark, 'join_null_safe_eq')
+    assert 'BroadcastHashJoin' in raw
+    assert 'NestedLoop' not in raw
+
+
+def test_rrf_fusion_broadcasts_query_side(spark):
+    """Both retrieval legs broadcast the Q-row query side; the corpus is
+    never sort-merge-joined for the fusion."""
+    raw = raw_plan_of(spark, 'pipeline_rrf_fusion')
+    assert 'BroadcastHashJoin' in raw
+    # the Qx10 vs Qx10 fused full-outer join is tiny; anything sort-merge
+    # must only ever see list-sized inputs, never the corpus term stream
+    assert raw.count('SortMergeJoin') <= 1
