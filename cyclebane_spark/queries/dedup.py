@@ -436,7 +436,9 @@ def _cc_oracle() -> str:
     )
 
 
-def _connected_components(pairs, nodes, a: str, b: str, node_col: str):
+def _connected_components(
+    pairs, nodes, a: str, b: str, node_col: str, max_rounds: int = 25
+):
     """Min-label propagation over an undirected pair list (the standard
     distributed CC loop; cf. the large-star/small-star algorithm for
     billion-edge graphs): each round joins labels to the symmetrized edge
@@ -448,6 +450,13 @@ def _connected_components(pairs, nodes, a: str, b: str, node_col: str):
     the checkpoint job as an observe() metric — ONE job per round, no
     second scan of the labels. Returns (node_col, cluster_id) with
     cluster_id = min node id of the component.
+
+    Raises RuntimeError if ``max_rounds`` pass without convergence (a
+    component with diameter > max_rounds): a loud failure instead of a
+    silently-wrong labeling. Graphs whose diameter is unknown/unbounded
+    should use the alternating-star variant (`dedup_cc_largestar`), which
+    converges in O(log n) rounds regardless of diameter — the chain-graph
+    crossover is measured in SCALE.md.
     """
     from pyspark.sql import Observation
 
@@ -457,7 +466,8 @@ def _connected_components(pairs, nodes, a: str, b: str, node_col: str):
     labels = nodes.select(
         F.col(node_col).alias('doc_id'), F.col(node_col).alias('cluster_id')
     )
-    for _ in range(25):
+    converged = False
+    for _ in range(max_rounds):
         nb = (
             edges.join(
                 labels.select(
@@ -488,7 +498,14 @@ def _connected_components(pairs, nodes, a: str, b: str, node_col: str):
         )
         labels = new
         if obs.get['n_changed'] == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f'connected components did not converge in {max_rounds} rounds '
+            '(component diameter exceeds the cap); use dedup_cc_largestar '
+            'for unbounded-diameter graphs'
+        )
     return labels.select(F.col('doc_id').alias(node_col), 'cluster_id')
 
 
@@ -1376,6 +1393,7 @@ def dedup_cc_largestar(spark, sf_dir):
     rev = pairs.select(F.col('doc_b').alias('s'), F.col('doc_a').alias('d'))
     edges = fwd.union(rev).distinct().localCheckpoint()
     prev = None
+    stable = False
     for _ in range(12):  # O(log n) rounds; 2^12 components is the cap here
         # Large star consumes the symmetric list; small star consumes the
         # larger->smaller orientation of the large star's output.
@@ -1401,8 +1419,13 @@ def dedup_cc_largestar(spark, sf_dir):
         )
         cur = (obs.get['n'], obs.get['sig'])
         if cur == prev:
+            stable = True
             break
         prev = cur
+    if not stable:
+        raise RuntimeError(
+            'alternating-star contraction did not stabilize in 12 rounds'
+        )
     # Converged edges are stars (member -> component min). Singletons map to
     # themselves; min() guards the (already converged) star property.
     nodes = table(spark, sf_dir, 'documents').select('doc_id')

@@ -49,6 +49,10 @@ QUERIES = (
     'q17_small_quantity_revenue',   # 0.2x-avg threshold compare near ties
     'events_feature_lags',          # decimal rolling frames at denser days
     'dedup_semantic_kmeans',        # quantized cell distances at denser cells
+    # late round-4 additions with corpus-wide models / rank ties
+    'text_bigram_lm_score',         # LM counts + integer-div scores at scale
+    'dedup_tf_cosine_pairs',        # cos^2 top-k ties at denser term overlap
+    'pipeline_rrf_fusion',          # fused-rank ties across two lists
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')
