@@ -173,6 +173,10 @@ _PRIORITY = (
     'pipeline_mv_incremental',
     'pipeline_rrf_fusion',
     'join_null_safe_eq',
+    'dedup_recursive_hops',
+    'join_bloom_prefilter',
+    'events_skew_profile',
+    'dedup_lsh_band_diagnostics',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

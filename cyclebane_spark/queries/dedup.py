@@ -1531,3 +1531,103 @@ def dedup_tf_cosine_pairs(spark, sf_dir):
         .orderBy(F.desc('cos2'), 'doc_a', 'doc_b')
         .limit(_COS_PAIR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE reachability: Spark 4's WITH RECURSIVE executed BY SPARK
+# (everywhere else in this module recursion appears only on the DuckDB
+# oracle side, with the Spark half an explicit DataFrame loop). The edge
+# list is the oriented (doc_a < doc_b) MinHash-LSH candidate graph — an
+# acyclic orientation, so UNION ALL recursion terminates without a visited
+# set; the depth bound caps chain dups (A~B~C~D) at 4 hops, and MIN(depth)
+# per reachable pair is deterministic regardless of path enumeration
+# order. Spark's recursive CTE only supports UNION ALL (no UNION-distinct
+# dedup between rounds, verified SQLSTATE 42836), which is exactly why the
+# unbounded/cyclic closure ships as the iterative min-label loop
+# (`dedup_connected_components`) instead: on a clique-ish component UNION
+# ALL multiplies paths combinatorially with depth. This operator is the
+# bounded-hop complement: "how far does boilerplate propagate", with hop
+# distance attached.
+# Scale: pairs is tiny relative to the corpus (near-dup candidates), each
+# recursion round is one equi-join on doc_a keyed by the previous
+# frontier; 4 rounds max. The corpus-sized work (signatures, banding)
+# happens once, before the recursion.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'dedup_recursive_hops',
+    oracle=_minhash_ctes(recursive=True)
+    + """,
+    reach AS (
+        SELECT doc_a AS src, doc_b AS dst, 1 AS depth FROM pairs
+        UNION ALL
+        SELECT r.src, p.doc_b, r.depth + 1
+        FROM reach r JOIN pairs p ON p.doc_a = r.dst
+        WHERE r.depth < 4
+    )
+    SELECT src AS doc_a, dst AS doc_b, CAST(MIN(depth) AS BIGINT) AS hops
+    FROM reach GROUP BY src, dst
+    """,
+)
+def dedup_recursive_hops(spark, sf_dir):
+    """Bounded-depth transitive reachability (with min hop count) over the
+    oriented near-dup candidate DAG, via Spark's own WITH RECURSIVE."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    pairs.createOrReplaceTempView('cb_neardup_edges')
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(src, dst, depth) AS (
+            SELECT doc_a, doc_b, 1 FROM cb_neardup_edges
+            UNION ALL
+            SELECT r.src, e.doc_b, r.depth + 1
+            FROM reach r JOIN cb_neardup_edges e ON e.doc_a = r.dst
+            WHERE r.depth < 4
+        )
+        SELECT src AS doc_a, dst AS doc_b, CAST(MIN(depth) AS BIGINT) AS hops
+        FROM reach GROUP BY src, dst
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH band diagnostics: the bucket-size histogram that the adaptive salting
+# gate reasons over, exposed as an operator. Per band: bucket count,
+# colliding-bucket count, the hottest bucket, and the candidate-pair mass
+# sum(c*(c-1)/2) that the pair join will shuffle. This is the tuning
+# surface for (bands x rows) LSH parameter sweeps and the observability
+# hook for "why did candidate generation explode on this corpus".
+# Scale: one count per (band, bucket) over the band stream (map-side
+# combinable), then 4-row output — strictly cheaper than the pair join it
+# instruments.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'dedup_lsh_band_diagnostics',
+    oracle=_minhash_ctes()
+    + """,
+    bc AS (
+        SELECT band_id, bh, COUNT(*) AS c FROM bands GROUP BY band_id, bh
+    )
+    SELECT band_id,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_colliding,
+           MAX(c) AS max_bucket,
+           CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS cand_pairs
+    FROM bc GROUP BY band_id
+    """,
+)
+def dedup_lsh_band_diagnostics(spark, sf_dir):
+    """Band-bucket histogram of the MinHash LSH index (see module note)."""
+    bands = _minhash_bands(_minhash_docs(spark, sf_dir))
+    bc = bands.groupBy('band_id', 'bh').agg(F.count(F.lit(1)).alias('c'))
+    return bc.groupBy('band_id').agg(
+        F.count(F.lit(1)).alias('n_buckets'),
+        F.sum((F.col('c') > 1).cast('int')).cast('bigint').alias('n_colliding'),
+        F.max('c').alias('max_bucket'),
+        F.sum(F.col('c') * (F.col('c') - 1) / 2)
+        .cast('bigint')
+        .alias('cand_pairs'),
+    )

@@ -1600,3 +1600,56 @@ def join_null_safe_eq(spark, sf_dir):
             dsum('value').alias('total_value'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler: the per-key distribution statistics that decide
+# between the plain and the salted shuffle path (the adaptive LSH gate and
+# skew_salted_agg are the consumers of exactly this shape). Two-level
+# aggregation: per (event_type, user_id) counts — map-side combinable —
+# then per event_type: row mass, key count, hottest key's row count and
+# its share of the type's rows. skew_ratio = max/avg is the number a
+# planner compares against a salt threshold; at 100 TB this query costs
+# one narrow shuffle on the composite key and replaces guessing about
+# skew with measurement.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_skew_profile',
+    oracle="""
+    WITH per_key AS (
+        SELECT event_type, user_id, COUNT(*) AS c
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           MAX(c) AS max_key_rows,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS max_key_share,
+           CAST(MAX(c) AS DOUBLE) * COUNT(*) / CAST(SUM(c) AS DOUBLE)
+               AS skew_ratio
+    FROM per_key GROUP BY event_type
+    """,
+)
+def events_skew_profile(spark, sf_dir):
+    """Heavy-hitter skew statistics per event type (see module note)."""
+    per_key = (
+        table(spark, sf_dir, 'events')
+        .groupBy('event_type', 'user_id')
+        .agg(F.count(F.lit(1)).alias('c'))
+    )
+    n_rows = F.sum('c').cast('bigint')
+    return per_key.groupBy('event_type').agg(
+        n_rows.alias('n_rows'),
+        F.count(F.lit(1)).alias('n_keys'),
+        F.max('c').alias('max_key_rows'),
+        (F.max('c').cast('double') / n_rows.cast('double')).alias(
+            'max_key_share'
+        ),
+        (
+            F.max('c').cast('double')
+            * F.count(F.lit(1))
+            / n_rows.cast('double')
+        ).alias('skew_ratio'),
+    )

@@ -1834,3 +1834,97 @@ def q14_promo_revenue(spark, sf_dir):
             (100.0 * dsum(promo) / dsum(rev)).alias('promo_revenue'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (runtime-filter pattern, built by hand from
+# JVM expressions). The selective dim key set is folded into a fixed
+# 512 Kbit Bloom filter stored as 8192 (word_idx, word) longs — built with
+# one tiny shuffle (bit_or partial-aggregates are map-side combinable) —
+# and the fact side probes it with k=3 xxhash64 bits via THREE broadcast
+# joins on word index before the exact semi-join kills false positives.
+# The final semi-join keeps the result EXACT (the oracle is the plain
+# IN-subquery), so the Bloom stage is pure pruning.
+# Scale: at this SF the dim itself is broadcastable and the Bloom layer is
+# redundant — the pattern pays off when the dim key set is 10^7-10^9 rows
+# (too big for a broadcast hash relation) but its Bloom image is a few MB:
+# the fact stream is then pruned BEFORE its shuffle, which is exactly what
+# Spark's own runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter)
+# does for shuffle joins. Building it manually keeps the mechanism visible
+# and plan-testable.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 19  # 512 Kbit -> 8192 longs
+_BLOOM_K = 3
+
+
+@register(
+    'join_bloom_prefilter',
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Order stats for one customer segment via a hand-built Bloom-filter
+    runtime prefilter + exact semi-join (see the module note)."""
+    keys = (
+        table(spark, sf_dir, 'customer')
+        .filter(F.col('c_mktsegment') == 'BUILDING')
+        .select(F.col('c_custkey').alias('k'))
+    )
+
+    def positions(col: str):
+        return [
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_K)
+        ]
+
+    words = (
+        keys.select(F.explode(F.array(*positions('k'))).alias('pos'))
+        .select(
+            F.shiftright('pos', 6).alias('w'),
+            F.expr('shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))').alias(
+                'mask'
+            ),
+        )
+        .groupBy('w')
+        .agg(F.bit_or('mask').alias('word'))
+        # materialize the (<= 8192-row) filter once: the probe references it
+        # k times, and without this each reference re-runs the dim-sized
+        # build (three identical shuffles instead of one).
+        .localCheckpoint()
+    )
+
+    probed = table(spark, sf_dir, 'orders')
+    hit = F.lit(True)
+    for i, pos in enumerate(positions('o_custkey')):
+        wi = words.select(
+            F.col('w').alias(f'w{i}'), F.col('word').alias(f'word{i}')
+        )
+        probed = probed.withColumn(f'pos{i}', pos).join(
+            F.broadcast(wi),
+            F.shiftright(f'pos{i}', 6) == F.col(f'w{i}'),
+            'left',
+        )
+        bit = F.expr(
+            f'shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 64 AS INT))'
+        )
+        hit = hit & F.col(f'word{i}').isNotNull() & (
+            F.col(f'word{i}').bitwiseAND(bit) != 0
+        )
+
+    candidates = probed.filter(hit)
+    exact = candidates.join(
+        F.broadcast(keys), candidates['o_custkey'] == keys['k'], 'left_semi'
+    )
+    return exact.groupBy('o_orderpriority').agg(
+        F.count(F.lit(1)).alias('n_orders'),
+        dsum('o_totalprice').alias('revenue'),
+    )

@@ -219,3 +219,57 @@ def test_prefix_filter_matches_brute_force(spark, t):
     }
     want = _brute_force_jaccard(rows, 3, t)
     assert got == want
+
+
+def test_recursive_hops_depth_cap_and_min_hop(spark):
+    """On a 6-node oriented chain the bounded recursion reaches exactly the
+    pairs within 4 hops, labels each with its MINIMUM hop count, and the
+    depth bound excludes the 5-hop pair — same contract as the registered
+    query, checked on a graph where hops are known by construction."""
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)] + [(1, 3)],
+        'doc_a long, doc_b long',
+    )
+    edges.createOrReplaceTempView('cb_neardup_edges')
+    rows = {
+        (r.doc_a, r.doc_b): r.hops
+        for r in spark.sql(
+            """
+            WITH RECURSIVE reach(src, dst, depth) AS (
+                SELECT doc_a, doc_b, 1 FROM cb_neardup_edges
+                UNION ALL
+                SELECT r.src, e.doc_b, r.depth + 1
+                FROM reach r JOIN cb_neardup_edges e ON e.doc_a = r.dst
+                WHERE r.depth < 4
+            )
+            SELECT src AS doc_a, dst AS doc_b,
+                   CAST(MIN(depth) AS BIGINT) AS hops
+            FROM reach GROUP BY src, dst
+            """
+        ).collect()
+    }
+    # shortcut (1,3) wins over the 2-hop path and shortens 1->6 to 4 hops;
+    # the depth cap drops (1,7), whose best path (via the shortcut) is 5
+    assert rows[(1, 3)] == 1
+    assert rows[(1, 4)] == 2
+    assert rows[(1, 5)] == 3
+    assert rows[(1, 6)] == 4
+    assert rows[(2, 6)] == 4
+    assert (1, 7) not in rows
+
+
+def test_band_diagnostics_bounds_pair_join(spark):
+    """sum over bands of C(c,2) upper-bounds the DISTINCT candidate pairs
+    the LSH join emits (a pair colliding in several bands is counted once
+    by the join, once per band here)."""
+    from cyclebane_spark.queries import queries
+
+    sf = '/root/testdata/sf0.001'
+    diag = queries()['dedup_lsh_band_diagnostics'](spark, sf).collect()
+    n_pairs = queries()['dedup_minhash_lsh'](spark, sf).count()
+    assert sum(r.cand_pairs for r in diag) >= n_pairs
+    for r in diag:
+        assert r.n_colliding <= r.n_buckets
+        assert r.max_bucket >= 1

@@ -557,3 +557,42 @@ def test_rrf_fusion_broadcasts_query_side(spark):
     # the Qx10 vs Qx10 fused full-outer join is tiny; anything sort-merge
     # must only ever see list-sized inputs, never the corpus term stream
     assert raw.count('SortMergeJoin') <= 1
+
+
+def test_recursive_hops_runs_in_spark_union_loop(spark):
+    """WITH RECURSIVE must execute as Spark's native recursion operator
+    (UnionLoop/UnionLoopRef), with the frontier join staying a hash join —
+    this pins that the recursion is Spark-executed, not a driver loop."""
+    raw = raw_plan_of(spark, 'dedup_recursive_hops')
+    assert 'UnionLoop' in raw
+    assert 'UnionLoopRef' in raw
+    assert 'SortMergeJoin' not in raw
+
+
+def test_bloom_prefilter_single_shuffle_probe(spark):
+    """The Bloom probe must be pure broadcast work on the fact side: three
+    word-table probes + the exact semi-join (4 BroadcastHashJoins), zero
+    sort-merge joins, and the only SHUFFLE of the fact stream is the final
+    aggregation exchange. The filter itself is materialized once
+    (localCheckpoint) so its dim-sized build cannot triple."""
+    import re as _re
+
+    raw = raw_plan_of(spark, 'join_bloom_prefilter')
+    assert raw.count('BroadcastHashJoin') == 4
+    assert 'SortMergeJoin' not in raw
+    assert len(_re.findall(r'Exchange hashpartitioning', raw)) == 1
+
+
+def test_skew_profile_is_two_level_partial_agg(spark):
+    """Both aggregation levels keep map-side partials (4 HashAggregates)
+    and shuffle only on their group keys (2 exchanges, no joins)."""
+    raw = raw_plan_of(spark, 'events_skew_profile')
+    assert raw.count('HashAggregate') == 4
+    assert 'Join' not in raw
+
+
+def test_band_diagnostics_is_aggregation_only(spark):
+    """The diagnostics histogram must cost strictly less than the pair join
+    it instruments: an aggregation-only pipeline, no join anywhere."""
+    raw = raw_plan_of(spark, 'dedup_lsh_band_diagnostics')
+    assert 'Join' not in raw

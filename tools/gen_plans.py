@@ -232,6 +232,28 @@ NOTES['dedup_tf_cosine_pairs'] = [
     'top-25 via TakeOrderedAndProject — never a global sort of all pairs',
 ]
 
+NOTES['dedup_recursive_hops'] = [
+    'Spark-executed WITH RECURSIVE: UnionLoop/UnionLoopRef nodes, frontier',
+    'join stays a hash join; corpus-sized work (signatures, banding) runs',
+    'once, before the recursion',
+]
+
+NOTES['join_bloom_prefilter'] = [
+    'hand-built Bloom runtime filter: 3 broadcast word-table probes + the',
+    'exact semi-join = 4 BroadcastHashJoins; the fact stream shuffles only',
+    'for the final aggregation',
+    'filter materialized once via localCheckpoint (appears as an RDD scan)',
+]
+
+NOTES['events_skew_profile'] = [
+    'two-level aggregation, both with map-side partials; no joins',
+]
+
+NOTES['dedup_lsh_band_diagnostics'] = [
+    'aggregation-only pipeline — strictly cheaper than the pair join it',
+    'instruments',
+]
+
 EXTRA = (
     'events_funnel_3step',
     'q19_disjunctive_predicates',
@@ -272,6 +294,10 @@ EXTRA = (
     'q14_promo_revenue',
     'text_bigram_lm_score',
     'dedup_tf_cosine_pairs',
+    'dedup_recursive_hops',
+    'join_bloom_prefilter',
+    'events_skew_profile',
+    'dedup_lsh_band_diagnostics',
 )
 
 
