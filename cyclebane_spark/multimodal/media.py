@@ -263,3 +263,73 @@ def embed_images(df: DataFrame, col: str = 'image', dim: int = 8) -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn('image_emb', embed(F.col(col)))
+
+
+# -- perceptual hashing over "re-encoded photo" variants ---------------------
+#
+# NSY payloads model the phash use case: the SAME underlying photo saved
+# several times with different encoder settings. Base pixels derive from a
+# content-group seed (documents sharing it hold the same photo); a small
+# per-doc noise field (amplitude NSY_NOISE_AMP, seeded by the doc) stands in
+# for re-encode jitter. aHash then maps each image to 64 bits such that
+# variants of one photo land a few bits apart and unrelated photos ~32 bits
+# apart — the separation the hamming-band join in multimodal_q.py exploits.
+
+NSY_MAGIC = b'FAKENSY1'
+NSY_NOISE_AMP = 0.01
+PHASH_SCHEMA = 'doc_id long, phash long'
+_U64 = (1 << 64) - 1
+
+
+def fake_noisy_image(
+    width: int, height: int, base_seed: int, noise_seed: int
+) -> bytes:
+    return NSY_MAGIC + struct.pack(
+        '<iiqq', width, height, base_seed, noise_seed
+    )
+
+
+def with_fake_photo_variants(docs: DataFrame, base_col: str) -> DataFrame:
+    """Attach a 32x32 noisy-variant photo; ``base_col`` (int64) is the
+    content-group seed — equal values mean 'same underlying photo'."""
+
+    @F.pandas_udf('binary')
+    def build(doc_id: pd.Series, base: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                fake_noisy_image(32, 32, int(b), int(d))
+                for d, b in zip(doc_id, base)
+            ]
+        )
+
+    return docs.withColumn('image', build('doc_id', base_col))
+
+
+def ahash64_images(df: DataFrame, col: str = 'image') -> DataFrame:
+    """Decode + 8x8 block-average aHash -> one int64 per image.
+
+    Bit i is set iff block i's mean exceeds the whole image's mean. One
+    mapInPandas pass; pixels never leave the executor batch — only the
+    8-byte hash does. Swapping the stub decode for a real one (PIL +
+    grayscale + resize) changes only the first two lines of the loop.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf['doc_id'], pdf[col]):
+                b = bytes(b)
+                if b[:8] != NSY_MAGIC:
+                    raise NotImplementedError('unsupported image format')
+                w, h, base_seed, noise_seed = struct.unpack('<iiqq', b[8:32])
+                noise = np.random.Generator(np.random.PCG64(noise_seed))
+                px = _pixels(w, h, base_seed & _U64) + NSY_NOISE_AMP * (
+                    noise.random((h, w)) - 0.5
+                )
+                blocks = px.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+                bits = (blocks > px.mean()).flatten()
+                v = int(np.packbits(bits, bitorder='little').view('<u8')[0])
+                rows.append((int(d), v - (1 << 64) if v >= (1 << 63) else v))
+            yield pd.DataFrame(rows, columns=['doc_id', 'phash'])
+
+    return df.select('doc_id', col).mapInPandas(extract, PHASH_SCHEMA)

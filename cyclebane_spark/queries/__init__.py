@@ -177,6 +177,7 @@ _PRIORITY = (
     'join_bloom_prefilter',
     'events_skew_profile',
     'dedup_lsh_band_diagnostics',
+    'multimodal_phash_dedup',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

@@ -248,3 +248,83 @@ def multimodal_clip_filter(spark, sf_dir):
             )
         ).alias('keep'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (aHash) image dedup: MinHash-LSH's sibling in HAMMING
+# space. Each doc gets a "photo" whose base pixels derive from a content
+# group (the 4-token text prefix — docs sharing it hold re-encodes of one
+# photo, with small per-doc encoder jitter; see media.NSY docs). aHash maps
+# images to 64 bits; variants land a couple of bits apart, unrelated
+# photos ~32 +- 4. Candidate generation is a self-join on 4 x 16-bit hash
+# bands — and because the verify radius is bands-1, pigeonhole makes band
+# recall EXACT, not probabilistic (see _PHASH_RADIUS) — then
+# bit_count(XOR) verifies the radius. The pair set is DETERMINISTIC on
+# this corpus at every tested SF, and equals the prefix-equality pairs —
+# which is what the oracle states relationally (the hashes themselves are
+# numpy-side, like all NSY pixel content).
+# Scale: one mapInPandas pass emits 8 bytes/image; the band join shuffles
+# 4 narrow rows/doc keyed by 16-bit bucket — never pixels, never all
+# pairs. Same skew story as the LSH band join (salt/adapt if one band
+# value goes hot).
+# ---------------------------------------------------------------------------
+
+# With B bands, a pair within hamming radius B-1 ALWAYS agrees on a full
+# band (pigeonhole), so radius = bands - 1 makes band recall exact by
+# construction instead of probabilistic — the design rule this operator
+# pins. (A radius-10 variant measured here missed exactly one ham-4 pair
+# whose 4 flipped bits hit all 4 bands; radius 3 removes that failure mode
+# and the encoder-jitter amplitude keeps true variants within it.)
+_PHASH_RADIUS = 3
+
+
+@register(
+    'multimodal_phash_dedup',
+    oracle=r"""
+    WITH p AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_slice(string_split_regex(lower(trim(text)), '\s+'),
+                              1, 4), ' ') AS pre
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM p a JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """Near-duplicate image pairs via 64-bit aHash + banded hamming join."""
+    from ..multimodal.media import ahash64_images, with_fake_photo_variants
+
+    docs = table(spark, sf_dir, 'documents')
+    pre = F.array_join(
+        F.slice(F.split(F.lower(F.trim('text')), r'\s+'), 1, 4), ' '
+    )
+    seeded = docs.withColumn('base', F.xxhash64(pre))
+    ph = ahash64_images(with_fake_photo_variants(seeded, 'base'))
+
+    bands = ph.select(
+        'doc_id',
+        'phash',
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias('b'),
+    ).withColumn(
+        'bv', F.expr('shiftright(phash, b * 16) & CAST(65535 AS BIGINT)')
+    )
+    a, b = bands.alias('a'), bands.alias('b')
+    cand = (
+        a.join(
+            b,
+            (F.col('a.b') == F.col('b.b'))
+            & (F.col('a.bv') == F.col('b.bv'))
+            & (F.col('a.doc_id') < F.col('b.doc_id')),
+        )
+        .select(
+            F.col('a.doc_id').alias('doc_a'),
+            F.col('a.phash').alias('pa'),
+            F.col('b.doc_id').alias('doc_b'),
+            F.col('b.phash').alias('pb'),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col('pa').bitwiseXOR(F.col('pb')))
+    return cand.filter(ham <= _PHASH_RADIUS).select('doc_a', 'doc_b')

@@ -122,3 +122,54 @@ def test_clip_filter_keep_matches_float_cosine(spark):
         seen_keep += bool(r.keep)
     # threshold is discriminative on this corpus: both classes appear
     assert 0 < seen_keep < len(rows)
+
+
+def test_ahash_variant_separation(spark):
+    """The contract the banded hamming join relies on: same-photo variants
+    (equal base seed, different noise seed) stay within the pigeonhole
+    radius (3 bits); unrelated photos sit tens of bits apart."""
+    from cyclebane_spark.multimodal.media import (
+        ahash64_images,
+        with_fake_photo_variants,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i % 4)) for i in range(40)], 'doc_id long, base long'
+    )
+    hashes = {
+        r.doc_id: r.phash
+        for r in ahash64_images(
+            with_fake_photo_variants(docs, 'base')
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count('1')
+
+    for i in range(40):
+        for j in range(i + 1, 40):
+            h = ham(hashes[i], hashes[j])
+            if i % 4 == j % 4:  # same photo, different encoder jitter
+                assert h <= 3, (i, j, h)
+            else:  # unrelated photos
+                assert h > 16, (i, j, h)
+
+
+def test_ahash_deterministic(spark):
+    """Equal payloads (base AND noise seed) give bit-identical hashes."""
+    from cyclebane_spark.multimodal.media import (
+        ahash64_images,
+        with_fake_photo_variants,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, 42), (7, 42)], 'doc_id long, base long'
+    )
+    a, b = [
+        r.phash
+        for r in ahash64_images(
+            with_fake_photo_variants(docs, 'base')
+        ).collect()
+    ]
+    assert a == b

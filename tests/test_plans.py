@@ -596,3 +596,13 @@ def test_band_diagnostics_is_aggregation_only(spark):
     it instruments: an aggregation-only pipeline, no join anywhere."""
     raw = raw_plan_of(spark, 'dedup_lsh_band_diagnostics')
     assert 'Join' not in raw
+
+
+def test_phash_dedup_band_join_never_ships_pixels(spark):
+    """The hamming candidate join must key on the 16-bit band buckets (a
+    hash join over narrow rows); pixels stay inside the one mapInPandas
+    pass — the plan has exactly one Python stage and no nested-loop join."""
+    raw = raw_plan_of(spark, 'multimodal_phash_dedup')
+    assert raw.count('MapInPandas') == 2  # self-join: both sides reference it
+    assert 'NestedLoop' not in raw
+    assert 'SortMergeJoin' in raw or 'BroadcastHashJoin' in raw

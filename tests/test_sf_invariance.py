@@ -53,6 +53,7 @@ QUERIES = (
     'text_bigram_lm_score',         # LM counts + integer-div scores at scale
     'dedup_tf_cosine_pairs',        # cos^2 top-k ties at denser term overlap
     'pipeline_rrf_fusion',          # fused-rank ties across two lists
+    'multimodal_phash_dedup',       # hamming-radius ties at denser corpora
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

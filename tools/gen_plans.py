@@ -298,6 +298,7 @@ EXTRA = (
     'join_bloom_prefilter',
     'events_skew_profile',
     'dedup_lsh_band_diagnostics',
+    'multimodal_phash_dedup',
 )
 
 
