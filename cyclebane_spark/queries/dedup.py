@@ -1631,3 +1631,97 @@ def dedup_lsh_band_diagnostics(spark, sf_dir):
         .cast('bigint')
         .alias('cand_pairs'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: C(A,B) = |A ∩ B| / |A| over distinct 3-gram sets.
+# The asymmetric complement of Jaccard — a short doc quoted inside a long
+# one has high containment but low Jaccard, so symmetric dedup never sees
+# it. This is the operator for "is this doc (mostly) inside another"
+# (quote mining, boilerplate inclusion, sub-document plagiarism).
+# Scale: the probe side is prefix-filtered exactly like the AllPairs join
+# (C >= t forces A's rarest |A| - ceil(t|A|) + 1 shingles to intersect B),
+# but the INDEX side must stay full — containment has no length filter in
+# the super-doc direction (any B can contain a small A). Verification then
+# joins two fixed-width per-doc arrays on the deduped candidate set. The
+# shuffles are keyed on shingles / candidate pairs, never all-pairs.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.6
+
+
+@register(
+    'dedup_containment_pairs',
+    oracle=f"""{_SQL_TOKS},
+    sh AS (
+        SELECT DISTINCT doc_id, unnest({_sql_shingles(3)}) AS s FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_sub, doc_super,
+           (CAST(c AS DOUBLE) / sa.n) AS containment
+    FROM co
+    JOIN sizes sa ON sa.doc_id = doc_sub
+    WHERE (CAST(c AS DOUBLE) / sa.n) >= {_CONTAIN_T}
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Directed containment pairs (sub -> super) with C >= 0.6 over
+    distinct 3-gram sets; prefix-filtered probe, full index, exact
+    verification (see the module note)."""
+    from pyspark.sql import Window
+
+    docs = spread(table(spark, sf_dir, 'documents'), 'doc_id')
+    sh = (
+        docs.select('doc_id', F.explode(_spark_shingles(3)).alias('s'))
+        .distinct()
+    )
+
+    by_s = Window.partitionBy('s')
+    by_doc = Window.partitionBy('doc_id')
+    ranked = (
+        sh.withColumn('df', F.count(F.lit(1)).over(by_s))
+        .withColumn('n', F.count(F.lit(1)).over(by_doc))
+        .withColumn(
+            'pos',
+            F.row_number().over(by_doc.orderBy(F.asc('df'), F.asc('s'))),
+        )
+    )
+    prefix = ranked.filter(
+        F.col('pos')
+        <= F.col('n') - F.ceil(F.lit(_CONTAIN_T) * F.col('n')) + 1
+    )
+
+    cand = (
+        prefix.alias('a')
+        .join(
+            sh.alias('b'),
+            (F.col('a.s') == F.col('b.s'))
+            & (F.col('a.doc_id') != F.col('b.doc_id')),
+        )
+        .select(
+            F.col('a.doc_id').alias('doc_sub'),
+            F.col('b.doc_id').alias('doc_super'),
+        )
+        .distinct()
+    )
+
+    sets = sh.groupBy('doc_id').agg(
+        F.collect_list('s').alias('arr'), F.count(F.lit(1)).alias('n')
+    )
+    sa, sb = sets.alias('sa'), sets.alias('sb')
+    verified = (
+        cand.join(sa, F.col('doc_sub') == F.col('sa.doc_id'))
+        .join(sb, F.col('doc_super') == F.col('sb.doc_id'))
+        .withColumn(
+            'c', F.size(F.array_intersect(F.col('sa.arr'), F.col('sb.arr')))
+        )
+    )
+    containment = F.col('c').cast('double') / F.col('sa.n')
+    return verified.filter(containment >= _CONTAIN_T).select(
+        'doc_sub', 'doc_super', containment.alias('containment')
+    )

@@ -2361,3 +2361,67 @@ def text_bigram_lm_score(spark, sf_dir):
             ).alias('keep'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row corpus summary a training-data release ships
+# with — volume, token mass, language mix, duplication rate, quality
+# spread. Everything here is a re-aggregation of single-pass per-doc
+# stats: one corpus scan computes (tokens, chars, lang, fingerprint),
+# then a handful of tiny aggregates combine map-side. The fingerprint
+# distinct-count rides the same scan (no second pass over text), and the
+# output is ONE row — the operator's cost is the scan, full stop.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'pipeline_dataset_card',
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               lang,
+               length(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               length(text) AS n_chars,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT fingerprint) AS n_unique_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT fingerprint) AS BIGINT)
+               AS n_exact_dups,
+           MIN(n_tokens) AS min_tokens,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM per_doc
+    """,
+)
+def pipeline_dataset_card(spark, sf_dir):
+    """One-row dataset card for the documents corpus (see module note)."""
+    docs = table(spark, sf_dir, 'documents')
+    canon = F.lower(F.regexp_replace(F.trim('text'), r'\s+', ' '))
+    per_doc = docs.select(
+        'doc_id',
+        'lang',
+        F.size(F.split(F.trim('text'), r'\s+')).alias('n_tokens'),
+        F.length('text').alias('n_chars'),
+        F.md5(canon).alias('fingerprint'),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum('n_tokens').cast('bigint').alias('total_tokens'),
+        F.sum('n_chars').cast('bigint').alias('total_chars'),
+        F.countDistinct('lang').alias('n_langs'),
+        F.countDistinct('fingerprint').alias('n_unique_docs'),
+        (F.count(F.lit(1)) - F.countDistinct('fingerprint'))
+        .cast('bigint')
+        .alias('n_exact_dups'),
+        F.min('n_tokens').cast('bigint').alias('min_tokens'),
+        F.max('n_tokens').cast('bigint').alias('max_tokens'),
+        (F.sum('n_tokens').cast('double') / F.count(F.lit(1))).alias(
+            'avg_tokens'
+        ),
+    )

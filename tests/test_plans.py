@@ -606,3 +606,20 @@ def test_phash_dedup_band_join_never_ships_pixels(spark):
     assert raw.count('MapInPandas') == 2  # self-join: both sides reference it
     assert 'NestedLoop' not in raw
     assert 'SortMergeJoin' in raw or 'BroadcastHashJoin' in raw
+
+
+def test_containment_no_allpairs(spark):
+    """Candidate generation must stay an equi-join on shingles (hash/SMJ),
+    never a nested-loop all-pairs comparison."""
+    raw = raw_plan_of(spark, 'dedup_containment_pairs')
+    assert 'NestedLoop' not in raw
+    assert 'CartesianProduct' not in raw
+
+
+def test_dataset_card_single_scan(spark):
+    """The one-row card must come from ONE pass over documents — multiple
+    distinct aggregates expand in-plan rather than re-scanning."""
+    raw = raw_plan_of(spark, 'pipeline_dataset_card')
+    import re as _re
+
+    assert len(_re.findall(r'FileScan parquet', raw)) == 1

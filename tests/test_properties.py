@@ -214,3 +214,66 @@ def test_hypothesis_differential_topologies(topo, values, labels_src, extra, op)
         return
     ours = _canon(build(Graph).to_networkx())
     assert ours == theirs
+
+
+def test_bloom_prefilter_never_loses_rows(spark):
+    """Property: for random key sets, the Bloom-prefilter pipeline equals
+    the plain semi-join — the filter can only pass false positives, and
+    the exact verify must kill every one of them."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        universe = rng.sample(range(1, 10_000), 600)
+        member = set(rng.sample(universe, 150))
+        fact = spark.createDataFrame(
+            [(k, k % 7) for k in universe], 'k long, g long'
+        )
+        dim = spark.createDataFrame([(k,) for k in member], 'k long')
+
+        m_bits = 1 << 13  # small filter -> false positives certain
+        pos = [
+            F.pmod(F.xxhash64('k', F.lit(i)), F.lit(m_bits)) for i in range(3)
+        ]
+        words = (
+            dim.select(F.explode(F.array(*pos)).alias('pos'))
+            .select(
+                F.shiftright('pos', 6).alias('w'),
+                F.expr(
+                    'shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))'
+                ).alias('mask'),
+            )
+            .groupBy('w')
+            .agg(F.bit_or('mask').alias('word'))
+            .localCheckpoint()
+        )
+        probed, hit = fact, F.lit(True)
+        for i, p in enumerate(pos):
+            wi = words.select(
+                F.col('w').alias(f'w{i}'), F.col('word').alias(f'word{i}')
+            )
+            probed = probed.withColumn(f'pos{i}', p).join(
+                F.broadcast(wi),
+                F.shiftright(f'pos{i}', 6) == F.col(f'w{i}'),
+                'left',
+            )
+            bit = F.expr(
+                f'shiftleft(CAST(1 AS BIGINT), CAST(pos{i} % 64 AS INT))'
+            )
+            hit = hit & F.col(f'word{i}').isNotNull() & (
+                F.col(f'word{i}').bitwiseAND(bit) != 0
+            )
+        cand = probed.filter(hit)
+        n_cand = cand.count()
+        got = {
+            r.k
+            for r in cand.join(
+                F.broadcast(dim.select(F.col('k').alias('dk'))),
+                F.col('k') == F.col('dk'),
+                'left_semi',
+            ).collect()
+        }
+        assert got == member  # exact despite false positives
+        assert n_cand >= len(member)  # bloom never drops a member

@@ -299,6 +299,8 @@ EXTRA = (
     'events_skew_profile',
     'dedup_lsh_band_diagnostics',
     'multimodal_phash_dedup',
+    'dedup_containment_pairs',
+    'pipeline_dataset_card',
 )
 
 
