@@ -2425,3 +2425,73 @@ def pipeline_dataset_card(spark, sf_dir):
             'avg_tokens'
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixing weights: given per-source token mass, compute the
+# acceptance ratio each source needs so the SAMPLED corpus hits a target
+# mixture (uniform across sources here) without upsampling — the
+# source with the largest deficit relative to target keeps ratio 1.0 and
+# everything else downsamples toward it. This is the planning step of
+# data-mixture work (the weights feed the seeded-shuffle/upsampling
+# operators); determinism: ratios are single IEEE divides of identical
+# operands in both engines, masses are exact BIGINTs.
+# Scale: one corpus scan -> K-row aggregate; the window max runs over K
+# sources, not rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'pipeline_mix_weights',
+    oracle=r"""
+    WITH src AS (
+        SELECT source,
+               CAST(SUM(length(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS tok
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT source, tok,
+               CAST(SUM(tok) OVER () AS BIGINT) AS total,
+               COUNT(*) OVER () AS k
+        FROM src
+    ),
+    rel AS (
+        SELECT source, tok, total,
+               (CAST(total AS DOUBLE) / k) / tok AS raw_w
+        FROM tot
+    )
+    SELECT source,
+           tok AS n_tokens,
+           CAST(tok AS DOUBLE) / total AS share,
+           raw_w / MAX(raw_w) OVER () AS accept_ratio
+    FROM rel
+    """,
+)
+def pipeline_mix_weights(spark, sf_dir):
+    """Per-source acceptance ratios for a uniform target mixture (see the
+    module note)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, 'documents')
+    src = docs.groupBy('source').agg(
+        F.sum(F.size(F.split(F.trim('text'), r'\s+')))
+        .cast('bigint')
+        .alias('tok')
+    )
+    w = Window.partitionBy()
+    rel = src.select(
+        'source',
+        'tok',
+        F.sum('tok').over(w).cast('bigint').alias('total'),
+        F.count(F.lit(1)).over(w).alias('k'),
+    ).withColumn(
+        'raw_w',
+        (F.col('total').cast('double') / F.col('k')) / F.col('tok'),
+    )
+    return rel.select(
+        'source',
+        F.col('tok').alias('n_tokens'),
+        (F.col('tok').cast('double') / F.col('total')).alias('share'),
+        (F.col('raw_w') / F.max('raw_w').over(w)).alias('accept_ratio'),
+    )

@@ -301,6 +301,7 @@ EXTRA = (
     'multimodal_phash_dedup',
     'dedup_containment_pairs',
     'pipeline_dataset_card',
+    'pipeline_mix_weights',
 )
 
 
