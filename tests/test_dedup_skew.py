@@ -273,3 +273,39 @@ def test_band_diagnostics_bounds_pair_join(spark):
     for r in diag:
         assert r.n_colliding <= r.n_buckets
         assert r.max_bucket >= 1
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark, tmp_path):
+    """A short doc fully quoted inside a much longer one: containment
+    (sub -> super) is 1.0, while Jaccard is diluted below the symmetric
+    threshold — the exact asymmetry dedup_containment_pairs exists for."""
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.queries import queries
+
+    quote = 'alpha beta gamma delta epsilon zeta'
+    filler = ' '.join(f'w{i} x{i} y{i}' for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, quote, 'en', 'a', len(quote)),
+            (2, filler + ' ' + quote + ' ' + filler, 'en', 'a', 1),
+            (3, 'unrelated words entirely different content here', 'en',
+             'a', 1),
+        ],
+        'doc_id long, text string, lang string, source string, n_chars long',
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f'{sf}/documents.parquet')
+
+    cont = {
+        (r.doc_sub, r.doc_super)
+        for r in queries()['dedup_containment_pairs'](spark, sf).collect()
+    }
+    assert (1, 2) in cont            # the quoted doc is found inside 2
+    assert (2, 1) not in cont        # inclusion is directed
+    assert not any(3 in p for p in cont)
+
+    jac = queries()['dedup_ngram_jaccard'](spark, sf).collect()
+    assert not any(
+        {r.doc_a, r.doc_b} == {1, 2} for r in jac
+    )  # symmetric Jaccard never sees the pair
