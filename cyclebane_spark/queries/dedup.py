@@ -1654,7 +1654,7 @@ _CONTAIN_T = 0.6
     'dedup_containment_pairs',
     oracle=f"""{_SQL_TOKS},
     sh AS (
-        SELECT DISTINCT doc_id, unnest({_sql_shingles(3)}) AS s FROM t
+        SELECT doc_id, unnest({_sql_shingles(3)}) AS s FROM t
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     co AS (
@@ -1676,10 +1676,9 @@ def dedup_containment_pairs(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = spread(table(spark, sf_dir, 'documents'), 'doc_id')
-    sh = (
-        docs.select('doc_id', F.explode(_spark_shingles(3)).alias('s'))
-        .distinct()
-    )
+    # _spark_shingles is per-doc DISTINCT by construction, so the exploded
+    # (doc_id, s) stream needs no dedup shuffle.
+    sh = docs.select('doc_id', F.explode(_spark_shingles(3)).alias('s'))
 
     by_s = Window.partitionBy('s')
     by_doc = Window.partitionBy('doc_id')
@@ -1696,12 +1695,26 @@ def dedup_containment_pairs(spark, sf_dir):
         <= F.col('n') - F.ceil(F.lit(_CONTAIN_T) * F.col('n')) + 1
     )
 
+    # The one length filter containment admits: C >= t forces B to hold at
+    # least t*|A| of A's shingles, so |B| >= t*|A| (no upper bound — any
+    # B may contain a small A). n_b rides the index stream via a broadcast
+    # join of the per-doc size table (doc-count-sized, not stream-sized) —
+    # re-running the rank windows on the index side just for n would cost
+    # more than the filter saves.
+    doc_n = F.broadcast(
+        sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('nb'))
+    )
+    index = sh.join(doc_n, 'doc_id')
     cand = (
         prefix.alias('a')
         .join(
-            sh.alias('b'),
+            index.alias('b'),
             (F.col('a.s') == F.col('b.s'))
-            & (F.col('a.doc_id') != F.col('b.doc_id')),
+            & (F.col('a.doc_id') != F.col('b.doc_id'))
+            & (
+                F.col('b.nb').cast('double')
+                >= F.lit(_CONTAIN_T) * F.col('a.n')
+            ),
         )
         .select(
             F.col('a.doc_id').alias('doc_sub'),
@@ -1710,6 +1723,12 @@ def dedup_containment_pairs(spark, sf_dir):
         .distinct()
     )
 
+    # Verification sets aggregate the exploded STRING stream rather than
+    # projecting arrays straight off the doc rows: an aggregate is a
+    # pushdown barrier, so the join's inferred isnotnull filters cannot
+    # drag the whole shingle expression below the repartition into the
+    # single-split parquet scan (measured: that serializes the corpus-wide
+    # gram compute into one task).
     sets = sh.groupBy('doc_id').agg(
         F.collect_list('s').alias('arr'), F.count(F.lit(1)).alias('n')
     )
