@@ -1673,9 +1673,19 @@ def dedup_containment_pairs(spark, sf_dir):
     """Directed containment pairs (sub -> super) with C >= 0.6 over
     distinct 3-gram sets; prefix-filtered probe, full index, exact
     verification (see the module note)."""
-    from pyspark.sql import Window
-
     docs = spread(table(spark, sf_dir, 'documents'), 'doc_id')
+    return _containment_pairs(docs, t=_CONTAIN_T)
+
+
+def _containment_pairs(docs, t: float):
+    """Prefix-filtered directed containment join.
+
+    ``docs`` must have (doc_id, text); returns (doc_sub, doc_super,
+    containment) for every ordered pair with distinct-3-gram containment
+    |sub ∩ super| / |sub| >= ``t``. Exact — property-tested against brute
+    force on adversarial corpora (tests/test_dedup_skew.py).
+    """
+    from pyspark.sql import Window
     # _spark_shingles is per-doc DISTINCT by construction, so the exploded
     # (doc_id, s) stream needs no dedup shuffle.
     sh = docs.select('doc_id', F.explode(_spark_shingles(3)).alias('s'))
@@ -1692,7 +1702,7 @@ def dedup_containment_pairs(spark, sf_dir):
     )
     prefix = ranked.filter(
         F.col('pos')
-        <= F.col('n') - F.ceil(F.lit(_CONTAIN_T) * F.col('n')) + 1
+        <= F.col('n') - F.ceil(F.lit(t) * F.col('n')) + 1
     )
 
     # The one length filter containment admits: C >= t forces B to hold at
@@ -1713,7 +1723,7 @@ def dedup_containment_pairs(spark, sf_dir):
             & (F.col('a.doc_id') != F.col('b.doc_id'))
             & (
                 F.col('b.nb').cast('double')
-                >= F.lit(_CONTAIN_T) * F.col('a.n')
+                >= F.lit(t) * F.col('a.n')
             ),
         )
         .select(
@@ -1741,6 +1751,6 @@ def dedup_containment_pairs(spark, sf_dir):
         )
     )
     containment = F.col('c').cast('double') / F.col('sa.n')
-    return verified.filter(containment >= _CONTAIN_T).select(
+    return verified.filter(containment >= t).select(
         'doc_sub', 'doc_super', containment.alias('containment')
     )

@@ -309,3 +309,57 @@ def test_containment_catches_inclusion_jaccard_misses(spark, tmp_path):
     assert not any(
         {r.doc_a, r.doc_b} == {1, 2} for r in jac
     )  # symmetric Jaccard never sees the pair
+
+
+def _brute_force_containment(rows, n, t):
+    """Reference all-ordered-pairs distinct-n-gram containment."""
+    sets = {}
+    for doc_id, text in rows:
+        toks = text.strip().split()
+        sets[doc_id] = {
+            ' '.join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a == b or not sets[a]:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= t:
+                out[a, b] = c
+    return out
+
+
+@pytest.mark.parametrize('t', [0.4, 0.6, 0.9])
+def test_containment_matches_brute_force(spark, t):
+    """Candidate completeness for the DIRECTED join: the probe prefix +
+    |B| >= t*|A| length filter must lose no qualifying ordered pair.
+
+    Corpus stresses the asymmetric edges: a doc fully inside a longer one
+    (both directions checked), exact duplicates (mutual containment),
+    boilerplate sharing a hot shingle, a short doc, and disjoint docs.
+    """
+    from cyclebane_spark.queries.dedup import _containment_pairs
+
+    boiler = 'terms of service apply to all content on this page'
+    quote = 'alpha beta gamma delta epsilon zeta'
+    rows = [
+        (1, quote),
+        (2, 'prefix words here ' + quote + ' and a long suffix tail '
+            + 'with many extra tokens beyond the quoted span'),
+        (3, quote),                                   # exact dup of 1
+        (4, boiler),
+        (5, boiler + ' plus unique trailing content of its own'),
+        (6, 'wholly different text about something else entirely'),
+        (7, 'tiny doc'),                              # < 3 tokens -> no grams
+        (8, 'alpha beta gamma delta'),                # 2-gram... 2 shingles
+    ]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = {
+        (r.doc_sub, r.doc_super): r.containment
+        for r in _containment_pairs(docs, t=t).collect()
+    }
+    want = _brute_force_containment(rows, 3, t)
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
