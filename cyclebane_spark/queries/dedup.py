@@ -1573,7 +1573,12 @@ def dedup_tf_cosine_pairs(spark, sf_dir):
 def dedup_recursive_hops(spark, sf_dir):
     """Bounded-depth transitive reachability (with min hop count) over the
     oriented near-dup candidate DAG, via Spark's own WITH RECURSIVE."""
-    pairs = _minhash_pairs(spark, sf_dir)
+    # Materialize the (tiny) edge list before recursing — the UnionLoop
+    # references the view once per iteration, and without the checkpoint
+    # each round re-executes the entire signature+banding pipeline
+    # (measured 10.4s -> 0.64s at sf0.1). Same idiom as the CC loop's
+    # edges.localCheckpoint().
+    pairs = _minhash_pairs(spark, sf_dir).localCheckpoint()
     pairs.createOrReplaceTempView('cb_neardup_edges')
     return spark.sql(
         """
