@@ -600,10 +600,13 @@ def test_band_diagnostics_is_aggregation_only(spark):
 
 def test_phash_dedup_band_join_never_ships_pixels(spark):
     """The hamming candidate join must key on the 16-bit band buckets (a
-    hash join over narrow rows); pixels stay inside the one mapInPandas
-    pass — the plan has exactly one Python stage and no nested-loop join."""
+    hash join over narrow rows). The decode+hash Python stage runs ONCE,
+    at the checkpoint — the join plan itself contains no Python stage at
+    all (both sides read the materialized 8-byte hash table) and no
+    nested-loop join."""
     raw = raw_plan_of(spark, 'multimodal_phash_dedup')
-    assert raw.count('MapInPandas') == 2  # self-join: both sides reference it
+    assert 'MapInPandas' not in raw  # ran once, upstream of the checkpoint
+    assert 'ExistingRDD' in raw
     assert 'NestedLoop' not in raw
     assert 'SortMergeJoin' in raw or 'BroadcastHashJoin' in raw
 
