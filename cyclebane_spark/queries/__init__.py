@@ -181,6 +181,7 @@ _PRIORITY = (
     'dedup_containment_pairs',
     'pipeline_dataset_card',
     'pipeline_mix_weights',
+    'dedup_cc_incremental',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

@@ -1759,3 +1759,60 @@ def _containment_pairs(docs, t: float):
     return verified.filter(containment >= t).select(
         'doc_sub', 'doc_super', containment.alias('containment')
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components: maintain yesterday's cluster labels
+# under a batch of late-arriving edges WITHOUT re-running CC over the
+# corpus. New edges are mapped through the existing labels (two equi-joins)
+# and contracted to a components-level graph — cluster ids, not documents —
+# whose CC then runs over a graph proportional to the DELTA's footprint,
+# not the corpus. The relabel join-back is exact because cluster ids are
+# component MINIMA: merging components through contracted edges preserves
+# "label = min member id" (min of mins). At 100 TB this is the difference
+# between an hourly dedup refresh touching the new partition and a full
+# 25-round corpus relabel.
+# The deterministic old/new edge split (any pair touching a doc_id % 7 == 0
+# endpoint arrives "late") exercises real merges at every SF; the oracle is
+# the FULL recompute — incremental maintenance must be invisible in the
+# result.
+# ---------------------------------------------------------------------------
+
+
+@register('dedup_cc_incremental', oracle=_cc_oracle())
+def dedup_cc_incremental(spark, sf_dir):
+    """Delta-proportional CC maintenance (see the module note): old-edge
+    labels + contracted-graph CC over the new batch == full recompute."""
+    pairs = _minhash_pairs(spark, sf_dir).localCheckpoint()
+    late = (F.col('doc_a') % 7 == 0) | (F.col('doc_b') % 7 == 0)
+    old_edges = pairs.filter(~late)
+    new_edges = pairs.filter(late)
+
+    nodes = table(spark, sf_dir, 'documents').select('doc_id')
+    # "Yesterday's" state: labels over the old edge set.
+    base = _connected_components(old_edges, nodes, 'doc_a', 'doc_b', 'doc_id')
+
+    # Contract: new edges expressed between existing cluster ids.
+    la = base.select(
+        F.col('doc_id').alias('doc_a'), F.col('cluster_id').alias('ca')
+    )
+    lb = base.select(
+        F.col('doc_id').alias('doc_b'), F.col('cluster_id').alias('cb')
+    )
+    contracted = (
+        new_edges.join(la, 'doc_a')
+        .join(lb, 'doc_b')
+        .filter(F.col('ca') != F.col('cb'))
+        .select('ca', 'cb')
+        .distinct()
+    )
+    cl_nodes = base.select(F.col('cluster_id').alias('cid')).distinct()
+    merged = _connected_components(contracted, cl_nodes, 'ca', 'cb', 'cid')
+
+    relabel = merged.select(
+        F.col('cid').alias('old_label'),
+        F.col('cluster_id').alias('new_label'),
+    )
+    return base.join(
+        relabel, base['cluster_id'] == relabel['old_label']
+    ).select('doc_id', F.col('new_label').alias('cluster_id'))

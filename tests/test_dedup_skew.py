@@ -363,3 +363,53 @@ def test_containment_matches_brute_force(spark, t):
     assert set(got) == set(want), (set(got) ^ set(want))
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_incremental_cc_merges_across_batches(spark):
+    """Incremental maintenance must be invisible in the result: old-edge
+    labels + contracted-graph CC over the late batch == full CC. The
+    synthetic graph forces a real merge: components {1,2} and {3,4} exist
+    before the late edge (2,3) bridges them, and an untouched component
+    {10,11} must keep its label without re-iteration."""
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.queries.dedup import _connected_components
+
+    all_edges = spark.createDataFrame(
+        [(1, 2), (3, 4), (2, 3), (10, 11)], 'doc_a long, doc_b long'
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20)], 'doc_id long'
+    )
+    late = (F.col('doc_a') == 2) & (F.col('doc_b') == 3)
+    base = _connected_components(
+        all_edges.filter(~late), nodes, 'doc_a', 'doc_b', 'doc_id'
+    )
+    la = base.select(F.col('doc_id').alias('doc_a'), F.col('cluster_id').alias('ca'))
+    lb = base.select(F.col('doc_id').alias('doc_b'), F.col('cluster_id').alias('cb'))
+    contracted = (
+        all_edges.filter(late)
+        .join(la, 'doc_a').join(lb, 'doc_b')
+        .filter(F.col('ca') != F.col('cb'))
+        .select('ca', 'cb').distinct()
+    )
+    cl_nodes = base.select(F.col('cluster_id').alias('cid')).distinct()
+    merged = _connected_components(contracted, cl_nodes, 'ca', 'cb', 'cid')
+    relabel = merged.select(
+        F.col('cid').alias('old_label'), F.col('cluster_id').alias('new_label')
+    )
+    got = {
+        r.doc_id: r.new_label
+        for r in base.join(relabel, base['cluster_id'] == relabel['old_label'])
+        .select('doc_id', 'new_label').collect()
+    }
+    full = {
+        r.doc_id: r.cluster_id
+        for r in _connected_components(
+            all_edges, nodes, 'doc_a', 'doc_b', 'doc_id'
+        ).collect()
+    }
+    assert got == full
+    assert got[4] == 1      # bridged through the late edge
+    assert got[11] == 10    # untouched component keeps its label
+    assert got[20] == 20    # singleton

@@ -302,6 +302,7 @@ EXTRA = (
     'dedup_containment_pairs',
     'pipeline_dataset_card',
     'pipeline_mix_weights',
+    'dedup_cc_incremental',
 )
 
 
