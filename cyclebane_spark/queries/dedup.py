@@ -1689,21 +1689,48 @@ def _containment_pairs(docs, t: float):
     containment) for every ordered pair with distinct-3-gram containment
     |sub ∩ super| / |sub| >= ``t``. Exact — property-tested against brute
     force on adversarial corpora (tests/test_dedup_skew.py).
+
+    Shape (sf1 profile drove each choice; was 23.7s, see git history):
+
+    - The per-doc shingle ARRAY table (1 row/doc, sorted array + its
+      size) is computed once and persisted: tokenize+shingle is the
+      single most expensive projection in the query and the old plan
+      recomputed it four times (~4s/pass at sf1). The array row is what
+      verification needs anyway, and ``n = size(arr)`` makes the
+      separate per-doc count aggregation (and its broadcast) free. At
+      100 TB the persist becomes a scratch-parquet materialization —
+      1 row/doc, roughly text-sized — the standard shape for a
+      multi-consumer intermediate.
+    - Document frequency comes from a map-side-combinable
+      ``groupBy(s).count()`` joined back on s, NOT a
+      ``count over (partition by s)`` window: the window sorts the full
+      2.6M-row stream; the aggregate shrinks it to the 725k-row vocab
+      before the join.
+    - The only remaining window is the per-doc rarest-first rank that
+      picks the prefix — partitioned by doc_id, never global. The
+      rarest-first ORDER is a pure candidate-count optimization: the
+      prefix-filter guarantee (C >= t forces any |A|-ceil(t|A|)+1
+      shingles of A to intersect B) holds for ANY fixed prefix, so
+      correctness never depends on df.
     """
     from pyspark.sql import Window
-    # _spark_shingles is per-doc DISTINCT by construction, so the exploded
-    # (doc_id, s) stream needs no dedup shuffle.
-    sh = docs.select('doc_id', F.explode(_spark_shingles(3)).alias('s'))
 
-    by_s = Window.partitionBy('s')
+    # _spark_shingles is per-doc DISTINCT by construction, so the exploded
+    # (doc_id, s) stream needs no dedup shuffle. array_sort makes the
+    # verification intersect a sorted-merge rather than a hash probe and
+    # costs one in-memory sort of an already-persisted row.
+    arrs = docs.select(
+        'doc_id', F.array_sort(_spark_shingles(3)).alias('arr')
+    ).withColumn('n', F.size('arr'))
+    arrs.persist()
+
+    sh = arrs.select('doc_id', 'n', F.explode('arr').alias('s'))
+
+    dfs = sh.groupBy('s').agg(F.count(F.lit(1)).alias('df'))
     by_doc = Window.partitionBy('doc_id')
-    ranked = (
-        sh.withColumn('df', F.count(F.lit(1)).over(by_s))
-        .withColumn('n', F.count(F.lit(1)).over(by_doc))
-        .withColumn(
-            'pos',
-            F.row_number().over(by_doc.orderBy(F.asc('df'), F.asc('s'))),
-        )
+    ranked = sh.join(dfs, 's').withColumn(
+        'pos',
+        F.row_number().over(by_doc.orderBy(F.asc('df'), F.asc('s'))),
     )
     prefix = ranked.filter(
         F.col('pos')
@@ -1712,22 +1739,16 @@ def _containment_pairs(docs, t: float):
 
     # The one length filter containment admits: C >= t forces B to hold at
     # least t*|A| of A's shingles, so |B| >= t*|A| (no upper bound — any
-    # B may contain a small A). n_b rides the index stream via a broadcast
-    # join of the per-doc size table (doc-count-sized, not stream-sized) —
-    # re-running the rank windows on the index side just for n would cost
-    # more than the filter saves.
-    doc_n = F.broadcast(
-        sh.groupBy('doc_id').agg(F.count(F.lit(1)).alias('nb'))
-    )
-    index = sh.join(doc_n, 'doc_id')
+    # B may contain a small A). n rides the index stream straight off the
+    # persisted array row — no per-doc count aggregation needed.
     cand = (
         prefix.alias('a')
         .join(
-            index.alias('b'),
+            sh.alias('b'),
             (F.col('a.s') == F.col('b.s'))
             & (F.col('a.doc_id') != F.col('b.doc_id'))
             & (
-                F.col('b.nb').cast('double')
+                F.col('b.n').cast('double')
                 >= F.lit(t) * F.col('a.n')
             ),
         )
@@ -1738,16 +1759,19 @@ def _containment_pairs(docs, t: float):
         .distinct()
     )
 
-    # Verification sets aggregate the exploded STRING stream rather than
-    # projecting arrays straight off the doc rows: an aggregate is a
-    # pushdown barrier, so the join's inferred isnotnull filters cannot
-    # drag the whole shingle expression below the repartition into the
-    # single-split parquet scan (measured: that serializes the corpus-wide
-    # gram compute into one task).
-    sets = sh.groupBy('doc_id').agg(
-        F.collect_list('s').alias('arr'), F.count(F.lit(1)).alias('n')
-    )
-    sa, sb = sets.alias('sa'), sets.alias('sb')
+    # Verification joins the candidate pairs back to the persisted array
+    # rows — the persist is also the pushdown barrier that keeps the
+    # join's inferred isnotnull filters from dragging the whole shingle
+    # expression below the repartition into the single-split parquet scan
+    # (measured: that serializes the corpus-wide gram compute into one
+    # task). The array side is broadcast-PINNED: cold-stats AQE picks
+    # sort-merge here, and SMJ sorts the first join's OUTPUT — candidate
+    # pairs already widened by a ~1.3KB shingle array each (2.3GB of sort
+    # spill at sf1; measured 92s vs 9s). The broadcast table is 1 row/doc
+    # of arrays (65MB at sf1); where the corpus outgrows broadcast, the
+    # same plan wants a shuffle-HASH join on doc_id (hash, not merge —
+    # it's the sort of wide rows, not the shuffle, that kills).
+    sa, sb = F.broadcast(arrs).alias('sa'), F.broadcast(arrs).alias('sb')
     verified = (
         cand.join(sa, F.col('doc_sub') == F.col('sa.doc_id'))
         .join(sb, F.col('doc_super') == F.col('sb.doc_id'))
