@@ -182,6 +182,10 @@ _PRIORITY = (
     'pipeline_dataset_card',
     'pipeline_mix_weights',
     'dedup_cc_incremental',
+    'ann_hard_negatives',
+    'sketch_cms_frequency',
+    'pipeline_target_encoding',
+    'graph_kcore_peel',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

@@ -1840,3 +1840,77 @@ def dedup_cc_incremental(spark, sf_dir):
     return base.join(
         relabel, base['cluster_id'] == relabel['old_label']
     ).select('doc_id', F.col('new_label').alias('cluster_id'))
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the near-dup candidate graph: iteratively remove
+# nodes with degree < k until the k-core remains. The k-core is the dense
+# region — boilerplate families, template farms — where pair-level dedup
+# underestimates cluster mass; peeling separates it from incidental
+# near-dup edges. Fixed 3 rounds of the 2-core, unrolled (the pagerank
+# pattern: a deterministic round count keeps the oracle expressible as
+# chained CTEs; real corpora converge in a handful of rounds because near-
+# dup graphs are shallow). Per round: one degree aggregation (count per
+# endpoint over the current edge list) + two semi-joins restricting edges
+# to surviving nodes — every shuffle is edge-list-sized, never corpus-
+# sized, and each round's edge list is checkpointed so lineage (and
+# failure replay) stays one round deep, same as the CC loop.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _sql_kcore_round(r: int) -> str:
+    prev = f'e{r - 1}'
+    return f""",
+    d{r} AS (
+        SELECT v, COUNT(*) AS deg FROM (
+            SELECT doc_a AS v FROM {prev}
+            UNION ALL SELECT doc_b AS v FROM {prev}
+        ) GROUP BY v
+    ),
+    v{r} AS (SELECT v FROM d{r} WHERE deg >= {_KCORE_K}),
+    e{r} AS (
+        SELECT doc_a, doc_b FROM {prev}
+        WHERE doc_a IN (SELECT v FROM v{r})
+          AND doc_b IN (SELECT v FROM v{r})
+    )"""
+
+
+@register(
+    'graph_kcore_peel',
+    oracle=_minhash_ctes()
+    + ',\n    e0 AS (SELECT doc_a, doc_b FROM pairs)'
+    + ''.join(_sql_kcore_round(r) for r in range(1, _KCORE_ROUNDS + 1))
+    + f"""
+    SELECT v AS doc_id, COUNT(*) AS deg FROM (
+        SELECT doc_a AS v FROM e{_KCORE_ROUNDS}
+        UNION ALL SELECT doc_b AS v FROM e{_KCORE_ROUNDS}
+    ) GROUP BY v
+    """,
+)
+def graph_kcore_peel(spark, sf_dir):
+    """3 unrolled peeling rounds of the 2-core over the LSH candidate
+    graph; returns each surviving node with its final-round degree (see
+    the module note)."""
+    edges = _minhash_pairs(spark, sf_dir).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col('doc_a').alias('v'))
+            .union(edges.select(F.col('doc_b').alias('v')))
+            .groupBy('v')
+            .agg(F.count(F.lit(1)).alias('deg'))
+        )
+        keep = deg.filter(F.col('deg') >= _KCORE_K).select('v')
+        edges = (
+            edges.join(keep.withColumnRenamed('v', 'doc_a'), 'doc_a', 'semi')
+            .join(keep.withColumnRenamed('v', 'doc_b'), 'doc_b', 'semi')
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.col('doc_a').alias('doc_id'))
+        .union(edges.select(F.col('doc_b').alias('doc_id')))
+        .groupBy('doc_id')
+        .agg(F.count(F.lit(1)).alias('deg'))
+    )

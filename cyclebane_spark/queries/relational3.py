@@ -16,7 +16,7 @@ from pyspark.sql import Window
 
 from ..tables import table
 from . import register
-from ._helpers import davg, dsum, sql_davg, sql_dsum
+from ._helpers import DEC, davg, dsum, sql_davg, sql_dsum
 
 # ---------------------------------------------------------------------------
 # TPC-H Q7 shape: volume shipping between a nation pair.
@@ -1927,4 +1927,149 @@ def join_bloom_prefilter(spark, sf_dir):
     return exact.groupBy('o_orderpriority').agg(
         F.count(F.lit(1)).alias('n_orders'),
         dsum('o_totalprice').alias('revenue'),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the mergeable FREQUENCY sketch (HLL counts distinct,
+# CMS counts occurrences). d=4 hash rows x w=256 buckets of integer
+# counters; est(term) = min over rows of counter[row][bucket_row(term)] —
+# always >= the true count, over only by colliding terms' mass. The
+# counter matrix is FIXED SIZE and map-side combinable (a groupBy over
+# (row, bucket)), which is the whole point at 100 TB: the term stream
+# aggregates into d*w cells regardless of vocabulary size, and partition-
+# local matrices merge by cell-wise addition. The probe pass joins the
+# vocabulary (here: all distinct terms, with their exact counts riding
+# along for the error audit) against the broadcast counter matrix.
+# Buckets derive from md5 — identical hex on both engines — and counters
+# are integers, so estimates match the oracle exactly, including the
+# deterministic collision overestimates.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _sql_cms_bucket(row: str, term: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5({row} || ':' || {term}), 1, 8)) "
+        f'AS BIGINT) % {_CMS_W}'
+    )
+
+
+@register(
+    'sketch_cms_frequency',
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    fanout AS (
+        SELECT term, r, {_sql_cms_bucket('CAST(r AS VARCHAR)', 'term')} AS bucket
+        FROM toks, (SELECT unnest(range({_CMS_D})) AS r)
+    ),
+    counters AS (
+        SELECT r, bucket, COUNT(*) AS cnt FROM fanout GROUP BY r, bucket
+    ),
+    exact AS (SELECT term, COUNT(*) AS exact_cnt FROM toks GROUP BY term),
+    probes AS (
+        SELECT e.term, e.exact_cnt, r,
+               {_sql_cms_bucket('CAST(r AS VARCHAR)', 'e.term')} AS bucket
+        FROM exact e, (SELECT unnest(range({_CMS_D})) AS r)
+    )
+    SELECT p.term,
+           MIN(c.cnt) AS cms_estimate,
+           MIN(p.exact_cnt) AS exact_cnt,
+           CAST(MIN(c.cnt) - MIN(p.exact_cnt) AS BIGINT) AS overestimate
+    FROM probes p JOIN counters c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.term
+    """,
+)
+def sketch_cms_frequency(spark, sf_dir):
+    """Count-min sketch over the corpus term stream, audited per term
+    against the exact count (see the module note)."""
+    docs = table(spark, sf_dir, 'documents')
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('term')
+    )
+
+    def bucket(term):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col('r').cast('string'), F.lit(':'), term)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast('bigint'),
+            F.lit(_CMS_W),
+        )
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias('r')
+    fanout = toks.select('term', rows).withColumn('bucket', bucket(F.col('term')))
+    counters = fanout.groupBy('r', 'bucket').agg(F.count(F.lit(1)).alias('cnt'))
+
+    exact = toks.groupBy('term').agg(F.count(F.lit(1)).alias('exact_cnt'))
+    probes = exact.select('term', 'exact_cnt', rows).withColumn(
+        'bucket', bucket(F.col('term'))
+    )
+    return (
+        probes.join(F.broadcast(counters), ['r', 'bucket'])
+        .groupBy('term')
+        .agg(
+            F.min('cnt').alias('cms_estimate'),
+            F.min('exact_cnt').alias('exact_cnt'),
+            (F.min('cnt') - F.min('exact_cnt')).cast('bigint').alias('overestimate'),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding: the standard high-cardinality categorical
+# feature for gradient-boosted / linear models — encode each row's category
+# by the mean target of the OTHER rows in that category, so the feature
+# never leaks the row's own label. enc(row) = (sum(target|cat) - target) /
+# (n(cat) - 1); singleton categories encode NULL (no leak-free estimate
+# exists). Scale: one partial-agg shuffle builds the per-category (sum, n)
+# table — categories-sized, broadcast back into a stateless projection.
+# Exactness: the sum is an order-independent DECIMAL accumulator; the
+# subtraction stays in decimal, and the single divide runs on identical
+# IEEE operands in both engines (the _helpers.py discipline).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'pipeline_target_encoding',
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment,
+               SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS s,
+               COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_custkey, c.c_mktsegment,
+           CAST(s - CAST(c_acctbal AS DECIMAL(28,6)) AS DOUBLE)
+               / NULLIF(n - 1, 0) AS loo_enc
+    FROM customer c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+    """,
+)
+def pipeline_target_encoding(spark, sf_dir):
+    """Leak-free LOO target encoding of c_mktsegment against c_acctbal
+    (see the module note)."""
+    cust = table(spark, sf_dir, 'customer')
+    dec = F.col('c_acctbal').cast(DEC)
+    seg = F.broadcast(
+        cust.groupBy('c_mktsegment').agg(
+            F.sum(dec).alias('s'), F.count(F.lit(1)).alias('n')
+        )
+    )
+    return cust.join(seg, 'c_mktsegment').select(
+        'c_custkey',
+        'c_mktsegment',
+        (
+            (F.col('s') - dec).cast('double')
+            / F.nullif(F.col('n') - 1, F.lit(0))
+        ).alias('loo_enc'),
     )

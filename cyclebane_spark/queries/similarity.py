@@ -1469,3 +1469,93 @@ def pipeline_rrf_fusion(spark, sf_dir):
         fused.withColumn('rk', F.row_number().over(wf).cast('long'))
         .filter(F.col('rk') <= _RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive / triplet training: for each anchor
+# (query vector), the top-k HIGHEST-cosine corpus vectors whose label
+# differs from the anchor's — the negatives a contrastive loss learns the
+# most from — plus the triplet margin against the anchor's best positive
+# (margin > 0 = this negative currently outranks every positive: a loss
+# violator). This is the mining pass of every embedding-training pipeline;
+# run per epoch over the full corpus it is the dominant data job.
+# Scale: the anchor side is Q rows and broadcasts; the corpus never
+# shuffles (one scan computes all cosines, the per-anchor top-k is a
+# Q-partitioned window over Q x N rows). The best-positive table is Q rows
+# and broadcasts back into the negative stream. margin subtracts two
+# round(.,9) cosines — identical operands on both engines, exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'ann_hard_negatives',
+    oracle=f"""{_SQL_NORMED},
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS neighbor_id, c.label AS n_label,
+               {_SQL_COS} AS cosine
+        FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ),
+    best_pos AS (
+        SELECT query_id, MAX(cosine) AS best_pos_cos
+        FROM scored WHERE n_label = q_label GROUP BY query_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           (cosine - best_pos_cos) AS margin, rk
+    FROM (
+        SELECT s.query_id, s.neighbor_id, s.cosine, b.best_pos_cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY s.cosine DESC, s.neighbor_id
+               ) AS rk
+        FROM scored s JOIN best_pos b ON s.query_id = b.query_id
+        WHERE s.n_label <> s.q_label
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Per-anchor hardest cross-label negatives with triplet margins (see
+    the module note). One corpus scan; anchors and best-positive table
+    broadcast."""
+    emb = table(spark, sf_dir, 'embeddings')
+    n = emb.select(
+        'vec_id',
+        'label',
+        'embedding',
+        F.sqrt(_spark_dot(F.col('embedding'), F.col('embedding'))).alias('nrm'),
+    )
+    q = n.filter(F.col('vec_id') < N_QUERIES).alias('q')
+    c = n.filter(F.col('vec_id') >= N_QUERIES).alias('c')
+    cos = F.round(
+        _spark_dot(F.col('q.embedding'), F.col('c.embedding'))
+        / (F.col('q.nrm') * F.col('c.nrm')),
+        9,
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        F.col('q.vec_id').alias('query_id'),
+        F.col('q.label').alias('q_label'),
+        F.col('c.vec_id').alias('neighbor_id'),
+        F.col('c.label').alias('n_label'),
+        cos.alias('cosine'),
+    )
+    best_pos = F.broadcast(
+        scored.filter(F.col('n_label') == F.col('q_label'))
+        .groupBy('query_id')
+        .agg(F.max('cosine').alias('best_pos_cos'))
+    )
+    w = Window.partitionBy('query_id').orderBy(
+        F.desc('cosine'), F.asc('neighbor_id')
+    )
+    return (
+        scored.filter(F.col('n_label') != F.col('q_label'))
+        .join(best_pos, 'query_id')
+        .withColumn('rk', F.row_number().over(w).cast('long'))
+        .filter(F.col('rk') <= TOP_K)
+        .select(
+            'query_id',
+            'neighbor_id',
+            'cosine',
+            (F.col('cosine') - F.col('best_pos_cos')).alias('margin'),
+            'rk',
+        )
+    )

@@ -300,3 +300,116 @@ def test_largestar_cc_agrees_with_label_propagation_on_adversarial_graphs(spark)
     assert ls[40] == 20 and ls[21] == 20  # chain collapses to its min
     assert ls[99] == 90  # star re-roots at the MIN member, not the hub
     assert ls[7] == 7 and ls[8] == 8  # singletons self-label
+
+
+def test_hard_negatives_margins_and_labels(spark):
+    """Every mined negative must (a) carry a label different from its
+    anchor's, (b) rank below no same-label vector it beats on margin:
+    margin > 0 iff the negative's cosine exceeds the anchor's best
+    positive. Verified against a numpy brute force."""
+    import numpy as np
+
+    out = queries()['ann_hard_negatives'](spark, SF_DIR).collect()
+    import duckdb
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    vecs = {r[0]: (r[1], np.array(r[2])) for r in emb}
+    for r in out:
+        ql, qv = vecs[r.query_id]
+        nl, nv = vecs[r.neighbor_id]
+        assert nl != ql, (r.query_id, r.neighbor_id)
+        cos = round(
+            float(qv @ nv) / (np.sqrt(qv @ qv) * np.sqrt(nv @ nv)), 9
+        )
+        assert abs(cos - r.cosine) < 1e-9
+        best_pos = max(
+            round(float(qv @ v) / (np.sqrt(qv @ qv) * np.sqrt(v @ v)), 9)
+            for vid, (lb, v) in vecs.items()
+            if vid >= 5 and lb == ql
+        )
+        assert abs((r.cosine - best_pos) - r.margin) < 1e-9
+    # per anchor: exactly top-k, ranked by cosine desc
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            rows[i].cosine >= rows[i + 1].cosine for i in range(len(rows) - 1)
+        )
+
+
+def test_cms_never_underestimates(spark):
+    """The count-min guarantee: est >= exact for every term, and the
+    counter matrix the estimates come from is fixed-size (<= d*w cells)
+    regardless of vocabulary."""
+    out = queries()['sketch_cms_frequency'](spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.cms_estimate >= r.exact_cnt, r.term
+        assert r.overestimate == r.cms_estimate - r.exact_cnt
+    # total exact mass equals the token count of the corpus
+    import duckdb
+
+    n_toks = duckdb.sql(
+        f"SELECT SUM(len(string_split_regex(trim(text), '\\s+'))) FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r.exact_cnt for r in out) == n_toks
+
+
+def test_target_encoding_is_leave_one_out(spark):
+    """enc(row) must equal the mean target of the OTHER rows in the
+    row's segment — recomputed independently from the raw table."""
+    import duckdb
+
+    out = {
+        r.c_custkey: (r.c_mktsegment, r.loo_enc)
+        for r in queries()['pipeline_target_encoding'](spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT c_custkey, c_mktsegment, c_acctbal FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchall()
+    by_seg = {}
+    for _, seg, bal in rows:
+        by_seg.setdefault(seg, []).append(bal)
+    for key, seg, bal in rows:
+        others = [b for b in by_seg[seg]]
+        others.remove(bal)  # one instance only
+        want = sum(others) / len(others)
+        got = out[key][1]
+        assert out[key][0] == seg
+        assert abs(got - want) < 1e-6, (key, got, want)
+
+
+def test_kcore_peel_on_synthetic_graph(spark):
+    """Hand-built graph: a triangle {1,2,3} (its own 2-core) with a
+    pendant chain 3-4-5 that must peel away: round 1 drops 5 (deg 1),
+    round 2 drops 4, round 3 confirms the triangle. Checked by running
+    the same unrolled rounds the query uses over an injected edge list."""
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.queries.dedup import _KCORE_K, _KCORE_ROUNDS
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], 'doc_a long, doc_b long'
+    ).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col('doc_a').alias('v'))
+            .union(edges.select(F.col('doc_b').alias('v')))
+            .groupBy('v').agg(F.count(F.lit(1)).alias('deg'))
+        )
+        keep = deg.filter(F.col('deg') >= _KCORE_K).select('v')
+        edges = (
+            edges.join(keep.withColumnRenamed('v', 'doc_a'), 'doc_a', 'semi')
+            .join(keep.withColumnRenamed('v', 'doc_b'), 'doc_b', 'semi')
+            .localCheckpoint()
+        )
+    got = {(r.doc_a, r.doc_b) for r in edges.collect()}
+    assert got == {(1, 2), (2, 3), (1, 3)}

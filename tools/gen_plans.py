@@ -303,6 +303,10 @@ EXTRA = (
     'pipeline_dataset_card',
     'pipeline_mix_weights',
     'dedup_cc_incremental',
+    'ann_hard_negatives',
+    'sketch_cms_frequency',
+    'pipeline_target_encoding',
+    'graph_kcore_peel',
 )
 
 
