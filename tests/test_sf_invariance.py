@@ -54,6 +54,8 @@ QUERIES = (
     'dedup_tf_cosine_pairs',        # cos^2 top-k ties at denser term overlap
     'pipeline_rrf_fusion',          # fused-rank ties across two lists
     'multimodal_phash_dedup',       # hamming-radius ties at denser corpora
+    'ann_hard_negatives',           # rounded-cosine rank ties at denser corpora
+    'sketch_cms_frequency',         # collision mass shifts with vocab density
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')
