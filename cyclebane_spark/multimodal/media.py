@@ -28,11 +28,13 @@ from pyspark.sql import DataFrame
 IMG_MAGIC = b'FAKEIMG1'
 AUD_MAGIC = b'FAKEAUD1'
 VID_MAGIC = b'FAKEVID1'
+SCV_MAGIC = b'FAKESCV1'
 
 IMAGE_META_SCHEMA = 'mime string, width int, height int, n_bytes int'
 DECODED_SCHEMA = 'doc_id long, width int, height int, mean_intensity double'
 RESIZED_SCHEMA = 'doc_id long, width int, height int, pixels array<double>'
 FRAME_SCHEMA = 'doc_id long, frame_idx int, frame_mean double'
+SCENE_CUT_SCHEMA = 'doc_id long, cut_idx int, frame_dist double'
 AUDIO_FEATURES_SCHEMA = (
     'doc_id long, sample_rate int, n_samples int, rms double, zero_crossings int'
 )
@@ -51,6 +53,18 @@ def fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
 
 def fake_video(width: int, height: int, n_frames: int, seed: int) -> bytes:
     return VID_MAGIC + struct.pack('<iiiq', width, height, n_frames, seed)
+
+
+def fake_scene_video(
+    width: int, height: int, n_frames: int, scene_len: int, seed: int
+) -> bytes:
+    """A scene-structured stub video: frames within one scene decode to
+    IDENTICAL pixels (frame seed = seed + scene index), so consecutive
+    frames differ exactly at scene boundaries — what a real codec's
+    I-frame boundaries look like to a pixel-difference detector."""
+    return SCV_MAGIC + struct.pack(
+        '<iiiiq', width, height, n_frames, scene_len, seed
+    )
 
 
 def _pixels(width: int, height: int, seed: int) -> np.ndarray:
@@ -209,6 +223,62 @@ def sample_frames(
             )
 
     return df.select('doc_id', col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+def with_fake_scene_videos(docs: DataFrame) -> DataFrame:
+    """Deterministic scene-structured video column; frame count and scene
+    length derive from doc fields so the cut skeleton has a relational
+    oracle."""
+
+    @F.pandas_udf('binary')
+    def build(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                fake_scene_video(
+                    16 + int(n) % 9,
+                    16 + int(d) % 7,
+                    6 + int(d) % 7,
+                    2 + int(d) % 3,
+                    int(d),
+                )
+                for d, n in zip(doc_id, n_chars)
+            ]
+        )
+
+    return docs.withColumn('video', build('doc_id', 'n_chars'))
+
+
+def scene_cuts(
+    df: DataFrame, threshold: float = 0.01, col: str = 'video'
+) -> DataFrame:
+    """Scene-change detection: decode consecutive frames, emit one row per
+    cut (mean |pixel delta| > threshold). The detector is structure-
+    agnostic — it thresholds measured frame distances; it does not read
+    the scene length from the header. Fan-out per Arrow batch on the
+    executors, no shuffle."""
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf['doc_id'], pdf[col]):
+                b = bytes(b)
+                if b[:8] != SCV_MAGIC:
+                    raise NotImplementedError('unsupported video format')
+                w, h, n_frames, scene_len, seed = struct.unpack(
+                    '<iiiiq', b[8:32]
+                )
+                prev = _pixels(w, h, seed)
+                for idx in range(1, n_frames):
+                    cur = _pixels(w, h, seed + idx // scene_len)
+                    dist = float(np.abs(cur - prev).mean())
+                    if dist > threshold:
+                        rows.append((doc_id, idx, dist))
+                    prev = cur
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'cut_idx', 'frame_dist']
+            )
+
+    return df.select('doc_id', col).mapInPandas(detect, SCENE_CUT_SCHEMA)
 
 
 def audio_features(df: DataFrame, col: str = 'audio') -> DataFrame:

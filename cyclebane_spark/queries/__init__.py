@@ -186,6 +186,7 @@ _PRIORITY = (
     'sketch_cms_frequency',
     'pipeline_target_encoding',
     'graph_kcore_peel',
+    'multimodal_scene_cuts',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

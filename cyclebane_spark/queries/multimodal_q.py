@@ -334,3 +334,32 @@ def multimodal_phash_dedup(spark, sf_dir):
     )
     ham = F.bit_count(F.col('pa').bitwiseXOR(F.col('pb')))
     return cand.filter(ham <= _PHASH_RADIUS).select('doc_a', 'doc_b')
+
+
+@register(
+    'multimodal_scene_cuts',
+    oracle="""
+    SELECT doc_id,
+           CAST(unnest(generate_series(
+               CAST(2 + doc_id % 3 AS INT),
+               CAST(6 + doc_id % 7 AS INT) - 1,
+               CAST(2 + doc_id % 3 AS INT)
+           )) AS INT) AS cut_idx
+    FROM documents
+    """,
+)
+def multimodal_scene_cuts(spark, sf_dir):
+    """Scene-change detection over stub videos: mapInPandas decodes
+    consecutive frames and thresholds the mean |pixel delta| — the
+    detector never reads scene positions from the header. The cut
+    skeleton (doc_id, cut_idx) has an exact relational oracle because
+    the synthetic scene structure derives from document fields: scenes
+    of length 2 + doc_id % 3 over 6 + doc_id % 7 frames put a cut at
+    every scene-length multiple. frame_dist values are numpy-only and
+    asserted in tests/test_multimodal.py. Scale: like frame sampling —
+    per-Arrow-batch fan-out on executors, zero shuffle.
+    """
+    from ..multimodal.media import scene_cuts, with_fake_scene_videos
+
+    docs = table(spark, sf_dir, 'documents')
+    return scene_cuts(with_fake_scene_videos(docs)).select('doc_id', 'cut_idx')

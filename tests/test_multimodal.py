@@ -173,3 +173,36 @@ def test_ahash_deterministic(spark):
         ).collect()
     ]
     assert a == b
+
+
+def test_scene_cut_distances_zero_within_scenes(spark):
+    """Within a scene consecutive frames decode identically (distance
+    exactly 0 — never emitted); at boundaries the distance is the mean
+    |delta| of two independent uniform frames (~1/3, far above the 0.01
+    threshold). Verified against a direct numpy recompute per video."""
+    import numpy as np
+
+    from cyclebane_spark.multimodal.media import (
+        _pixels,
+        scene_cuts,
+        with_fake_scene_videos,
+    )
+    from cyclebane_spark.tables import table
+
+    docs = table(spark, '/root/testdata/sf0.001', 'documents').limit(40)
+    out = scene_cuts(with_fake_scene_videos(docs)).collect()
+    rows = {(r.doc_id, r.cut_idx): r.frame_dist for r in out}
+    meta = {r.doc_id: r.n_chars for r in docs.select('doc_id', 'n_chars').collect()}
+    for d, n in meta.items():
+        w, h = 16 + int(n) % 9, 16 + int(d) % 7
+        n_frames, scene_len, seed = 6 + d % 7, 2 + d % 3, d
+        for idx in range(1, n_frames):
+            cur = _pixels(w, h, seed + idx // scene_len)
+            prev = _pixels(w, h, seed + (idx - 1) // scene_len)
+            dist = float(np.abs(cur - prev).mean())
+            if idx % scene_len == 0:
+                assert abs(rows[(d, idx)] - dist) < 1e-12
+                assert dist > 0.2  # two independent frames: ~1/3
+            else:
+                assert dist == 0.0
+                assert (d, idx) not in rows

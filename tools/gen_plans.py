@@ -307,6 +307,7 @@ EXTRA = (
     'sketch_cms_frequency',
     'pipeline_target_encoding',
     'graph_kcore_peel',
+    'multimodal_scene_cuts',
 )
 
 
