@@ -1653,3 +1653,116 @@ def events_skew_profile(spark, sf_dir):
             / n_rows.cast('double')
         ).alias('skew_ratio'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join via bucket blocking: sessions x incident windows.
+# Spark has no native interval join, and the naive statement (a theta join
+# on s_start <= i_end AND i_start <= s_end) degenerates to a broadcast
+# nested loop — O(S x I) comparisons. The scale path decomposes each
+# interval into the fixed-width time buckets it covers (sequence+explode:
+# an interval of length L yields L/bucket + 1 rows), equi-joins on the
+# bucket, re-checks the EXACT overlap predicate, and dedups pairs that
+# co-occur in several buckets. Recall is exact by construction: two
+# intervals overlapping at instant t both cover t's bucket. Bucket width
+# trades fan-out against join selectivity — hour buckets fit the 10-60 min
+# intervals here; a production deploy picks width ~ median interval length.
+# Overlap duration is exact integer microseconds (epoch-micros arithmetic,
+# identical in both engines).
+# ---------------------------------------------------------------------------
+
+
+_SQL_SESSION_IVALS = """
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id,
+               ts
+        FROM flagged
+    ), sess AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM sessions GROUP BY user_id, session_id
+    ), incidents AS (
+        SELECT event_id AS incident_id, ts AS i_start,
+               ts + INTERVAL '10 minutes' AS i_end
+        FROM events WHERE event_type = 'error'
+    )"""
+
+
+@register(
+    'join_interval_bucketed',
+    oracle=f"""
+    WITH {_SQL_SESSION_IVALS}
+    SELECT user_id, session_id, incident_id,
+           (epoch_us(CASE WHEN s_end < i_end THEN s_end ELSE i_end END)
+            - epoch_us(CASE WHEN s_start > i_start THEN s_start ELSE i_start END))
+               AS overlap_us
+    FROM sess JOIN incidents
+      ON s_start <= i_end AND i_start <= s_end
+    """,
+)
+def join_interval_bucketed(spark, sf_dir):
+    """Session-x-incident interval overlap join, bucket-blocked (see the
+    module note). The oracle states the same pair set as a plain theta
+    join."""
+    ev = table(spark, sf_dir, 'events')
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag('ts').over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col('ts') > prev_ts + F.expr("INTERVAL '30' MINUTE")),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.select('user_id', 'event_id', 'ts')
+        .withColumn('new_session', new_session)
+        .withColumn('session_id', F.sum('new_session').over(cum))
+        .groupBy('user_id', 'session_id')
+        .agg(F.min('ts').alias('s_start'), F.max('ts').alias('s_end'))
+    )
+    inc = ev.filter(F.col('event_type') == 'error').select(
+        F.col('event_id').alias('incident_id'),
+        F.col('ts').alias('i_start'),
+        (F.col('ts') + F.expr("INTERVAL '10' MINUTE")).alias('i_end'),
+    )
+
+    def buckets(start, end):
+        return F.explode(
+            F.sequence(
+                F.date_trunc('hour', start).cast('timestamp_ntz'),
+                F.date_trunc('hour', end).cast('timestamp_ntz'),
+                F.expr("INTERVAL '1' HOUR"),
+            )
+        )
+
+    sb = sess.withColumn('bucket', buckets(F.col('s_start'), F.col('s_end')))
+    ib = inc.withColumn('bucket', buckets(F.col('i_start'), F.col('i_end')))
+    overlap = (F.col('s_start') <= F.col('i_end')) & (
+        F.col('i_start') <= F.col('s_end')
+    )
+    overlap_us = F.unix_micros(
+        F.least('s_end', 'i_end').cast('timestamp')
+    ) - F.unix_micros(F.greatest('s_start', 'i_start').cast('timestamp'))
+    return (
+        sb.join(ib, 'bucket')
+        .filter(overlap)
+        .select('user_id', 'session_id', 'incident_id')
+        .distinct()
+        .join(sess, ['user_id', 'session_id'])
+        .join(inc, 'incident_id')
+        .select(
+            'user_id', 'session_id', 'incident_id',
+            overlap_us.alias('overlap_us'),
+        )
+    )

@@ -2073,3 +2073,52 @@ def pipeline_target_encoding(spark, sf_dir):
             / F.nullif(F.col('n') - 1, F.lit(0))
         ).alias('loo_enc'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth feature binning: bucket a continuous column by its own exact
+# quartile boundaries — the standard monotone-robust discretization for
+# tree/linear models (each bin gets ~25% of the mass regardless of the
+# value distribution). Scale: the boundary row is ONE row (a global
+# percentile aggregate — at 100 TB swap in the mergeable approx_percentile
+# sketch, same plan shape) broadcast into a stateless projection; the fact
+# table never shuffles. Exactness: Spark `percentile` and DuckDB
+# `quantile_cont` share interpolation arithmetic (the percentile_exact
+# pattern), and the bin comparisons then run on identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'pipeline_quantile_bins',
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.50) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CAST(1 + CAST(o_totalprice > q1 AS INT)
+                  + CAST(o_totalprice > q2 AS INT)
+                  + CAST(o_totalprice > q3 AS INT) AS BIGINT) AS price_bin
+    FROM orders, b
+    """,
+)
+def pipeline_quantile_bins(spark, sf_dir):
+    """Quartile binning of o_totalprice against broadcast exact boundaries
+    (see the module note)."""
+    orders = table(spark, sf_dir, 'orders')
+    b = orders.agg(
+        F.expr('percentile(o_totalprice, 0.25)').alias('q1'),
+        F.expr('percentile(o_totalprice, 0.50)').alias('q2'),
+        F.expr('percentile(o_totalprice, 0.75)').alias('q3'),
+    )
+    bin_ = (
+        F.lit(1)
+        + (F.col('o_totalprice') > F.col('q1')).cast('int')
+        + (F.col('o_totalprice') > F.col('q2')).cast('int')
+        + (F.col('o_totalprice') > F.col('q3')).cast('int')
+    ).cast('bigint')
+    return orders.crossJoin(F.broadcast(b)).select(
+        'o_orderkey', bin_.alias('price_bin')
+    )

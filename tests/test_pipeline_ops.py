@@ -413,3 +413,30 @@ def test_kcore_peel_on_synthetic_graph(spark):
         )
     got = {(r.doc_a, r.doc_b) for r in edges.collect()}
     assert got == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_quantile_bins_are_equi_depth_and_monotone(spark):
+    """Each of the four bins holds ~25% of the orders (exact-boundary
+    equi-depth up to ties) and the binning is monotone in the binned
+    value."""
+    out = queries()['pipeline_quantile_bins'](spark, SF_DIR)
+    import duckdb
+
+    prices = dict(
+        duckdb.sql(
+            f"SELECT o_orderkey, o_totalprice FROM "
+            f"read_parquet('{SF_DIR}/orders.parquet')"
+        ).fetchall()
+    )
+    rows = [(r.o_orderkey, r.price_bin) for r in out.collect()]
+    assert len(rows) == len(prices)
+    n = len(rows)
+    from collections import Counter
+
+    shares = Counter(b for _, b in rows)
+    assert set(shares) == {1, 2, 3, 4}
+    for b in shares:
+        assert 0.2 < shares[b] / n < 0.3, (b, shares[b] / n)
+    ranked = sorted(rows, key=lambda kv: prices[kv[0]])
+    bins = [b for _, b in ranked]
+    assert bins == sorted(bins)  # monotone in value

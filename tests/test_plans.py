@@ -626,3 +626,13 @@ def test_dataset_card_single_scan(spark):
     import re as _re
 
     assert len(_re.findall(r'FileScan parquet', raw)) == 1
+
+
+def test_interval_join_is_bucket_blocked(spark):
+    """The interval-overlap join must run as an equi-join on the time
+    bucket with the exact predicate as a residual — never a nested-loop
+    theta join over sessions x incidents."""
+    raw = raw_plan_of(spark, 'join_interval_bucketed')
+    assert 'NestedLoop' not in raw
+    assert 'CartesianProduct' not in raw
+    assert 'SortMergeJoin' in raw or 'BroadcastHashJoin' in raw

@@ -308,6 +308,8 @@ EXTRA = (
     'pipeline_target_encoding',
     'graph_kcore_peel',
     'multimodal_scene_cuts',
+    'join_interval_bucketed',
+    'pipeline_quantile_bins',
 )
 
 
