@@ -29,12 +29,14 @@ IMG_MAGIC = b'FAKEIMG1'
 AUD_MAGIC = b'FAKEAUD1'
 VID_MAGIC = b'FAKEVID1'
 SCV_MAGIC = b'FAKESCV1'
+VAD_MAGIC = b'FAKEVAD1'
 
 IMAGE_META_SCHEMA = 'mime string, width int, height int, n_bytes int'
 DECODED_SCHEMA = 'doc_id long, width int, height int, mean_intensity double'
 RESIZED_SCHEMA = 'doc_id long, width int, height int, pixels array<double>'
 FRAME_SCHEMA = 'doc_id long, frame_idx int, frame_mean double'
 SCENE_CUT_SCHEMA = 'doc_id long, cut_idx int, frame_dist double'
+VAD_SCHEMA = 'doc_id long, start_frame int, end_frame int'
 AUDIO_FEATURES_SCHEMA = (
     'doc_id long, sample_rate int, n_samples int, rms double, zero_crossings int'
 )
@@ -64,6 +66,18 @@ def fake_scene_video(
     I-frame boundaries look like to a pixel-difference detector."""
     return SCV_MAGIC + struct.pack(
         '<iiiiq', width, height, n_frames, scene_len, seed
+    )
+
+
+def fake_vad_audio(
+    sample_rate: int, seg_frames: int, n_segments: int, seed: int
+) -> bytes:
+    """Speech/silence-segmented stub audio: segment i decodes to uniform
+    [-1,1) samples when i's parity matches seed's, digital silence
+    otherwise — what an energy-based voice-activity detector sees at
+    speech boundaries. Segment length is seg_frames 64-sample frames."""
+    return VAD_MAGIC + struct.pack(
+        '<iiiq', sample_rate, seg_frames, n_segments, seed
     )
 
 
@@ -279,6 +293,84 @@ def scene_cuts(
             )
 
     return df.select('doc_id', col).mapInPandas(detect, SCENE_CUT_SCHEMA)
+
+
+def with_fake_vad_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic segmented audio column; segment geometry derives from
+    doc fields so the speech-run skeleton has a relational oracle."""
+
+    @F.pandas_udf('binary')
+    def build(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                fake_vad_audio(
+                    8000 + (int(n) % 3) * 4000,
+                    1 + int(d) % 3,
+                    3 + int(d) % 4,
+                    int(d),
+                )
+                for d, n in zip(doc_id, n_chars)
+            ]
+        )
+
+    return docs.withColumn('audio', build('doc_id', 'n_chars'))
+
+
+_VAD_FRAME = 64
+
+
+def voice_activity(
+    df: DataFrame, threshold: float = 0.01, col: str = 'audio'
+) -> DataFrame:
+    """Energy-based voice-activity detection: frame the samples into
+    64-sample windows, threshold each frame's RMS, and merge consecutive
+    active frames into speech runs — one output row per run. The detector
+    is structure-agnostic (it thresholds measured energy; it never reads
+    segment positions from the header). Per-Arrow-batch fan-out, zero
+    shuffle."""
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf['doc_id'], pdf[col]):
+                b = bytes(b)
+                if b[:8] != VAD_MAGIC:
+                    raise NotImplementedError('unsupported audio format')
+                rate, seg_frames, n_segments, seed = struct.unpack(
+                    '<iiiq', b[8:28]
+                )
+                seg_len = seg_frames * _VAD_FRAME
+                samples = np.concatenate(
+                    [
+                        (
+                            np.random.Generator(
+                                np.random.PCG64(seed + i)
+                            ).random(seg_len)
+                            * 2.0
+                            - 1.0
+                            if i % 2 == seed % 2
+                            else np.zeros(seg_len)
+                        )
+                        for i in range(n_segments)
+                    ]
+                )
+                frames = samples.reshape(-1, _VAD_FRAME)
+                rms = np.sqrt((frames**2).mean(axis=1))
+                active = rms > threshold
+                start = None
+                for idx, a in enumerate(active):
+                    if a and start is None:
+                        start = idx
+                    elif not a and start is not None:
+                        rows.append((doc_id, start, idx - 1))
+                        start = None
+                if start is not None:
+                    rows.append((doc_id, start, len(active) - 1))
+            yield pd.DataFrame(
+                rows, columns=['doc_id', 'start_frame', 'end_frame']
+            )
+
+    return df.select('doc_id', col).mapInPandas(detect, VAD_SCHEMA)
 
 
 def audio_features(df: DataFrame, col: str = 'audio') -> DataFrame:

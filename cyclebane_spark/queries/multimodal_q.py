@@ -363,3 +363,33 @@ def multimodal_scene_cuts(spark, sf_dir):
 
     docs = table(spark, sf_dir, 'documents')
     return scene_cuts(with_fake_scene_videos(docs)).select('doc_id', 'cut_idx')
+
+
+@register(
+    'multimodal_voice_activity',
+    oracle="""
+    SELECT doc_id,
+           CAST(i * sf AS INT) AS start_frame,
+           CAST((i + 1) * sf - 1 AS INT) AS end_frame
+    FROM (
+        SELECT doc_id, 1 + doc_id % 3 AS sf,
+               unnest(range(3 + doc_id % 4)) AS i
+        FROM documents
+    )
+    WHERE i % 2 = doc_id % 2
+    """,
+)
+def multimodal_voice_activity(spark, sf_dir):
+    """Energy-based VAD over stub audio: mapInPandas frames the samples,
+    thresholds per-frame RMS and merges consecutive active frames into
+    speech runs — the detector never reads segment positions from the
+    header. The run skeleton has an exact relational oracle because the
+    synthetic speech/silence geometry derives from document fields
+    (segments of 1 + doc_id % 3 frames, speech on the doc's parity).
+    Scale: per-Arrow-batch fan-out on executors, zero shuffle — the audio
+    twin of multimodal_scene_cuts.
+    """
+    from ..multimodal.media import voice_activity, with_fake_vad_audio
+
+    docs = table(spark, sf_dir, 'documents')
+    return voice_activity(with_fake_vad_audio(docs))

@@ -2122,3 +2122,115 @@ def pipeline_quantile_bins(spark, sf_dir):
     return orders.crossJoin(F.broadcast(b)).select(
         'o_orderkey', bin_.alias('price_bin')
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization audit — the privacy gate a corpus/feature
+# release runs before publishing quasi-identifiers. Each customer's
+# (nation, segment) cell is generalized up a fixed hierarchy until the
+# RELEASED cell holds >= K members: nation -> region -> suppressed ('*').
+# The subtlety the naive statement misses (and this one doesn't): a
+# region-level cell may only be PUBLISHED for the customers whose nation
+# cell failed, so its anonymity count must be taken over exactly those
+# customers — counting the whole region lets an attacker who knows the
+# recoding rule exclude the big-nation members and shrink the anonymity
+# set below K (the minimality attack on local recoding). Level-2 is the
+# suppression bucket, not a release. Output: the released cell table —
+# every level-0/1 cell size >= K by construction. Scale: two grouped
+# counts over the fact table (both partial-agg combinable) whose results
+# are cells-sized and broadcast back; the fact table shuffles once for
+# the final cell count. All arithmetic is integer counts.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    'quality_kanonymity_audit',
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey, c_mktsegment, n_name, r_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    ),
+    c0 AS (
+        SELECT n_name, c_mktsegment, COUNT(*) AS n0 FROM cust
+        GROUP BY n_name, c_mktsegment
+    ),
+    c1 AS (
+        SELECT cust.r_name, cust.c_mktsegment, COUNT(*) AS n1 FROM cust
+        JOIN c0 ON cust.n_name = c0.n_name
+               AND cust.c_mktsegment = c0.c_mktsegment
+        WHERE c0.n0 < 5
+        GROUP BY cust.r_name, cust.c_mktsegment
+    ),
+    assigned AS (
+        SELECT c_custkey,
+               CASE WHEN n0 >= {_KANON_K} THEN 0
+                    WHEN COALESCE(n1, 0) >= {_KANON_K} THEN 1
+                    ELSE 2 END AS level,
+               CASE WHEN n0 >= {_KANON_K} THEN cust.n_name
+                    WHEN COALESCE(n1, 0) >= {_KANON_K} THEN cust.r_name
+                    ELSE '*' END AS area,
+               cust.c_mktsegment
+        FROM cust
+        JOIN c0 ON cust.n_name = c0.n_name
+               AND cust.c_mktsegment = c0.c_mktsegment
+        LEFT JOIN c1 ON cust.r_name = c1.r_name
+                    AND cust.c_mktsegment = c1.c_mktsegment
+    )
+    SELECT level, area, c_mktsegment, COUNT(*) AS n_customers
+    FROM assigned GROUP BY level, area, c_mktsegment
+    """,
+)
+def quality_kanonymity_audit(spark, sf_dir):
+    """Released k-anonymous cells (K=5) under the nation->region
+    generalization ladder with '*' suppression (see the module note —
+    level-1 anonymity counts cover only the level-0 failures, closing
+    the minimality attack)."""
+    cust = (
+        table(spark, sf_dir, 'customer')
+        .join(
+            F.broadcast(table(spark, sf_dir, 'nation')),
+            F.col('c_nationkey') == F.col('n_nationkey'),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, 'region')),
+            F.col('n_regionkey') == F.col('r_regionkey'),
+        )
+        .select('c_custkey', 'c_mktsegment', 'n_name', 'r_name')
+    )
+    c0 = F.broadcast(
+        cust.groupBy('n_name', 'c_mktsegment').agg(
+            F.count(F.lit(1)).alias('n0')
+        )
+    )
+    # n1 counts ONLY the level-0 failures in the region cell — the set
+    # that would actually be published at level 1 (see the module note).
+    c1 = F.broadcast(
+        cust.join(c0, ['n_name', 'c_mktsegment'])
+        .filter(F.col('n0') < _KANON_K)
+        .groupBy('r_name', 'c_mktsegment')
+        .agg(F.count(F.lit(1)).alias('n1'))
+    )
+    k = F.lit(_KANON_K)
+    assigned = (
+        cust.join(c0, ['n_name', 'c_mktsegment'])
+        .join(c1, ['r_name', 'c_mktsegment'], 'left')
+        .select(
+            'c_custkey',
+            'c_mktsegment',
+            F.when(F.col('n0') >= k, F.lit(0))
+            .when(F.coalesce('n1', F.lit(0)) >= k, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias('level'),
+            F.when(F.col('n0') >= k, F.col('n_name'))
+            .when(F.coalesce('n1', F.lit(0)) >= k, F.col('r_name'))
+            .otherwise(F.lit('*'))
+            .alias('area'),
+        )
+    )
+    return assigned.groupBy('level', 'area', 'c_mktsegment').agg(
+        F.count(F.lit(1)).alias('n_customers')
+    )

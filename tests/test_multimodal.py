@@ -206,3 +206,40 @@ def test_scene_cut_distances_zero_within_scenes(spark):
             else:
                 assert dist == 0.0
                 assert (d, idx) not in rows
+
+
+def test_vad_energy_separation(spark):
+    """Silence frames have RMS exactly 0 (never active); speech frames of
+    >= 64 uniform samples have RMS ~ 1/sqrt(3), far above threshold —
+    the runs must cover exactly the speech segments, merged per segment."""
+    import numpy as np
+
+    from cyclebane_spark.multimodal.media import (
+        _VAD_FRAME,
+        voice_activity,
+        with_fake_vad_audio,
+    )
+    from cyclebane_spark.tables import table
+
+    docs = table(spark, '/root/testdata/sf0.001', 'documents').limit(30)
+    out = voice_activity(with_fake_vad_audio(docs)).collect()
+    runs = {}
+    for r in out:
+        runs.setdefault(r.doc_id, []).append((r.start_frame, r.end_frame))
+    for d in [r.doc_id for r in docs.select('doc_id').collect()]:
+        sf, n_seg = 1 + d % 3, 3 + d % 4
+        want = [
+            (i * sf, (i + 1) * sf - 1)
+            for i in range(n_seg)
+            if i % 2 == d % 2
+        ]
+        assert sorted(runs.get(d, [])) == want, d
+        # energy check on one speech segment
+        i = d % 2
+        seg = np.random.Generator(np.random.PCG64(d + i)).random(
+            sf * _VAD_FRAME
+        ) * 2.0 - 1.0
+        rms = np.sqrt(
+            (seg.reshape(-1, _VAD_FRAME) ** 2).mean(axis=1)
+        )
+        assert (rms > 0.4).all()

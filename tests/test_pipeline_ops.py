@@ -440,3 +440,19 @@ def test_quantile_bins_are_equi_depth_and_monotone(spark):
     ranked = sorted(rows, key=lambda kv: prices[kv[0]])
     bins = [b for _, b in ranked]
     assert bins == sorted(bins)  # monotone in value
+
+
+def test_kanonymity_cells_meet_k(spark):
+    """Every released level-0/1 cell must hold >= K customers (the
+    k-anonymity guarantee the ladder exists for), and the cell table must
+    partition the full customer set."""
+    from cyclebane_spark.queries.relational3 import _KANON_K
+
+    rows = queries()['quality_kanonymity_audit'](spark, SF_DIR).collect()
+    assert sum(r.n_customers for r in rows) == 150  # sf0.001 customers
+    for r in rows:
+        if r.level in (0, 1):
+            assert r.n_customers >= _KANON_K, (r.level, r.area, r.c_mktsegment)
+        assert (r.area == '*') == (r.level == 2)
+    # the tiny SF must actually exercise generalization
+    assert {r.level for r in rows} == {0, 1, 2}

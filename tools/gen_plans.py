@@ -310,6 +310,8 @@ EXTRA = (
     'multimodal_scene_cuts',
     'join_interval_bucketed',
     'pipeline_quantile_bins',
+    'quality_kanonymity_audit',
+    'multimodal_voice_activity',
 )
 
 
