@@ -633,14 +633,23 @@ def ann_pq_adc_topk(spark, sf_dir):
     from pyspark import StorageLevel
 
     emb = table(spark, sf_dir, 'embeddings')
-    e = emb.select(
-        'vec_id', F.posexplode('embedding').alias('pos', 'v')
-    ).select(
-        'vec_id',
-        'pos',
-        F.floor(F.col('pos') / PQ_SUB_DIM).cast('int').alias('sub'),
-        F.round(F.col('v').cast('double') * KM_SCALE, 0).cast('bigint').alias('q'),
+    # One row per (vec_id, subspace) carrying the 4 quantized components
+    # as an array — NO per-component explode. The old shape joined the
+    # exploded (vec_id, pos) stream to the centroid table on (sub, pos),
+    # fanning out to N x DIM x K rows (51M at sf1) and then hash-
+    # aggregating + window-ranking them back down TWICE (assign runs for
+    # a1 and codes); stating the subspace as an array makes each distance
+    # one zip_with fold over 4 elements and the argmin a map-side-
+    # combinable min(struct(d, cl)) — the fan-out drops to N x M x K
+    # narrow rows and both sorts disappear. Measured 1.4x at sf1 (5.1s vs
+    # 7.2s best-of-4 quiet); parity at sf0.1, where fixed per-job overhead
+    # dominates either shape.
+    subs = F.expr(
+        f'transform(sequence(0, {PQ_M - 1}), s -> transform('
+        f'slice(embedding, s * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}), '
+        f'v -> cast(round(cast(v AS double) * {KM_SCALE}) AS bigint)))'
     )
+    e = emb.select('vec_id', F.posexplode(subs).alias('sub', 'qa'))
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     corpus = e.filter(F.col('vec_id') >= N_QUERIES)
 
@@ -651,29 +660,46 @@ def ann_pq_adc_topk(spark, sf_dir):
         .limit(PQ_K)
         .withColumn('cl', F.row_number().over(Window.orderBy('vec_id')) - 1)
     )
-    cent = corpus.join(seed, 'vec_id').select('sub', 'cl', 'pos', F.col('q').alias('c'))
+    cent = corpus.join(seed, 'vec_id').select(
+        'sub', 'cl', F.col('qa').alias('ca')
+    )
+
+    _d2 = F.aggregate(
+        F.zip_with('qa', 'ca', lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast('bigint'),
+        lambda acc, x: acc + x,
+    )
 
     def assign(points, cent):
-        """argmin-by-(distance, cl) centroid per (vec_id, subspace)."""
-        d2 = F.sum((F.col('q') - F.col('c')) * (F.col('q') - F.col('c'))).alias('d')
-        w = Window.partitionBy('vec_id', 'sub').orderBy('d', 'cl')
+        """argmin-by-(distance, cl) centroid per (vec_id, subspace):
+        min(struct(d, cl)) — partial-agg combinable, no window sort."""
         return (
-            points.join(F.broadcast(cent), ['sub', 'pos'])
-            .groupBy('vec_id', 'sub', 'cl')
-            .agg(d2)
-            .withColumn('rk', F.row_number().over(w))
-            .filter(F.col('rk') == 1)
-            .select('vec_id', 'sub', 'cl')
+            points.join(F.broadcast(cent), 'sub')
+            .select('vec_id', 'sub', _d2.alias('d'), 'cl')
+            .groupBy('vec_id', 'sub')
+            .agg(F.min(F.struct('d', 'cl')).alias('m'))
+            .select('vec_id', 'sub', F.col('m.cl').alias('cl'))
         )
 
     a1 = assign(corpus, cent)
+    # Centroid update needs per-position means: re-explode the assigned
+    # subspace arrays once (N x DIM rows, ONE pass) and regroup the
+    # floor-means back into centroid arrays (M x K rows).
     cent = (
         corpus.join(a1, ['vec_id', 'sub'])
+        .select('sub', 'cl', F.posexplode('qa').alias('pos', 'q'))
         .groupBy('sub', 'cl', 'pos')
         .agg(
             F.floor(F.sum('q').cast('double') / F.count(F.lit(1)))
             .cast('bigint')
             .alias('c')
+        )
+        .groupBy('sub', 'cl')
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct('pos', 'c'))),
+                lambda s: s['c'],
+            ).alias('ca')
         )
     )
     codes = assign(corpus, cent)
@@ -681,9 +707,10 @@ def ann_pq_adc_topk(spark, sf_dir):
     # Query-to-centroid distance table: Q x M x K rows — broadcast side.
     qd = (
         e.filter(F.col('vec_id') < N_QUERIES)
-        .join(F.broadcast(cent), ['sub', 'pos'])
-        .groupBy(F.col('vec_id').alias('query_id'), 'sub', 'cl')
-        .agg(F.sum((F.col('q') - F.col('c')) * (F.col('q') - F.col('c'))).alias('d'))
+        .join(F.broadcast(cent), 'sub')
+        .select(
+            F.col('vec_id').alias('query_id'), 'sub', 'cl', _d2.alias('d')
+        )
     )
     adc = (
         codes.select(F.col('vec_id').alias('neighbor_id'), 'sub', 'cl')
