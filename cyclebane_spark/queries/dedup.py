@@ -1914,3 +1914,84 @@ def graph_kcore_peel(spark, sf_dir):
         .groupBy('doc_id')
         .agg(F.count(F.lit(1)).alias('deg'))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-quality audit: confusion counts of the MinHash-LSH candidate set
+# against exact 3-gram Jaccard >= 0.5 ground truth — the measurement that
+# justifies (or indicts) the LSH parameters before a corpus-wide dedup
+# run. TP/FP/FN come from one full-outer join of the two pair sets;
+# precision/recall are reported in integer per-mille (1000*tp div tp+fp)
+# so the one-row audit matches the oracle bit-for-bit with no float
+# accumulation. Scale: both inputs are the already-bucketed/blocked pair
+# pipelines (never all-pairs); the join keys are candidate pairs — output-
+# sized, not corpus-sized — and the final aggregate is one row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'dedup_eval_confusion',
+    oracle=_minhash_ctes()
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT doc_a, doc_b FROM co
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE (CAST(c AS DOUBLE) / (sa.n + sb.n - c)) >= 0.5
+    ),
+    j AS (
+        SELECT (p.doc_a IS NOT NULL) AS in_pred,
+               (t.doc_a IS NOT NULL) AS in_truth
+        FROM pairs p FULL OUTER JOIN truth t
+          ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+    ),
+    cm AS (
+        SELECT CAST(SUM(CASE WHEN in_pred AND in_truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN in_pred AND NOT in_truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN in_truth AND NOT in_pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM j
+    )
+    SELECT tp, fp, fn,
+           1000 * tp // NULLIF(tp + fp, 0) AS precision_milli,
+           1000 * tp // NULLIF(tp + fn, 0) AS recall_milli
+    FROM cm
+    """,
+)
+def dedup_eval_confusion(spark, sf_dir):
+    """LSH-vs-exact-Jaccard confusion audit (see the module note)."""
+    pred = _minhash_pairs(spark, sf_dir)
+    truth = dedup_ngram_jaccard(spark, sf_dir).select('doc_a', 'doc_b')
+    p, t = pred.alias('p'), truth.alias('t')
+    j = p.join(
+        t,
+        (F.col('p.doc_a') == F.col('t.doc_a'))
+        & (F.col('p.doc_b') == F.col('t.doc_b')),
+        'full_outer',
+    ).select(
+        F.col('p.doc_a').isNotNull().alias('in_pred'),
+        F.col('t.doc_a').isNotNull().alias('in_truth'),
+    )
+    cm = j.agg(
+        F.sum((F.col('in_pred') & F.col('in_truth')).cast('int'))
+        .cast('bigint')
+        .alias('tp'),
+        F.sum((F.col('in_pred') & ~F.col('in_truth')).cast('int'))
+        .cast('bigint')
+        .alias('fp'),
+        F.sum((F.col('in_truth') & ~F.col('in_pred')).cast('int'))
+        .cast('bigint')
+        .alias('fn'),
+    )
+    return cm.select(
+        'tp',
+        'fp',
+        'fn',
+        F.expr('1000 * tp div NULLIF(tp + fp, 0)').alias('precision_milli'),
+        F.expr('1000 * tp div NULLIF(tp + fn, 0)').alias('recall_milli'),
+    )

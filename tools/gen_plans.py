@@ -312,6 +312,7 @@ EXTRA = (
     'pipeline_quantile_bins',
     'quality_kanonymity_audit',
     'multimodal_voice_activity',
+    'dedup_eval_confusion',
 )
 
 
