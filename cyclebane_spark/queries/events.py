@@ -1751,9 +1751,14 @@ def join_interval_bucketed(spark, sf_dir):
     overlap = (F.col('s_start') <= F.col('i_end')) & (
         F.col('i_start') <= F.col('s_end')
     )
-    overlap_us = F.unix_micros(
-        F.least('s_end', 'i_end').cast('timestamp')
-    ) - F.unix_micros(F.greatest('s_start', 'i_start').cast('timestamp'))
+    # timestampdiff on the NTZ values directly — no instant cast, so the
+    # result cannot depend on the session timezone (an offset would cancel
+    # between the two endpoints anyway, but a DST jump between them would
+    # not).
+    overlap_us = F.expr(
+        'timestampdiff(MICROSECOND, greatest(s_start, i_start), '
+        'least(s_end, i_end))'
+    )
     return (
         sb.join(ib, 'bucket')
         .filter(overlap)

@@ -1543,7 +1543,10 @@ def pipeline_rrf_fusion(spark, sf_dir):
 def ann_hard_negatives(spark, sf_dir):
     """Per-anchor hardest cross-label negatives with triplet margins (see
     the module note). One corpus scan; anchors and best-positive table
-    broadcast."""
+    broadcast. An anchor with NO same-label corpus vector has no defined
+    margin and is dropped by the inner join — the oracle states the same
+    inner join (cannot occur on this corpus: every label has >= 40
+    members)."""
     emb = table(spark, sf_dir, 'embeddings')
     n = emb.select(
         'vec_id',
