@@ -2495,3 +2495,107 @@ def pipeline_mix_weights(spark, sf_dir):
         (F.col('tok').cast('double') / F.col('total')).alias('share'),
         (F.col('raw_w') / F.max('raw_w').over(w)).alias('accept_ratio'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: pairwise Jaccard overlap between the
+# 3-gram shingle VOCABULARIES of every pair of sources. This is the corpus
+# audit that catches one source being a scrape/mirror of another before
+# mixing weights are chosen (the per-pair analogue of text_decontamination's
+# corpus-vs-benchmark check).
+#
+# Scale shape: ONE corpus scan explodes distinct (source, shingle) pairs;
+# per-source vocabulary sizes are a K-row aggregate; the pair counts come
+# from a groupBy on shingle emitting the <= K*(K-1)/2 source combinations of
+# each shingle's (sorted, collect_set) source list — the shingle set is
+# shuffled once and never self-joined, so the plan is linear in corpus size
+# with a K^2 term only on the tiny (K sources) side. The per-source totals
+# join is broadcast (K rows). The ORACLE uses the quadratic shingle
+# self-join instead — an intentionally different shape proving the same
+# relation.
+#
+# Determinism: counts are exact BIGINTs; jaccard is one IEEE divide of
+# identical integer operands in both engines. Source order inside a pair is
+# fixed by ASCII '<' on the source name in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _source_overlap_oracle() -> str:
+    from .dedup import _sql_shingles
+
+    return rf"""
+    WITH t AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, unnest({_sql_shingles(3)}) AS shingle
+        FROM t
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST(n_shared AS DOUBLE) / (ta.n + tb.n - n_shared) AS jaccard
+    FROM inter
+    JOIN tot ta ON inter.source_a = ta.source
+    JOIN tot tb ON inter.source_b = tb.source
+    """
+
+
+@register('quality_source_overlap', oracle=_source_overlap_oracle())
+def quality_source_overlap(spark, sf_dir):
+    """Pairwise shingle-vocabulary Jaccard between sources (module note)."""
+    docs = table(spark, sf_dir, 'documents')
+    sh = (
+        docs.select(
+            'source', F.explode(_CF.shingles('text', 3)).alias('shingle')
+        )
+        .distinct()
+        .persist()
+    )
+    tot = sh.groupBy('source').agg(F.count(F.lit(1)).alias('n'))
+    pairs = (
+        sh.groupBy('shingle')
+        .agg(F.sort_array(F.collect_set('source')).alias('srcs'))
+        .where(F.size('srcs') >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    'transform(slice(srcs, i + 2, size(srcs) - i - 1), '
+                    "b -> named_struct('sa', a, 'sb', b))))"
+                )
+            ).alias('p')
+        )
+        .groupBy(
+            F.col('p.sa').alias('source_a'), F.col('p.sb').alias('source_b')
+        )
+        .agg(F.count(F.lit(1)).alias('n_shared'))
+    )
+    tot_a = tot.select(
+        F.col('source').alias('source_a'), F.col('n').alias('n_a')
+    )
+    tot_b = tot.select(
+        F.col('source').alias('source_b'), F.col('n').alias('n_b')
+    )
+    return (
+        pairs.join(F.broadcast(tot_a), 'source_a')
+        .join(F.broadcast(tot_b), 'source_b')
+        .select(
+            'source_a',
+            'source_b',
+            'n_shared',
+            'n_a',
+            'n_b',
+            (
+                F.col('n_shared').cast('double')
+                / (F.col('n_a') + F.col('n_b') - F.col('n_shared'))
+            ).alias('jaccard'),
+        )
+    )

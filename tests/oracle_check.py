@@ -105,7 +105,9 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f'{sf_dir}/{t}.parquet'
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written multi-file table (e.g. sf1)
+            p = f'{p}/*.parquet'
+        if p.endswith('*.parquet') or os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entry.queries()

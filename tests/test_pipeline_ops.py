@@ -456,3 +456,39 @@ def test_kanonymity_cells_meet_k(spark):
         assert (r.area == '*') == (r.level == 2)
     # the tiny SF must actually exercise generalization
     assert {r.level for r in rows} == {0, 1, 2}
+
+
+def test_source_overlap_matches_python_set_arithmetic(spark):
+    """quality_source_overlap vs a pure-Python set computation: per-source
+    3-gram vocabularies built with ordinary ``set()`` arithmetic must give
+    identical pair counts and Jaccard values (the query and the DuckDB
+    oracle share no code with this check)."""
+    import itertools
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    vocab: dict[str, set] = {}
+    for _, row in docs.iterrows():
+        toks = re.split(r'\s+', row.text.strip())
+        grams = {
+            ' '.join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        vocab.setdefault(row.source, set()).update(grams)
+    expected = {}
+    for a, b in itertools.combinations(sorted(vocab), 2):
+        inter = len(vocab[a] & vocab[b])
+        if inter:
+            expected[(a, b)] = (
+                inter,
+                len(vocab[a]),
+                len(vocab[b]),
+                inter / (len(vocab[a]) + len(vocab[b]) - inter),
+            )
+    out = queries()['quality_source_overlap'](spark, SF_DIR).collect()
+    got = {
+        (r.source_a, r.source_b): (r.n_shared, r.n_a, r.n_b, r.jaccard)
+        for r in out
+    }
+    assert got == expected

@@ -313,6 +313,7 @@ EXTRA = (
     'quality_kanonymity_audit',
     'multimodal_voice_activity',
     'dedup_eval_confusion',
+    'quality_source_overlap',
 )
 
 
