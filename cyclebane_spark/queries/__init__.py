@@ -193,6 +193,7 @@ _PRIORITY = (
     'multimodal_voice_activity',
     'dedup_eval_confusion',
     'quality_source_overlap',
+    'dedup_sorted_neighborhood',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

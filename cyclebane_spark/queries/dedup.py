@@ -1995,3 +1995,111 @@ def dedup_eval_confusion(spark, sf_dir):
         F.expr('1000 * tp div NULLIF(tp + fp, 0)').alias('precision_milli'),
         F.expr('1000 * tp div NULLIF(tp + fn, 0)').alias('recall_milli'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (SNM): the classic entity-resolution blocking
+# alternative to LSH — sort the corpus by a normalized key and compare each
+# record only to its W nearest neighbors in the sort order.
+#
+# Scale shape: the global sort rank is computed WITHOUT a single-reducer
+# window — rows bucket by the key's first character, each bucket gets a
+# partitioned row_number, and per-bucket start offsets (a K-row cumsum)
+# broadcast back, the same two-level-rank shape as the positional-slice
+# path (sources/arrays.py). Candidate pairs come from W shuffle equi-joins
+# on the rank value (rank_b = rank_a + k, k = 1..W) carrying only
+# (doc_id, rank); the shingle arrays join in AFTER pair generation, keyed
+# by doc_id, so wide rows never ride the rank shuffle. Verification is
+# exact 3-gram Jaccard on the O(N*W) candidates — never O(N^2).
+#
+# Determinism: the sort key is (normalized 32-char prefix, doc_id) — unique
+# tiebreak, so ranks match the oracle's row_number exactly; Jaccard is one
+# IEEE divide of exact integer set sizes.
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 3
+
+
+def _snm_oracle() -> str:
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, lower(trim(substr(text, 1, 32))) AS k,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (SELECT doc_id, k, {_sql_shingles(3)} AS grams FROM t),
+    r AS (
+        SELECT doc_id, k, grams,
+               row_number() OVER (ORDER BY k, doc_id) AS rn
+        FROM g
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.rn AS rank_a, b.rn AS rank_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams))) AS jaccard
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW}
+    """
+
+
+@register('dedup_sorted_neighborhood', oracle=_snm_oracle())
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood candidate pairs + exact Jaccard (module note)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, 'documents')
+    key = F.lower(F.trim(F.substring('text', 1, 32)))
+    d = docs.select(
+        'doc_id', key.alias('k'), _spark_shingles(3).alias('grams')
+    ).persist()
+    b = d.select('doc_id', 'k', F.substring('k', 1, 1).alias('bkt'))
+    # K-row cumulative bucket offsets (K = distinct first chars)
+    woff = (
+        Window.orderBy('bkt')
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = (
+        b.groupBy('bkt')
+        .agg(F.count(F.lit(1)).alias('n'))
+        .select(
+            'bkt', (F.sum('n').over(woff) - F.col('n')).alias('off')
+        )
+    )
+    wrank = Window.partitionBy('bkt').orderBy('k', 'doc_id')
+    ranked = (
+        b.join(F.broadcast(offs), 'bkt')
+        .select(
+            'doc_id',
+            (F.row_number().over(wrank) + F.col('off')).alias('rn'),
+        )
+    )
+    left = ranked.select(
+        F.col('doc_id').alias('doc_a'),
+        F.col('rn').alias('rank_a'),
+        F.explode(
+            F.sequence(F.col('rn') + 1, F.col('rn') + SNM_WINDOW)
+        ).alias('rank_b'),
+    )
+    pairs = left.join(
+        ranked.select(
+            F.col('doc_id').alias('doc_b'), F.col('rn').alias('rank_b')
+        ),
+        'rank_b',
+    )
+    ga = d.select(F.col('doc_id').alias('doc_a'), F.col('grams').alias('ga'))
+    gb = d.select(F.col('doc_id').alias('doc_b'), F.col('grams').alias('gb'))
+    inter = F.size(F.array_intersect('ga', 'gb'))
+    return (
+        pairs.join(ga, 'doc_a')
+        .join(gb, 'doc_b')
+        .select(
+            'doc_a',
+            'doc_b',
+            'rank_a',
+            'rank_b',
+            (
+                inter.cast('double')
+                / (F.size('ga') + F.size('gb') - inter)
+            ).alias('jaccard'),
+        )
+    )

@@ -492,3 +492,24 @@ def test_source_overlap_matches_python_set_arithmetic(spark):
         for r in out
     }
     assert got == expected
+
+
+def test_sorted_neighborhood_pair_structure(spark):
+    """SNM invariants the oracle equality can't express directly: with N
+    docs and window W, the candidate set has exactly N*W - W*(W+1)/2 pairs
+    (each rank pairs with its W successors, truncated at the end), every
+    rank gap is in 1..W, Jaccard is in [0, 1], and at least one pair
+    crosses a first-character bucket boundary (proving the two-level rank
+    is global, not per-bucket)."""
+    from cyclebane_spark.queries.dedup import SNM_WINDOW as W
+
+    out = queries()['dedup_sorted_neighborhood'](spark, SF_DIR).collect()
+    n_docs = 500
+    assert len(out) == n_docs * W - W * (W + 1) // 2
+    assert all(1 <= r.rank_b - r.rank_a <= W for r in out)
+    assert all(0.0 <= r.jaccard <= 1.0 for r in out)
+    ranks = {}
+    for r in out:
+        ranks[r.rank_a] = r.doc_a
+        ranks[r.rank_b] = r.doc_b
+    assert sorted(ranks) == list(range(1, n_docs + 1))  # a permutation

@@ -314,6 +314,7 @@ EXTRA = (
     'multimodal_voice_activity',
     'dedup_eval_confusion',
     'quality_source_overlap',
+    'dedup_sorted_neighborhood',
 )
 
 
