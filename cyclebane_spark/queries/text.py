@@ -2599,3 +2599,65 @@ def quality_source_overlap(spark, sf_dir):
             ).alias('jaccard'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword-taxonomy tagging: annotate every document with the topics whose
+# dictionary keywords it contains, then report per (source, topic) reach.
+# This is the broadcast-dictionary pattern every labeling/filtering pipeline
+# uses at scale: the taxonomy is a tiny dimension (here 18 rows) broadcast
+# to the executors; the corpus explodes to (doc, token) once and hits the
+# dictionary via a broadcast HASH equi-join — the fact side never shuffles
+# for the join, and the only shuffle is the final (source, topic) rollup.
+# Determinism: integer counts only.
+# ---------------------------------------------------------------------------
+
+_TAXONOMY = (
+    ('execution', ('scan', 'sort', 'agg', 'join', 'merge', 'filter')),
+    ('storage', ('column', 'table', 'row', 'part', 'line')),
+    ('streaming', ('stream', 'batch', 'window')),
+    ('indexing', ('hash', 'key', 'vector')),
+)
+
+
+def _taxonomy_rows():
+    return [(t, k) for t, kws in _TAXONOMY for k in kws]
+
+
+def _keyword_tagging_oracle() -> str:
+    values = ', '.join(f"('{t}', '{k}')" for t, k in _taxonomy_rows())
+    return rf"""
+    WITH dict(topic, kw) AS (VALUES {values}),
+    tok AS (
+        SELECT doc_id, source,
+               lower(unnest(string_split_regex(trim(text), '\s+'))) AS w
+        FROM documents
+    )
+    SELECT source, topic,
+           COUNT(*) AS n_hits,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM tok JOIN dict ON tok.w = dict.kw
+    GROUP BY source, topic
+    """
+
+
+@register('text_keyword_tagging', oracle=_keyword_tagging_oracle())
+def text_keyword_tagging(spark, sf_dir):
+    """Per-(source, topic) keyword-taxonomy reach (see module note)."""
+    docs = table(spark, sf_dir, 'documents')
+    dict_df = spark.createDataFrame(
+        _taxonomy_rows(), 'topic string, w string'
+    )
+    tok = docs.select(
+        'doc_id',
+        'source',
+        F.explode(F.split(F.lower(F.trim('text')), r'\s+')).alias('w'),
+    )
+    return (
+        tok.join(F.broadcast(dict_df), 'w')
+        .groupBy('source', 'topic')
+        .agg(
+            F.count(F.lit(1)).alias('n_hits'),
+            F.countDistinct('doc_id').alias('n_docs'),
+        )
+    )

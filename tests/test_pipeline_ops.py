@@ -513,3 +513,29 @@ def test_sorted_neighborhood_pair_structure(spark):
         ranks[r.rank_a] = r.doc_a
         ranks[r.rank_b] = r.doc_b
     assert sorted(ranks) == list(range(1, n_docs + 1))  # a permutation
+
+
+def test_keyword_tagging_matches_python_counts(spark):
+    """text_keyword_tagging vs a pure-Python recount of hits and reached
+    docs per (source, topic)."""
+    import re
+
+    import pandas as pd
+
+    from cyclebane_spark.queries.text import _TAXONOMY
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    kw2topic = {k: t for t, kws in _TAXONOMY for k in kws}
+    hits, reach = {}, {}
+    for _, row in docs.iterrows():
+        for tok in re.split(r'\s+', row.text.strip()):
+            topic = kw2topic.get(tok.lower())
+            if topic:
+                key = (row.source, topic)
+                hits[key] = hits.get(key, 0) + 1
+                reach.setdefault(key, set()).add(row.doc_id)
+    out = queries()['text_keyword_tagging'](spark, SF_DIR).collect()
+    got = {(r.source, r.topic): (r.n_hits, r.n_docs) for r in out}
+    assert got == {
+        k: (hits[k], len(reach[k])) for k in hits
+    }

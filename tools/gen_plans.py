@@ -315,6 +315,7 @@ EXTRA = (
     'dedup_eval_confusion',
     'quality_source_overlap',
     'dedup_sorted_neighborhood',
+    'text_keyword_tagging',
 )
 
 
