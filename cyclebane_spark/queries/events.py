@@ -1771,3 +1771,61 @@ def join_interval_bucketed(spark, sf_dir):
             overlap_us.alias('overlap_us'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user EWMA via an ordered array fold: s_1 = v_1, s_i = s_{i-1}/2 +
+# v_i/2 over each user's events in (ts, event_id) order. Sequential
+# recurrences have no shuffle-order-free aggregate form, so the canonical
+# distributed shape is: ONE shuffle groups each key's rows, array_sort
+# imposes the event order inside the executor, and a fold over the sorted
+# array runs the recurrence — no window over a global sort, no iterative
+# jobs. At 100 TB the per-user list is bounded by a session/window horizon
+# (the same collect_list bound every stateful op here uses).
+#
+# Determinism: alpha = 1/2 makes every step an exact IEEE halving-and-add
+# evaluated in the SAME order in both engines (Spark `aggregate` and DuckDB
+# `list_reduce` both fold left over the first-element seed), so the result
+# is bit-exact, not tolerance-matched.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_ewma_fold',
+    oracle=r"""
+    WITH ordered AS (
+        SELECT user_id,
+               list_transform(
+                   list_sort(list({'ts': ts, 'eid': event_id, 'v': value})),
+                   s -> s.v) AS vals
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           len(vals) AS n_events,
+           CAST(list_reduce(vals,
+                (s, x) -> s * 0.5::DOUBLE + x * 0.5::DOUBLE) AS DOUBLE)
+               AS ewma
+    FROM ordered
+    """,
+)
+def events_ewma_fold(spark, sf_dir):
+    """Per-user EWMA (alpha = 1/2) by ordered array fold (module note)."""
+    ev = table(spark, sf_dir, 'events')
+    ordered = ev.groupBy('user_id').agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct('ts', 'event_id', 'value'))
+            ),
+            lambda s: s.value,
+        ).alias('vals')
+    )
+    return ordered.select(
+        'user_id',
+        F.size('vals').cast('bigint').alias('n_events'),
+        F.expr(
+            'aggregate(slice(vals, 2, size(vals) - 1), '
+            'CAST(element_at(vals, 1) AS DOUBLE), '
+            '(s, x) -> s * 0.5D + x * 0.5D)'
+        ).alias('ewma'),
+    )

@@ -539,3 +539,22 @@ def test_keyword_tagging_matches_python_counts(spark):
     assert got == {
         k: (hits[k], len(reach[k])) for k in hits
     }
+
+
+def test_ewma_fold_matches_python_recurrence(spark):
+    """events_ewma_fold vs a pure-Python left fold over (ts, event_id)-
+    ordered values — must be bit-identical (alpha = 1/2 halvings are exact
+    IEEE ops in the same order)."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f'{SF_DIR}/events.parquet')
+    expected = {}
+    for uid, grp in ev.groupby('user_id'):
+        vals = grp.sort_values(['ts', 'event_id'])['value'].tolist()
+        s = vals[0]
+        for x in vals[1:]:
+            s = s * 0.5 + x * 0.5
+        expected[uid] = (len(vals), s)
+    out = queries()['events_ewma_fold'](spark, SF_DIR).collect()
+    got = {r.user_id: (r.n_events, r.ewma) for r in out}
+    assert got == expected

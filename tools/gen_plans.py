@@ -316,6 +316,7 @@ EXTRA = (
     'quality_source_overlap',
     'dedup_sorted_neighborhood',
     'text_keyword_tagging',
+    'events_ewma_fold',
 )
 
 
