@@ -2066,12 +2066,15 @@ def dedup_sorted_neighborhood(spark, sf_dir):
         )
     )
     wrank = Window.partitionBy('bkt').orderBy('k', 'doc_id')
+    # (doc_id, rn) is two longs/row — persist so the rank pipeline (scan,
+    # bucket window, offset broadcast) runs once, not once per join side.
     ranked = (
         b.join(F.broadcast(offs), 'bkt')
         .select(
             'doc_id',
             (F.row_number().over(wrank) + F.col('off')).alias('rn'),
         )
+        .persist()
     )
     left = ranked.select(
         F.col('doc_id').alias('doc_a'),
