@@ -196,6 +196,7 @@ _PRIORITY = (
     'dedup_sorted_neighborhood',
     'text_keyword_tagging',
     'events_ewma_fold',
+    'dedup_bcubed_eval',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

@@ -2106,3 +2106,138 @@ def dedup_sorted_neighborhood(spark, sf_dir):
             ).alias('jaccard'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B-cubed cluster-quality evaluation: the cluster-level complement of the
+# pair-level dedup_eval_confusion audit. Predicted clustering = connected
+# components over the MinHash-LSH candidate pairs; ground truth = exact
+# duplicate groups (canonical-fingerprint equality). For each document,
+# B-cubed precision is |pred-cluster ∩ truth-cluster| / |pred-cluster| and
+# recall the same over the truth cluster; the reported numbers are the
+# corpus averages plus F1 — the standard extrinsic metric for dedup/ER
+# clustering (Bagga & Baldwin 1998).
+#
+# Scale shape: the contingency table (pred, truth, n_pt) is ONE shuffle of
+# the per-doc label pairs; per-cluster sums are partial-aggregable hash
+# aggs over that tiny table; the three one-row aggregates broadcast into a
+# final single-row join. Per-cluster ratios are single IEEE divides summed
+# through the decimal accumulator (see _helpers), so the averages match
+# the oracle bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _bcubed_oracle() -> str:
+    from ._helpers import sql_dsum
+
+    return (
+        _minhash_ctes(recursive=True)
+        + rf""",
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(doc_id, other) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc_id, e.d FROM reach r JOIN edges e ON r.other = e.s
+    ),
+    pred AS (SELECT doc_id, MIN(other) AS p FROM reach GROUP BY doc_id),
+    truth AS (
+        SELECT doc_id,
+               MIN(doc_id) OVER (
+                   PARTITION BY md5(lower(regexp_replace(trim(text),
+                                                         '\s+', ' ', 'g')))
+               ) AS t
+        FROM documents
+    ),
+    cell AS (
+        SELECT p, t, COUNT(*) AS n_pt
+        FROM pred JOIN truth USING (doc_id)
+        GROUP BY p, t
+    ),
+    per_p AS (
+        SELECT p, SUM(n_pt) AS n_p, SUM(n_pt * n_pt) AS a_p
+        FROM cell GROUP BY p
+    ),
+    per_t AS (
+        SELECT t, SUM(n_pt) AS n_t, SUM(n_pt * n_pt) AS a_t
+        FROM cell GROUP BY t
+    ),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pr AS (
+        SELECT {sql_dsum('CAST(a_p AS DOUBLE) / n_p')} AS sp,
+               COUNT(*) AS n_pred
+        FROM per_p
+    ),
+    rc AS (
+        SELECT {sql_dsum('CAST(a_t AS DOUBLE) / n_t')} AS st,
+               COUNT(*) AS n_truth
+        FROM per_t
+    )
+    SELECT n_docs,
+           n_pred AS n_pred_clusters,
+           n_truth AS n_truth_clusters,
+           sp / n_docs AS bcubed_precision,
+           st / n_docs AS bcubed_recall,
+           2 * (sp / n_docs) * (st / n_docs)
+               / ((sp / n_docs) + (st / n_docs)) AS bcubed_f1
+    FROM tot, pr, rc
+    """
+    )
+
+
+@register('dedup_bcubed_eval', oracle=_bcubed_oracle())
+def dedup_bcubed_eval(spark, sf_dir):
+    """B-cubed precision/recall/F1 of LSH-CC clusters vs exact-duplicate
+    truth (see module note)."""
+    from pyspark.sql import Window
+
+    from ._helpers import dsum
+
+    docs = table(spark, sf_dir, 'documents')
+    pairs = _minhash_pairs(spark, sf_dir)
+    pred = _connected_components(
+        pairs, docs.select('doc_id'), 'doc_a', 'doc_b', 'doc_id'
+    ).select('doc_id', F.col('cluster_id').alias('p'))
+    fp = F.md5(F.lower(F.regexp_replace(F.trim('text'), r'\s+', ' ')))
+    truth = docs.select(
+        'doc_id', F.min('doc_id').over(Window.partitionBy(fp)).alias('t')
+    )
+    cell = (
+        pred.join(truth, 'doc_id')
+        .groupBy('p', 't')
+        .agg(F.count(F.lit(1)).alias('n_pt'))
+    )
+    per_p = cell.groupBy('p').agg(
+        F.sum('n_pt').alias('n_p'),
+        F.sum(F.col('n_pt') * F.col('n_pt')).alias('a_p'),
+    )
+    per_t = cell.groupBy('t').agg(
+        F.sum('n_pt').alias('n_t'),
+        F.sum(F.col('n_pt') * F.col('n_pt')).alias('a_t'),
+    )
+    pr = per_p.agg(
+        dsum(F.col('a_p').cast('double') / F.col('n_p')).alias('sp'),
+        F.count(F.lit(1)).alias('n_pred'),
+    )
+    rc = per_t.agg(
+        dsum(F.col('a_t').cast('double') / F.col('n_t')).alias('st'),
+        F.count(F.lit(1)).alias('n_truth'),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias('n_docs'))
+    prec = F.col('sp') / F.col('n_docs')
+    rec = F.col('st') / F.col('n_docs')
+    return (
+        tot.crossJoin(F.broadcast(pr))
+        .crossJoin(F.broadcast(rc))
+        .select(
+            'n_docs',
+            F.col('n_pred').alias('n_pred_clusters'),
+            F.col('n_truth').alias('n_truth_clusters'),
+            prec.alias('bcubed_precision'),
+            rec.alias('bcubed_recall'),
+            (2 * prec * rec / (prec + rec)).alias('bcubed_f1'),
+        )
+    )

@@ -558,3 +558,17 @@ def test_ewma_fold_matches_python_recurrence(spark):
     out = queries()['events_ewma_fold'](spark, SF_DIR).collect()
     got = {r.user_id: (r.n_events, r.ewma) for r in out}
     assert got == expected
+
+
+def test_bcubed_recall_is_one_by_containment(spark):
+    """Identical texts get identical MinHash signatures, so every
+    exact-duplicate (truth) cluster is contained in one LSH-CC predicted
+    cluster — B-cubed recall is therefore EXACTLY 1.0, precision is in
+    (0, 1], F1 follows as 2p/(p+1), and cluster counts bound each other
+    (pred merges truth clusters, never splits them)."""
+    [r] = queries()['dedup_bcubed_eval'](spark, SF_DIR).collect()
+    assert r.bcubed_recall == 1.0
+    assert 0.0 < r.bcubed_precision <= 1.0
+    p = r.bcubed_precision
+    assert r.bcubed_f1 == 2 * p * 1.0 / (p + 1.0)
+    assert r.n_pred_clusters <= r.n_truth_clusters <= r.n_docs

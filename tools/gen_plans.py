@@ -317,6 +317,7 @@ EXTRA = (
     'dedup_sorted_neighborhood',
     'text_keyword_tagging',
     'events_ewma_fold',
+    'dedup_bcubed_eval',
 )
 
 
