@@ -636,3 +636,48 @@ def test_interval_join_is_bucket_blocked(spark):
     assert 'NestedLoop' not in raw
     assert 'CartesianProduct' not in raw
     assert 'SortMergeJoin' in raw or 'BroadcastHashJoin' in raw
+
+
+def test_source_overlap_no_shingle_self_join(spark):
+    """Pair counts must come from the collect_set combination explode, not
+    a quadratic self-join of the shingle table: no SortMergeJoin anywhere,
+    and the only joins are the two broadcast total lookups (K rows)."""
+    raw = raw_plan_of(spark, 'quality_source_overlap')
+    assert 'SortMergeJoin' not in raw
+    assert raw.count('BroadcastHashJoin') == 2
+    assert 'collect_set' in raw
+
+
+def test_sorted_neighborhood_rank_is_bucketed_and_reused(spark):
+    """The global rank must be a bucket-PARTITIONED row_number (parallel
+    sorts) plus a single K-row offset cumsum — never a global-window sort;
+    and the rank table must be persisted so the pipeline runs once."""
+    raw = raw_plan_of(spark, 'dedup_sorted_neighborhood')
+    assert re.search(
+        r'row_number\(\) windowspecdefinition\(bkt#\d+, k#\d+ ASC', raw
+    )
+    # every row_number window is bucket-partitioned — none starts with the
+    # sort key alone (that would be the single-reducer global window)
+    assert not re.search(r'row_number\(\) windowspecdefinition\(k#', raw)
+    # the only single-partition exchange is the K-row bucket-offset cumsum
+    # (displayed once per InMemoryRelation reference, so <= 2, never more)
+    assert 1 <= raw.count('Exchange SinglePartition') <= 2
+    assert 'InMemoryTableScan' in raw  # persisted rank/gram tables reused
+
+
+def test_keyword_tagging_dict_broadcasts(spark):
+    """The taxonomy dictionary must broadcast (fact side never shuffles
+    for the join)."""
+    raw = raw_plan_of(spark, 'text_keyword_tagging')
+    assert 'BroadcastHashJoin' in raw and 'BuildRight' in raw
+    assert 'SortMergeJoin' not in raw
+
+
+def test_ewma_fold_single_shuffle_no_window(spark):
+    """The recurrence is a grouped array fold: ONE exchange (the user_id
+    groupBy) and no window operator (a global-sort window would be the
+    scale bug this shape exists to avoid)."""
+    raw = raw_plan_of(spark, 'events_ewma_fold')
+    assert raw.count('Exchange') == 1
+    assert 'Window' not in raw
+    assert 'aggregate(' in raw  # the fold expression survives to the plan
