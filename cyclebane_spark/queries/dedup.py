@@ -2052,7 +2052,14 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     d = docs.select(
         'doc_id', key.alias('k'), _spark_shingles(3).alias('grams')
     ).persist()
-    b = d.select('doc_id', 'k', F.substring('k', 1, 1).alias('bkt'))
+    # Bucket = 2-char key prefix: MONOTONE in the sort key, so bucket-major
+    # order IS the global order and rank exactness never depends on bucket
+    # balance — only task balance does. A boilerplate-heavy corpus (many
+    # docs sharing a prefix) skews tasks, not answers; the escape hatch at
+    # scale is the sampled-split-point range bucketing the positional-slice
+    # path uses (sources/arrays.py _range_bucket_expr), same two-level
+    # shape, equi-depth buckets by construction.
+    b = d.select('doc_id', 'k', F.substring('k', 1, 2).alias('bkt'))
     # K-row cumulative bucket offsets (K = distinct first chars)
     woff = (
         Window.orderBy('bkt')
