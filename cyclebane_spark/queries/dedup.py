@@ -2248,3 +2248,103 @@ def dedup_bcubed_eval(spark, sf_dir):
             (2 * prec * rec / (prec + rec)).alias('bcubed_f1'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation community detection (LPA) over the near-dup candidate
+# graph — the max-frequency-label complement of the min-label connected
+# components: each round every node adopts the most common label among its
+# neighbors (ties -> smallest label), which splits dense regions CC would
+# merge through a single bridge edge. Two synchronous rounds, deterministic
+# by construction (integer counts, min-label tiebreak), so the result is
+# exactly reproducible and SQL-expressible — classic LPA's random update
+# order is replaced by the synchronous variant for that reason.
+#
+# Scale shape per round: ONE shuffle joins labels to the symmetrized edge
+# list + ONE (node, label) count aggregate + the argmax-by-count as a
+# min(struct(-cnt, lbl)) hash aggregate — partial-aggregable, no windows;
+# isolated nodes keep their own label via the self-loop edges. Rounds are unrolled
+# lazily into one plan (fixed depth, same pattern as PageRank's unrolled
+# iterations at dedup.py:694).
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    prev = 'l0'
+    rounds_sql = ''
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds_sql += f""",
+    c{r} AS (
+        SELECT e.s, l.lbl, COUNT(*) AS cnt
+        FROM edges e JOIN {prev} l ON e.d = l.doc_id
+        GROUP BY e.s, l.lbl
+    ),
+    n{r} AS (
+        SELECT s, min({{'nc': -cnt, 'l': lbl}}).l AS lbl
+        FROM c{r} GROUP BY s
+    ),
+    l{r} AS (
+        SELECT d.doc_id, COALESCE(n{r}.lbl, d.doc_id) AS lbl
+        FROM documents d LEFT JOIN n{r} ON d.doc_id = n{r}.s
+    )"""
+        prev = f'l{r}'
+    return (
+        _minhash_ctes()
+        + f""",
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+        UNION ALL
+        SELECT doc_id AS s, doc_id AS d FROM documents
+    ),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents){rounds_sql}
+    SELECT doc_id, lbl AS community FROM {prev}
+    """
+    )
+
+
+@register('graph_label_propagation', oracle=_lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous 2-round LPA communities over the LSH candidate graph
+    (see module note)."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col('doc_a').alias('s'), F.col('doc_b').alias('d'))
+    rev = pairs.select(F.col('doc_b').alias('s'), F.col('doc_a').alias('d'))
+    docs = table(spark, sf_dir, 'documents').select('doc_id')
+    # self-loops: a node's own label joins the count, which breaks the
+    # synchronous-LPA two-cycle (an isolated duplicate pair would otherwise
+    # swap labels every round and never merge)
+    self_loops = docs.select(
+        F.col('doc_id').alias('s'), F.col('doc_id').alias('d')
+    )
+    edges = fwd.union(rev).union(self_loops).persist()
+    labels = docs.select('doc_id', F.col('doc_id').alias('lbl'))
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            edges.join(
+                labels.select(
+                    F.col('doc_id').alias('d'), F.col('lbl').alias('nlbl')
+                ),
+                'd',
+            )
+            .groupBy('s', 'nlbl')
+            .agg(F.count(F.lit(1)).alias('cnt'))
+        )
+        new = counts.groupBy('s').agg(
+            F.min(
+                F.struct(
+                    (-F.col('cnt')).alias('nc'), F.col('nlbl').alias('l')
+                )
+            )['l'].alias('nlbl')
+        )
+        labels = (
+            docs.join(new.withColumnRenamed('s', 'doc_id'), 'doc_id', 'left')
+            .select(
+                'doc_id',
+                F.coalesce('nlbl', 'doc_id').alias('lbl'),
+            )
+        )
+    return labels.select('doc_id', F.col('lbl').alias('community'))

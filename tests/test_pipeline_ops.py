@@ -572,3 +572,33 @@ def test_bcubed_recall_is_one_by_containment(spark):
     p = r.bcubed_precision
     assert r.bcubed_f1 == 2 * p * 1.0 / (p + 1.0)
     assert r.n_pred_clusters <= r.n_truth_clusters <= r.n_docs
+
+
+def test_lpa_communities_respect_components_and_merge_exact_dups(spark):
+    """LPA invariants: labels only flow along edges, so every node's
+    community label must live in its own connected component; exact
+    duplicates have identical neighborhoods (plus the self-loop), so they
+    must share a community; and every community label is a real doc_id."""
+    lpa = {
+        r.doc_id: r.community
+        for r in queries()['graph_label_propagation'](spark, SF_DIR).collect()
+    }
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in queries()['dedup_connected_components'](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(lpa) == set(cc)
+    for doc, com in lpa.items():
+        assert com in cc  # label is a real doc_id
+        assert cc[com] == cc[doc]  # label stayed inside the component
+    import pandas as pd
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    import re
+
+    canon = docs.text.map(lambda t: re.sub(r'\s+', ' ', t.strip()).lower())
+    by_fp = docs.assign(fp=canon).groupby('fp')['doc_id'].agg(list)
+    for group in by_fp:
+        assert len({lpa[d] for d in group}) == 1, group

@@ -318,6 +318,7 @@ EXTRA = (
     'text_keyword_tagging',
     'events_ewma_fold',
     'dedup_bcubed_eval',
+    'graph_label_propagation',
 )
 
 
