@@ -2348,3 +2348,116 @@ def graph_label_propagation(spark, sf_dir):
             )
         )
     return labels.select('doc_id', F.col('lbl').alias('community'))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end entity resolution: the composed dedup workflow a production
+# corpus actually runs —
+#   candidates = MinHash-LSH buckets  UNION  sorted-neighborhood windows
+#   (two independent blocking strategies; each catches pairs the other's
+#   blind spot misses: LSH high-Jaccard pairs anywhere, SNM shared-prefix
+#   near-neighbors below the LSH threshold),
+#   verify     = exact 3-gram Jaccard >= 1/2, stated in INTEGERS
+#   (2*|inter| >= |union|) so the threshold can never float-tie,
+#   cluster    = connected components over the verified pairs,
+#   emit       = one row per duplicate cluster (min-id label, member count).
+# Scale: both blocking stages are the gated operators above (no new
+# shapes); verification touches only O(candidates) pairs; CC runs on the
+# verified subgraph, which is duplicate-sized, not corpus-sized.
+# ---------------------------------------------------------------------------
+
+
+def _er_oracle() -> str:
+    return (
+        _minhash_ctes(recursive=True)
+        + rf""",
+    snm_g AS (
+        SELECT doc_id, lower(trim(substr(text, 1, 32))) AS k,
+               {_sql_shingles(3)} AS grams
+        FROM t JOIN documents USING (doc_id)
+    ),
+    snm_r AS (
+        SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
+        FROM snm_g
+    ),
+    snm_pairs AS (
+        SELECT least(a.doc_id, b.doc_id) AS doc_a,
+               greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM snm_r a JOIN snm_r b ON b.rn - a.rn BETWEEN 1 AND {SNM_WINDOW}
+    ),
+    cand AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION
+        SELECT doc_a, doc_b FROM snm_pairs
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN snm_g ga ON c.doc_a = ga.doc_id
+        JOIN snm_g gb ON c.doc_b = gb.doc_id
+        WHERE 2 * len(list_intersect(ga.grams, gb.grams))
+              >= len(ga.grams) + len(gb.grams)
+                 - len(list_intersect(ga.grams, gb.grams))
+    ),
+    vnodes AS (
+        SELECT doc_a AS doc_id FROM verified
+        UNION
+        SELECT doc_b AS doc_id FROM verified
+    ),
+    vedges AS (
+        SELECT doc_a AS s, doc_b AS d FROM verified
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM verified
+    ),
+    vreach(doc_id, other) AS (
+        SELECT doc_id, doc_id FROM vnodes
+        UNION
+        SELECT r.doc_id, e.d FROM vreach r JOIN vedges e ON r.other = e.s
+    ),
+    vlabels AS (
+        SELECT doc_id, MIN(other) AS cluster_id FROM vreach GROUP BY doc_id
+    )
+    SELECT cluster_id, COUNT(*) AS n_members
+    FROM vlabels GROUP BY cluster_id
+    """
+    )
+
+
+@register('pipeline_entity_resolution', oracle=_er_oracle())
+def pipeline_entity_resolution(spark, sf_dir):
+    """LSH + SNM blocking -> integer-exact Jaccard verify -> CC clusters
+    (see module note)."""
+    docs = table(spark, sf_dir, 'documents')
+    key = F.lower(F.trim(F.substring('text', 1, 32)))
+    g = docs.select(
+        'doc_id', key.alias('k'), _spark_shingles(3).alias('grams')
+    ).persist()
+
+    lsh = _minhash_pairs(spark, sf_dir).select('doc_a', 'doc_b')
+    snm = dedup_sorted_neighborhood(spark, sf_dir).select(
+        F.least('doc_a', 'doc_b').alias('doc_a'),
+        F.greatest('doc_a', 'doc_b').alias('doc_b'),
+    )
+    cand = lsh.union(snm).distinct()
+
+    ga = g.select(F.col('doc_id').alias('doc_a'), F.col('grams').alias('ga'))
+    gb = g.select(F.col('doc_id').alias('doc_b'), F.col('grams').alias('gb'))
+    inter = F.size(F.array_intersect('ga', 'gb'))
+    verified = (
+        cand.join(ga, 'doc_a')
+        .join(gb, 'doc_b')
+        .where(2 * inter >= F.size('ga') + F.size('gb') - inter)
+        .select('doc_a', 'doc_b')
+        .persist()
+    )
+    vnodes = (
+        verified.select(F.col('doc_a').alias('doc_id'))
+        .union(verified.select(F.col('doc_b').alias('doc_id')))
+        .distinct()
+    )
+    labels = _connected_components(
+        verified, vnodes, 'doc_a', 'doc_b', 'doc_id'
+    )
+    return labels.groupBy('cluster_id').agg(
+        F.count(F.lit(1)).alias('n_members')
+    )

@@ -602,3 +602,35 @@ def test_lpa_communities_respect_components_and_merge_exact_dups(spark):
     by_fp = docs.assign(fp=canon).groupby('fp')['doc_id'].agg(list)
     for group in by_fp:
         assert len({lpa[d] for d in group}) == 1, group
+
+
+def test_entity_resolution_clusters_cover_exact_dups(spark):
+    """ER invariants: every cluster has >= 2 members (singletons never
+    enter the verified-pair graph); every exact-duplicate group of size
+    >= 2 appears inside ONE cluster (exact dups pass any Jaccard threshold
+    and always share an LSH bucket); and total members never exceeds the
+    corpus size."""
+    import re
+
+    import pandas as pd
+
+    out = queries()['pipeline_entity_resolution'](spark, SF_DIR).collect()
+    assert all(r.n_members >= 2 for r in out)
+    assert sum(r.n_members for r in out) <= 500
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    canon = docs.text.map(lambda t: re.sub(r'\s+', ' ', t.strip()).lower())
+    dup_groups = [
+        g
+        for g in docs.assign(fp=canon).groupby('fp')['doc_id'].agg(list)
+        if len(g) >= 2
+    ]
+    # exact dups always verify and always share an LSH bucket, so each dup
+    # group lives inside ONE component whose label (min id of the whole
+    # component) is <= the group's min id and whose size covers the group
+    by_id = {r.cluster_id: r.n_members for r in out}
+    for g in dup_groups:
+        assert any(
+            cid <= min(g) and n >= len(g) for cid, n in by_id.items()
+        ), g
+    # and the clusters must account for at least every exact-duplicated doc
+    assert sum(by_id.values()) >= sum(len(g) for g in dup_groups)

@@ -319,6 +319,7 @@ EXTRA = (
     'events_ewma_fold',
     'dedup_bcubed_eval',
     'graph_label_propagation',
+    'pipeline_entity_resolution',
 )
 
 
