@@ -199,6 +199,7 @@ _PRIORITY = (
     'dedup_bcubed_eval',
     'graph_label_propagation',
     'pipeline_entity_resolution',
+    'events_sessionization_sweep',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

@@ -1829,3 +1829,99 @@ def events_ewma_fold(spark, sf_dir):
             '(s, x) -> s * 0.5D + x * 0.5D)'
         ).alias('ewma'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization parameter sweep: the same gap-based session logic as
+# events_sessionization, swept over the idle-timeout parameter in ONE plan
+# — the relational statement of the graph algebra's param-sweep pattern
+# (graph_param_sweep_broadcast): a 3-row timeout dim broadcasts into the
+# events scan, every window partitions by (user_id, timeout) so the three
+# sweeps sessionize in the SAME two sorted passes, and the output is the
+# one-row-per-timeout elbow curve an operator actually tunes on.
+# Determinism: gaps compare as integer microsecond differences (no
+# interval arithmetic); durations sum as exact BIGINT microseconds; the
+# average is one IEEE divide of identical operands.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_sessionization_sweep',
+    oracle="""
+    WITH swept AS (
+        SELECT e.user_id, e.event_id, e.ts, p.timeout_min
+        FROM events e CROSS JOIN (VALUES (10), (30), (90)) p(timeout_min)
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR datediff('microsecond', lag(ts) OVER w, ts)
+                            > timeout_min * 60000000::BIGINT
+                    THEN 1 ELSE 0 END AS new_session
+        FROM swept
+        WINDOW w AS (PARTITION BY timeout_min, user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT *, SUM(new_session) OVER (
+            PARTITION BY timeout_min, user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT timeout_min, user_id, session_id,
+               COUNT(*) AS n_events,
+               datediff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+        FROM sessions GROUP BY timeout_min, user_id, session_id
+    )
+    SELECT timeout_min,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singletons,
+           CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) AS avg_session_us
+    FROM per_session
+    GROUP BY timeout_min
+    """,
+)
+def events_sessionization_sweep(spark, sf_dir):
+    """Idle-timeout elbow curve: gap sessions swept over 3 timeouts in one
+    plan (see module note)."""
+    ev = table(spark, sf_dir, 'events')
+    params = spark.createDataFrame(
+        [(10,), (30,), (90,)], 'timeout_min int'
+    )
+    swept = ev.select('user_id', 'event_id', 'ts').crossJoin(
+        F.broadcast(params)
+    )
+    w = Window.partitionBy('timeout_min', 'user_id').orderBy(
+        'ts', 'event_id'
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag('ts').over(w)
+    gap_us = F.expr('timestampdiff(MICROSECOND, _prev_ts, ts)')
+    new_session = F.when(
+        F.col('_prev_ts').isNull()
+        | (gap_us > F.col('timeout_min').cast('bigint') * 60000000),
+        1,
+    ).otherwise(0)
+    per_session = (
+        swept.withColumn('_prev_ts', prev_ts)
+        .withColumn('new_session', new_session)
+        .withColumn('session_id', F.sum('new_session').over(cum))
+        .groupBy('timeout_min', 'user_id', 'session_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_events'),
+            F.expr(
+                'timestampdiff(MICROSECOND, MIN(ts), MAX(ts))'
+            ).alias('dur_us'),
+        )
+    )
+    return per_session.groupBy('timeout_min').agg(
+        F.count(F.lit(1)).alias('n_sessions'),
+        F.sum((F.col('n_events') == 1).cast('int'))
+        .cast('bigint')
+        .alias('n_singletons'),
+        (F.sum('dur_us').cast('double') / F.count(F.lit(1))).alias(
+            'avg_session_us'
+        ),
+    )

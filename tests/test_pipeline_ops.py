@@ -634,3 +634,30 @@ def test_entity_resolution_clusters_cover_exact_dups(spark):
         ), g
     # and the clusters must account for at least every exact-duplicated doc
     assert sum(by_id.values()) >= sum(len(g) for g in dup_groups)
+
+
+def test_sessionization_sweep_monotone_and_consistent(spark):
+    """Sweep invariants: growing the idle timeout can only MERGE sessions,
+    so session count and singleton count are non-increasing in the timeout
+    while average duration is non-decreasing; and the 30-minute point must
+    agree exactly with the standalone events_sessionization query."""
+    rows = {
+        r.timeout_min: r
+        for r in queries()['events_sessionization_sweep'](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert sorted(rows) == [10, 30, 90]
+    assert rows[10].n_sessions >= rows[30].n_sessions >= rows[90].n_sessions
+    assert (
+        rows[10].n_singletons
+        >= rows[30].n_singletons
+        >= rows[90].n_singletons
+    )
+    assert (
+        rows[10].avg_session_us
+        <= rows[30].avg_session_us
+        <= rows[90].avg_session_us
+    )
+    standalone = queries()['events_sessionization'](spark, SF_DIR).count()
+    assert rows[30].n_sessions == standalone

@@ -320,6 +320,7 @@ EXTRA = (
     'dedup_bcubed_eval',
     'graph_label_propagation',
     'pipeline_entity_resolution',
+    'events_sessionization_sweep',
 )
 
 
