@@ -1925,3 +1925,81 @@ def events_sessionization_sweep(spark, sf_dir):
             'avg_session_us'
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the hourly event-count series, per
+# event type. The textbook recurrence s_i = max(0, s_{i-1} + (x_i - k))
+# looks sequential, but has the closed form
+#     s_i = P_i - min(0, min_{j<=i} P_j),   P_i = cumsum(x_i - k),
+# so it is TWO window passes over the same (type, hour-ordered) partition
+# — no fold, no iteration, and every value is an exact BIGINT (drift k is
+# the ceil-divided per-type mean, threshold h = 5k), identical in both
+# engines. One shuffle on event_type total; the per-type mean broadcasts
+# back as a K-row join. Alarm hours are where the statistic crosses h —
+# the sustained-shift detector that complements the pointwise robust-z
+# anomaly query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'events_cusum_alarm',
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    drift AS (
+        SELECT event_type,
+               CAST((SUM(cnt) + COUNT(*) - 1) // COUNT(*) AS BIGINT) AS k
+        FROM hourly GROUP BY event_type
+    ),
+    pref AS (
+        SELECT h.event_type, h.hour_start, h.cnt, d.k,
+               SUM(h.cnt - d.k) OVER (
+                   PARTITION BY h.event_type ORDER BY h.hour_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS p
+        FROM hourly h JOIN drift d USING (event_type)
+    )
+    SELECT event_type, hour_start, cnt,
+           CAST(p - least(0, MIN(p) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) AS BIGINT) AS cusum,
+           CAST(p - least(0, MIN(p) OVER (
+               PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) >= 5 * k AS BOOLEAN) AS alarm
+    FROM pref
+    """,
+)
+def events_cusum_alarm(spark, sf_dir):
+    """Per-type CUSUM statistic + alarm flag by hour (see module note)."""
+    ev = table(spark, sf_dir, 'events')
+    hourly = ev.groupBy(
+        'event_type', F.date_trunc('hour', 'ts').alias('hour_start')
+    ).agg(F.count(F.lit(1)).alias('cnt'))
+    # integral `div`, not floor(double/...): exact past 2^53 at any scale
+    drift = hourly.groupBy('event_type').agg(
+        F.expr('(sum(cnt) + count(*) - 1) div count(*)')
+        .cast('bigint')
+        .alias('k')
+    )
+    w = (
+        Window.partitionBy('event_type')
+        .orderBy('hour_start')
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = hourly.join(F.broadcast(drift), 'event_type').withColumn(
+        'p', F.sum(F.col('cnt') - F.col('k')).over(w)
+    )
+    cusum = F.col('p') - F.least(F.lit(0), F.min('p').over(w))
+    return pref.select(
+        'event_type',
+        'hour_start',
+        'cnt',
+        cusum.cast('bigint').alias('cusum'),
+        (cusum >= 5 * F.col('k')).alias('alarm'),
+    )

@@ -661,3 +661,23 @@ def test_sessionization_sweep_monotone_and_consistent(spark):
     )
     standalone = queries()['events_sessionization'](spark, SF_DIR).count()
     assert rows[30].n_sessions == standalone
+
+
+def test_cusum_matches_textbook_recurrence(spark):
+    """The window-identity CUSUM must equal the sequential textbook
+    recurrence s_i = max(0, s_{i-1} + (x_i - k)) replayed in Python per
+    event type, including the alarm flags."""
+    rows = queries()['events_cusum_alarm'](spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour_start)
+        total = sum(r.cnt for r in series)
+        n = len(series)
+        k = (total + n - 1) // n
+        s = 0
+        for r in series:
+            s = max(0, s + (r.cnt - k))
+            assert r.cusum == s, r
+            assert r.alarm == (s >= 5 * k), r

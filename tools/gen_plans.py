@@ -321,6 +321,7 @@ EXTRA = (
     'graph_label_propagation',
     'pipeline_entity_resolution',
     'events_sessionization_sweep',
+    'events_cusum_alarm',
 )
 
 
