@@ -659,9 +659,16 @@ def test_sorted_neighborhood_rank_is_bucketed_and_reused(spark):
     # every row_number window is bucket-partitioned — none starts with the
     # sort key alone (that would be the single-reducer global window)
     assert not re.search(r'row_number\(\) windowspecdefinition\(k#', raw)
-    # the only single-partition exchange is the K-row bucket-offset cumsum
-    # (displayed once per InMemoryRelation reference, so <= 2, never more)
-    assert 1 <= raw.count('Exchange SinglePartition') <= 2
+    # a K-row bucket-offset cumsum exists (its SinglePartition exchange is
+    # the only one, but InMemoryRelation re-displays embedded subplans a
+    # session-dependent number of times, so no exact count is stable);
+    # every one of them must be the offsets window, never corpus data
+    assert raw.count('Exchange SinglePartition') >= 1
+    for seg in raw.split('Exchange SinglePartition')[1:]:
+        # the operator directly under the single-partition exchange is the
+        # per-bucket count aggregate, never a corpus-row operator
+        first_op = seg.split('+- ')[1].split('\n')[0]
+        assert 'HashAggregate' in first_op, first_op
     assert 'InMemoryTableScan' in raw  # persisted rank/gram tables reused
 
 
