@@ -2661,3 +2661,117 @@ def text_keyword_tagging(spark, sf_dir):
             F.countDistinct('doc_id').alias('n_docs'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Extractive summarization: keep each document's top-2 sentences by token
+# rarity — the content-selection step of a training-data distillation
+# pipeline. Sentence score = sum over the sentence's DISTINCT tokens of
+# (N - df(token)), where df is the whole-corpus document frequency of the
+# whitespace token: an integer-exact tf-idf surrogate with no logarithm
+# (cross-engine ln is banned by the determinism rules). Ties break on the
+# earlier sentence.
+#
+# Scale shape: df is ONE (token, doc) distinct + count aggregate; the
+# K-row... rather, the |vocab|-row df table joins the exploded sentence
+# tokens on the token key (shuffle equi-join — the vocab of a 100 TB corpus
+# out-sizes a broadcast); per-sentence scores partial-aggregate on
+# (doc_id, sent_idx); top-2 is a doc-partitioned window over ~sentences/doc
+# rows. Tokens that whitespace-split differently at sentence boundaries
+# ('bar.' vs 'bar') miss the df table and score df = 0 — identically in
+# both engines (COALESCE 0).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'text_extractive_summary',
+    oracle=r"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (
+        SELECT tok, COUNT(*) AS df FROM (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents
+        ) GROUP BY tok
+    ),
+    sent AS (
+        SELECT doc_id,
+               unnest(range(1, len(parts) + 1)) AS sent_idx,
+               unnest(parts) AS sentence
+        FROM (SELECT doc_id, string_split(text, '. ') AS parts
+              FROM documents)
+    ),
+    stok AS (
+        SELECT DISTINCT doc_id, sent_idx,
+               unnest(string_split_regex(lower(trim(sentence)), '\s+'))
+                   AS tok
+        FROM sent
+    ),
+    scored AS (
+        SELECT s.doc_id, s.sent_idx,
+               CAST(SUM(n.n_docs - COALESCE(df.df, 0)) AS BIGINT) AS score
+        FROM stok s CROSS JOIN n LEFT JOIN df ON s.tok = df.tok
+        GROUP BY s.doc_id, s.sent_idx
+    ),
+    ranked AS (
+        SELECT sc.doc_id, sc.sent_idx, sc.score, se.sentence,
+               row_number() OVER (
+                   PARTITION BY sc.doc_id
+                   ORDER BY sc.score DESC, sc.sent_idx
+               ) AS rk
+        FROM scored sc
+        JOIN sent se ON sc.doc_id = se.doc_id AND sc.sent_idx = se.sent_idx
+    )
+    SELECT doc_id, rk, sent_idx, score, sentence
+    FROM ranked WHERE rk <= 2
+    """,
+)
+def text_extractive_summary(spark, sf_dir):
+    """Top-2 sentences per document by integer rarity score (module note)."""
+    docs = table(spark, sf_dir, 'documents')
+    n = docs.agg(F.count(F.lit(1)).alias('n_docs'))
+    df_tbl = (
+        docs.select(
+            'doc_id',
+            F.explode(
+                F.split(F.lower(F.trim('text')), r'\s+')
+            ).alias('tok'),
+        )
+        .distinct()
+        .groupBy('tok')
+        .agg(F.count(F.lit(1)).alias('df'))
+    )
+    sent = docs.select(
+        'doc_id',
+        F.posexplode(F.split('text', r'\. ')).alias('idx0', 'sentence'),
+    ).select(
+        'doc_id',
+        (F.col('idx0') + 1).cast('bigint').alias('sent_idx'),
+        'sentence',
+    ).persist()
+    stok = sent.select(
+        'doc_id',
+        'sent_idx',
+        F.explode(
+            F.split(F.lower(F.trim('sentence')), r'\s+')
+        ).alias('tok'),
+    ).distinct()
+    scored = (
+        stok.crossJoin(F.broadcast(n))
+        .join(df_tbl, 'tok', 'left')
+        .groupBy('doc_id', 'sent_idx')
+        .agg(
+            F.sum(F.col('n_docs') - F.coalesce('df', F.lit(0)))
+            .cast('bigint')
+            .alias('score')
+        )
+    )
+    w = Window.partitionBy('doc_id').orderBy(
+        F.col('score').desc(), 'sent_idx'
+    )
+    return (
+        scored.join(sent, ['doc_id', 'sent_idx'])
+        .withColumn('rk', F.row_number().over(w).cast('bigint'))
+        .where(F.col('rk') <= 2)
+        .select('doc_id', 'rk', 'sent_idx', 'score', 'sentence')
+    )

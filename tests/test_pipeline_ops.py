@@ -681,3 +681,42 @@ def test_cusum_matches_textbook_recurrence(spark):
             s = max(0, s + (r.cnt - k))
             assert r.cusum == s, r
             assert r.alarm == (s >= 5 * k), r
+
+
+def test_extractive_summary_structure_and_scores(spark):
+    """Summary invariants: <= 2 rows per doc with ranks {1} or {1, 2},
+    scores non-increasing with rank, sentences actually substrings of the
+    source document, and the rank-1 sentence has the maximum score over
+    ALL of the doc's sentences (recomputed in Python from the same '. '
+    split and df definition)."""
+    import re
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    n_docs = len(docs)
+    df_counts = {}
+    for _, row in docs.iterrows():
+        for tok in set(re.split(r'\s+', row.text.strip().lower())):
+            df_counts[tok] = df_counts.get(tok, 0) + 1
+
+    def score(sentence):
+        toks = set(re.split(r'\s+', sentence.strip().lower()))
+        return sum(n_docs - df_counts.get(t, 0) for t in toks)
+
+    out = queries()['text_extractive_summary'](spark, SF_DIR).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    text_by_id = dict(zip(docs.doc_id, docs.text))
+    assert set(by_doc) == set(text_by_id)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] in ([1], [1, 2])
+        assert all(r.sentence in text_by_id[doc_id] for r in rows)
+        if len(rows) == 2:
+            assert rows[0].score >= rows[1].score
+        best = max(
+            score(s) for s in text_by_id[doc_id].split('. ')
+        )
+        assert rows[0].score == best == score(rows[0].sentence)

@@ -322,6 +322,7 @@ EXTRA = (
     'pipeline_entity_resolution',
     'events_sessionization_sweep',
     'events_cusum_alarm',
+    'text_extractive_summary',
 )
 
 
