@@ -2775,3 +2775,107 @@ def text_extractive_summary(spark, sf_dir):
         .where(F.col('rk') <= 2)
         .select('doc_id', 'rk', 'sent_idx', 'score', 'sentence')
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-estimated cross-source overlap, audited against the exact matrix:
+# the 100 TB path for quality_source_overlap. Per-source Datasketches HLL
+# sketches (hll_sketch_agg, lgK 14) are ONE scan + a K-row table; every
+# pairwise overlap estimate is then pure sketch algebra —
+#     est_inter = n_a + n_b - estimate(union(sk_a, sk_b))
+# (n_a, n_b are exact per-source counts, so the only estimation error is
+# the single union estimate) — no per-pair data pass at all. Following the
+# approx_percentile_bounds pattern, the gate contract is the EXACT overlap
+# plus a flag asserting the estimate lands within 2% of the union size
+# (~5 sigma at lgK 14's ~0.41% rsd) + a floor of 8 for tiny overlaps; the
+# oracle states the exact values and TRUE. The exact pipeline here is the
+# verification harness — production ships the sketch path alone.
+# ---------------------------------------------------------------------------
+
+
+def _overlap_hll_oracle() -> str:
+    from .dedup import _sql_shingles
+
+    return rf"""
+    WITH t AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, unnest({_sql_shingles(3)}) AS shingle
+        FROM t
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared, TRUE AS est_ok
+    FROM inter
+    """
+
+
+@register('quality_source_overlap_hll', oracle=_overlap_hll_oracle())
+def quality_source_overlap_hll(spark, sf_dir):
+    """HLL-sketch overlap estimates audited against the exact matrix (see
+    module note)."""
+    docs = table(spark, sf_dir, 'documents')
+    sh = (
+        docs.select(
+            'source', F.explode(_CF.shingles('text', 3)).alias('shingle')
+        )
+        .distinct()
+        .persist()
+    )
+    sk = sh.groupBy('source').agg(
+        F.expr('hll_sketch_agg(shingle, 14)').alias('sk'),
+        F.count(F.lit(1)).alias('n'),
+    )
+    pairs_est = (
+        sk.alias('a')
+        .crossJoin(F.broadcast(sk.alias('b')))
+        .where(F.col('a.source') < F.col('b.source'))
+        .select(
+            F.col('a.source').alias('source_a'),
+            F.col('b.source').alias('source_b'),
+            F.col('a.n').alias('n_a'),
+            F.col('b.n').alias('n_b'),
+            F.expr(
+                'hll_sketch_estimate(hll_union(a.sk, b.sk))'
+            ).alias('est_union'),
+        )
+    )
+    exact = (
+        sh.groupBy('shingle')
+        .agg(F.sort_array(F.collect_set('source')).alias('srcs'))
+        .where(F.size('srcs') >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    'transform(slice(srcs, i + 2, size(srcs) - i - 1), '
+                    "b -> named_struct('sa', a, 'sb', b))))"
+                )
+            ).alias('p')
+        )
+        .groupBy(
+            F.col('p.sa').alias('source_a'), F.col('p.sb').alias('source_b')
+        )
+        .agg(F.count(F.lit(1)).alias('n_shared'))
+    )
+    est_inter = F.col('n_a') + F.col('n_b') - F.col('est_union')
+    exact_union = F.col('n_a') + F.col('n_b') - F.col('n_shared')
+    tol = F.greatest(F.lit(8), (exact_union * 0.02).cast('bigint'))
+    return (
+        exact.join(F.broadcast(pairs_est), ['source_a', 'source_b'])
+        .select(
+            'source_a',
+            'source_b',
+            'n_shared',
+            (
+                F.abs(est_inter - F.col('n_shared')) <= tol
+            ).alias('est_ok'),
+        )
+    )

@@ -720,3 +720,17 @@ def test_extractive_summary_structure_and_scores(spark):
             score(s) for s in text_by_id[doc_id].split('. ')
         )
         assert rows[0].score == best == score(rows[0].sentence)
+
+
+def test_hll_overlap_estimates_match_exact_matrix(spark):
+    """The sketch-audit query must agree with quality_source_overlap on
+    the exact pair counts, and every estimate flag must hold (the sketch
+    path is deterministic for fixed data, so this is a hard assertion,
+    not a flaky-probabilistic one)."""
+    exact = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in queries()['quality_source_overlap'](spark, SF_DIR).collect()
+    }
+    rows = queries()['quality_source_overlap_hll'](spark, SF_DIR).collect()
+    assert {(r.source_a, r.source_b): r.n_shared for r in rows} == exact
+    assert all(r.est_ok for r in rows)

@@ -323,6 +323,7 @@ EXTRA = (
     'events_sessionization_sweep',
     'events_cusum_alarm',
     'text_extractive_summary',
+    'quality_source_overlap_hll',
 )
 
 
