@@ -43,9 +43,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f'/tmp/cb_stream_src_{hashlib.md5(path.encode()).hexdigest()[:12]}'
     )
     os.makedirs(link_dir, exist_ok=True)
-    link = f'{link_dir}/events.parquet'
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    if os.path.isdir(path):
+        # Spark-written multi-file table (e.g. the synthesized sf1): the
+        # file source does not recurse into subdirectories, so symlink
+        # each part file into the landing dir
+        for part in sorted(os.listdir(path)):
+            if part.endswith('.parquet'):
+                link = f'{link_dir}/{part}'
+                if not os.path.exists(link):
+                    os.symlink(f'{path}/{part}', link)
+    else:
+        link = f'{link_dir}/events.parquet'
+        if not os.path.exists(link):
+            os.symlink(path, link)
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(link_dir)
     # Mirror the batch loader's type detection (tables.events_table): the
