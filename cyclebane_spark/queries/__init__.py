@@ -203,6 +203,7 @@ _PRIORITY = (
     'events_cusum_alarm',
     'text_extractive_summary',
     'quality_source_overlap_hll',
+    'ann_matryoshka_rerank',
     # (the SURVEY-§2.1 graph-algebra family is represented in-window by
     # graph_slice_positional above; the rest are r1-r3 driver-green,
     # unchanged, re-verified locally at 3 SFs every session, and

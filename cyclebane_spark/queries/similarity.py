@@ -1589,3 +1589,135 @@ def ann_hard_negatives(spark, sf_dir):
             'rk',
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka funnel retrieval: coarse-score every candidate on the FIRST
+# 16 embedding dimensions (truncate-and-renormalize, the matryoshka
+# property), keep the top-64 per query, then exactly re-rank only those
+# candidates on all 64 dims. The funnel is the production pattern for
+# nested-dimension embeddings: stage 1 reads 1/4 of the vector bytes (and
+# in a real system runs against a far smaller prefix index), stage 2
+# touches 64 rows per query. Recall against full brute force depends on
+# how much signal the prefix carries: matryoshka-TRAINED embeddings
+# concentrate it there by construction; the synthetic test vectors are
+# isotropic, so measured recall@10 is ~0.5 (sf0.001) — the gate therefore
+# checks the funnel's exact two-stage semantics (oracle), and the property
+# test pins stage 2 as bit-exact re-ranking of the stage-1 candidates. Same determinism recipe as every ANN query here: round(cos, 9)
+# with a vec_id tiebreak at BOTH stages, so candidate sets and final ranks
+# are bit-stable across engines.
+# ---------------------------------------------------------------------------
+
+MAT_DIMS = 16
+MAT_CAND = 64
+
+_SQL_DOT8 = (
+    f'list_sum(list_transform(range(1, {MAT_DIMS + 1}), '
+    'i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))'
+)
+
+
+def _matryoshka_oracle() -> str:
+    dot8 = _SQL_DOT8.format(a='q.embedding', b='c.embedding')
+    coarse = f'round({dot8} / (q.nrm8 * c.nrm8), 9)'
+    full = f"round({SQL_DOT.format(a='q.embedding', b='c.embedding')}"
+    full += ' / (q.nrm * c.nrm), 9)'
+    self8 = _SQL_DOT8.format(a='embedding', b='embedding')
+    self64 = SQL_DOT.format(a='embedding', b='embedding')
+    return f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt({self8}) AS nrm8,
+               sqrt({self64}) AS nrm
+        FROM embeddings
+    ),
+    coarse AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {coarse} DESC, c.vec_id
+                   ) AS crk
+            FROM n q JOIN n c
+              ON q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+        ) WHERE crk <= {MAT_CAND}
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               {full.replace('q.', 'qq.').replace('c.', 'cc.')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cd.query_id
+                   ORDER BY {full.replace('q.', 'qq.').replace('c.', 'cc.')}
+                            DESC, cd.neighbor_id
+               ) AS rk
+        FROM coarse cd
+        JOIN n qq ON cd.query_id = qq.vec_id
+        JOIN n cc ON cd.neighbor_id = cc.vec_id
+    ) WHERE rk <= {TOP_K}
+    """
+
+
+@register('ann_matryoshka_rerank', oracle=_matryoshka_oracle())
+def ann_matryoshka_rerank(spark, sf_dir):
+    """8-dim prefix funnel + exact 64-dim re-rank (see module note)."""
+    emb = table(spark, sf_dir, 'embeddings')
+    pre = F.slice('embedding', 1, MAT_DIMS)
+    n = emb.select(
+        'vec_id',
+        'embedding',
+        F.sqrt(_spark_dot(pre, pre)).alias('nrm8'),
+        F.sqrt(
+            _spark_dot(F.col('embedding'), F.col('embedding'))
+        ).alias('nrm'),
+    ).persist()
+    q = n.filter(F.col('vec_id') < N_QUERIES).alias('q')
+    c = n.filter(F.col('vec_id') >= N_QUERIES).alias('c')
+    coarse_cos = F.round(
+        _spark_dot(
+            F.slice(F.col('q.embedding'), 1, MAT_DIMS),
+            F.slice(F.col('c.embedding'), 1, MAT_DIMS),
+        )
+        / (F.col('q.nrm8') * F.col('c.nrm8')),
+        9,
+    )
+    wc = Window.partitionBy('query_id').orderBy(
+        F.desc('coarse'), F.asc('neighbor_id')
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            F.col('q.vec_id').alias('query_id'),
+            F.col('c.vec_id').alias('neighbor_id'),
+            coarse_cos.alias('coarse'),
+        )
+        .withColumn('crk', F.row_number().over(wc))
+        .filter(F.col('crk') <= MAT_CAND)
+        .select('query_id', 'neighbor_id')
+    )
+    qq = n.select(
+        F.col('vec_id').alias('query_id'),
+        F.col('embedding').alias('q_emb'),
+        F.col('nrm').alias('q_nrm'),
+    )
+    cc = n.select(
+        F.col('vec_id').alias('neighbor_id'),
+        F.col('embedding').alias('c_emb'),
+        F.col('nrm').alias('c_nrm'),
+    )
+    full_cos = F.round(
+        _spark_dot(F.col('q_emb'), F.col('c_emb'))
+        / (F.col('q_nrm') * F.col('c_nrm')),
+        9,
+    )
+    wf = Window.partitionBy('query_id').orderBy(
+        F.desc('cosine'), F.asc('neighbor_id')
+    )
+    return (
+        cand.join(F.broadcast(qq), 'query_id')
+        .join(cc, 'neighbor_id')
+        .select('query_id', 'neighbor_id', full_cos.alias('cosine'))
+        .withColumn('rk', F.row_number().over(wf).cast('long'))
+        .filter(F.col('rk') <= TOP_K)
+        .select('query_id', 'neighbor_id', 'cosine', 'rk')
+    )

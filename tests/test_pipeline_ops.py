@@ -734,3 +734,50 @@ def test_hll_overlap_estimates_match_exact_matrix(spark):
     rows = queries()['quality_source_overlap_hll'](spark, SF_DIR).collect()
     assert {(r.source_a, r.source_b): r.n_shared for r in rows} == exact
     assert all(r.est_ok for r in rows)
+
+
+def test_matryoshka_stage2_is_exact_rerank_of_stage1(spark):
+    """Funnel invariant, recomputed in numpy: for every query, the output
+    must equal the top-10 by FULL-dim cosine (round 9, vec_id tiebreak)
+    restricted to the top-64 candidates by 16-dim prefix cosine — i.e.
+    stage 2 is an exact re-rank of exactly stage 1's candidate set."""
+    import numpy as np
+    import pandas as pd
+
+    from cyclebane_spark.queries.similarity import (
+        MAT_CAND,
+        MAT_DIMS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = pd.read_parquet(f'{SF_DIR}/embeddings.parquet')
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=float)
+        for r in emb.itertuples(index=False)
+    }
+
+    def cos(a, b, d=None):
+        a = a[:d] if d else a
+        b = b[:d] if d else b
+        return round(
+            float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b)), 9
+        )
+
+    corpus = sorted(v for v in vecs if v >= N_QUERIES)
+    expected = {}
+    for qid in range(N_QUERIES):
+        coarse = sorted(
+            corpus,
+            key=lambda c: (-cos(vecs[qid], vecs[c], MAT_DIMS), c),
+        )[:MAT_CAND]
+        final = sorted(
+            coarse, key=lambda c: (-cos(vecs[qid], vecs[c]), c)
+        )[:TOP_K]
+        for rk, c in enumerate(final, start=1):
+            expected[(qid, c)] = (rk, cos(vecs[qid], vecs[c]))
+    out = queries()['ann_matryoshka_rerank'](spark, SF_DIR).collect()
+    got = {
+        (r.query_id, r.neighbor_id): (r.rk, r.cosine) for r in out
+    }
+    assert got == expected

@@ -324,6 +324,7 @@ EXTRA = (
     'events_cusum_alarm',
     'text_extractive_summary',
     'quality_source_overlap_hll',
+    'ann_matryoshka_rerank',
 )
 
 
