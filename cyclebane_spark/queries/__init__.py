@@ -125,15 +125,19 @@ _PRIORITY = (
     'text_extractive_summary',
     'quality_source_overlap_hll',
     'ann_matryoshka_rerank',
-    # 44-50: round-5 additions/changes, then oldest-r1 backfill (rows whose
-    # last driver signal is round 1; re-proved locally every session).
+    # 44-50: round-5 additions/changes (new IVF x matryoshka composition;
+    # text_length_curriculum reworked onto the shared bucketed-rank helper
+    # — dedup_sorted_neighborhood and graph_slice_positional, the other
+    # two call sites, already hold window slots above), then oldest-r1
+    # backfill (rows whose last driver signal is round 1; re-proved
+    # locally every session).
+    'ann_ivf_matryoshka_topk',
+    'text_length_curriculum',
     'q1_pricing_summary',
     'window_topk_per_group',
     'subquery_correlated_avg',
     'join_range_band',
     'percentile_exact',
-    'setop_union_intersect',
-    'sample_stratified',
     # positions 51+: driver-green in r1-r4 and unchanged since; the
     # r4-green block (dedup_minhash_estimator .. dedup_incremental_minhash
     # and the rest of the r4 window) follows in registration order via the

@@ -2045,42 +2045,25 @@ def _snm_oracle() -> str:
 @register('dedup_sorted_neighborhood', oracle=_snm_oracle())
 def dedup_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood candidate pairs + exact Jaccard (module note)."""
-    from pyspark.sql import Window
+    from ..functions.ranking import with_global_position
 
     docs = table(spark, sf_dir, 'documents')
     key = F.lower(F.trim(F.substring('text', 1, 32)))
     d = docs.select(
         'doc_id', key.alias('k'), _spark_shingles(3).alias('grams')
     ).persist()
-    # Bucket = 2-char key prefix: MONOTONE in the sort key, so bucket-major
-    # order IS the global order and rank exactness never depends on bucket
-    # balance — only task balance does. A boilerplate-heavy corpus (many
-    # docs sharing a prefix) skews tasks, not answers; the escape hatch at
-    # scale is the sampled-split-point range bucketing the positional-slice
-    # path uses (sources/arrays.py _range_bucket_expr), same two-level
-    # shape, equi-depth buckets by construction.
-    b = d.select('doc_id', 'k', F.substring('k', 1, 2).alias('bkt'))
-    # K-row cumulative bucket offsets (K = distinct first chars)
-    woff = (
-        Window.orderBy('bkt')
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offs = (
-        b.groupBy('bkt')
-        .agg(F.count(F.lit(1)).alias('n'))
-        .select(
-            'bkt', (F.sum('n').over(woff) - F.col('n')).alias('off')
-        )
-    )
-    wrank = Window.partitionBy('bkt').orderBy('k', 'doc_id')
+    # Bucket = 2-char key prefix: MONOTONE in the sort key, so the shared
+    # two-level rank applies (functions/ranking.py). A boilerplate-heavy
+    # corpus (many docs sharing a prefix) skews tasks, not answers; the
+    # escape hatch at scale is the sampled-split-point range bucketing the
+    # positional-slice path uses (sources/arrays.py _range_bucket_expr),
+    # same two-level shape, equi-depth buckets by construction.
+    b = d.select('doc_id', 'k')
     # (doc_id, rn) is two longs/row — persist so the rank pipeline (scan,
     # bucket window, offset broadcast) runs once, not once per join side.
     ranked = (
-        b.join(F.broadcast(offs), 'bkt')
-        .select(
-            'doc_id',
-            (F.row_number().over(wrank) + F.col('off')).alias('rn'),
-        )
+        with_global_position(b, F.substring('k', 1, 2), ['k', 'doc_id'])
+        .select('doc_id', (F.col('__pos') + 1).alias('rn'))
         .persist()
     )
     left = ranked.select(

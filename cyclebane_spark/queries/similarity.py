@@ -1721,3 +1721,115 @@ def ann_matryoshka_rerank(spark, sf_dir):
         .filter(F.col('rk') <= TOP_K)
         .select('query_id', 'neighbor_id', 'cosine', 'rk')
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF x matryoshka composition: coarse PREFIX-distance scoring WITHIN the
+# probed cells' inverted lists, then exact full-dim re-rank of the coarse
+# survivors. This is the production form of the matryoshka funnel: the
+# plain funnel (ann_matryoshka_rerank) scores the 16-dim prefix against the
+# ENTIRE corpus — a correct semantics oracle but still a full scan — while
+# here the trained IVF quantizer (shared with ann_ivf_kmeans_*) prunes the
+# corpus to nprobe inverted lists FIRST, so the prefix stage touches only
+# |probed cells| rows and the full-dim stage only MAT_CAND rows per query.
+#
+# Scale: identical to the trained-IVF searches — candidates arrive via an
+# equi-join on the cell id (never a corpus cross join), centroids broadcast,
+# and the prefix stage reads a quarter of the component rows (pos <
+# MAT_DIMS) of the probed lists only. Everything runs in the same quantized
+# integer space as the IVF family, so distances are exact integers and both
+# engines rank bit-identically ((dist2, neighbor_id) tiebreak at both
+# stages).
+# ---------------------------------------------------------------------------
+
+IVF_MAT_NPROBE = 2  # cells probed per query (matches ann_ivf_kmeans_nprobe2)
+
+
+def _sql_ivf_matryoshka() -> str:
+    return f"""{_sql_kmeans_ctes()},
+    qa AS (
+        SELECT vec_id AS query_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
+                   ) AS rk
+            FROM e JOIN c{KM_ITERS} c ON e.pos = c.pos
+            WHERE e.vec_id < {N_QUERIES}
+            GROUP BY e.vec_id, c.cl
+        ) WHERE rk <= {IVF_MAT_NPROBE}
+    ),
+    coarse AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT qa.query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qa.query_id
+                       ORDER BY SUM((eq.q - ec.q) * (eq.q - ec.q)), a.vec_id
+                   ) AS crk
+            FROM qa
+            JOIN af a ON a.cl = qa.cl
+            JOIN e eq ON eq.vec_id = qa.query_id AND eq.pos < {MAT_DIMS}
+            JOIN e ec ON ec.vec_id = a.vec_id AND ec.pos = eq.pos
+            GROUP BY qa.query_id, a.vec_id
+        ) WHERE crk <= {MAT_CAND}
+    )
+    SELECT query_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2, rk FROM (
+        SELECT query_id, neighbor_id, dist2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY dist2, neighbor_id
+               ) AS rk
+        FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   SUM((eq.q - ec.q) * (eq.q - ec.q)) AS dist2
+            FROM coarse c
+            JOIN e eq ON eq.vec_id = c.query_id
+            JOIN e ec ON ec.vec_id = c.neighbor_id AND ec.pos = eq.pos
+            GROUP BY c.query_id, c.neighbor_id
+        )
+    ) WHERE rk <= {KM_TOPK}
+    """
+
+
+@register('ann_ivf_matryoshka_topk', oracle=_sql_ivf_matryoshka())
+def ann_ivf_matryoshka_topk(spark, sf_dir):
+    """Trained IVF probe -> 16-dim-prefix coarse rank within the probed
+    inverted lists -> exact 64-dim re-rank of the MAT_CAND survivors (see
+    the module note). The coarse stage is the ann_ivfpq_topk residual-ADC
+    shape with a MAT_DIMS-prefix distance instead of a codebook lookup."""
+    e, cent, final_assigned, assign = _kmeans_train(spark, sf_dir)
+
+    qa = assign(
+        e.filter(F.col('vec_id') < N_QUERIES), cent, n=IVF_MAT_NPROBE
+    ).select(F.col('vec_id').alias('query_id'), 'cl')
+    lists = final_assigned.select(F.col('vec_id').alias('neighbor_id'), 'cl')
+    # A corpus vector lives in exactly one cell, so probing 2 cells yields
+    # disjoint candidate sets — no dedup before the coarse rank.
+    pairs = qa.join(lists, 'cl').select('query_id', 'neighbor_id')
+
+    eq = e.select(F.col('vec_id').alias('query_id'), 'pos', F.col('q').alias('qq'))
+    ec = e.select(F.col('vec_id').alias('neighbor_id'), 'pos', F.col('q').alias('qc'))
+    d2 = F.sum(
+        (F.col('qq') - F.col('qc')) * (F.col('qq') - F.col('qc'))
+    )
+
+    wc = Window.partitionBy('query_id').orderBy('cdist2', 'neighbor_id')
+    coarse = (
+        pairs.join(eq.filter(F.col('pos') < MAT_DIMS), 'query_id')
+        .join(ec, ['neighbor_id', 'pos'])
+        .groupBy('query_id', 'neighbor_id')
+        .agg(d2.alias('cdist2'))
+        .withColumn('crk', F.row_number().over(wc))
+        .filter(F.col('crk') <= MAT_CAND)
+        .select('query_id', 'neighbor_id')
+    )
+
+    wf = Window.partitionBy('query_id').orderBy('dist2', 'neighbor_id')
+    return (
+        coarse.join(eq, 'query_id')
+        .join(ec, ['neighbor_id', 'pos'])
+        .groupBy('query_id', 'neighbor_id')
+        .agg(d2.alias('dist2'))
+        .withColumn('rk', F.row_number().over(wf).cast('long'))
+        .filter(F.col('rk') <= KM_TOPK)
+        .select('query_id', 'neighbor_id', 'dist2', 'rk')
+    )

@@ -1508,29 +1508,21 @@ def text_length_curriculum(spark, sf_dir):
     """Exact equal-frequency quartile bin per document by token count,
     computed with the bucketed two-level rank (no single-reducer sort) —
     see the module note above."""
+    from ..functions.ranking import with_global_position
+
     docs = table(spark, sf_dir, 'documents')
     d = docs.select(
         'doc_id',
         F.size(F.split(F.trim(F.col('text')), r'\s+')).cast('bigint').alias('n_tokens'),
     )
-    counts = d.groupBy('n_tokens').agg(F.count(F.lit(1)).alias('c'))
-    off_w = Window.orderBy('n_tokens').rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = counts.select(
-        'n_tokens', F.coalesce(F.sum('c').over(off_w), F.lit(0)).alias('off')
-    )
     total = d.agg(F.count(F.lit(1)).alias('n'))
-    in_key = Window.partitionBy('n_tokens').orderBy('doc_id')
-    return (
-        d.join(F.broadcast(offsets), 'n_tokens')
-        .withColumn('pos', F.col('off') + F.row_number().over(in_key) - 1)
-        .crossJoin(F.broadcast(total))
-        .select(
-            'doc_id',
-            'n_tokens',
-            F.expr('(pos * 4) div n').cast('bigint').alias('bin'),
-        )
+    # Bucket = the sort key itself (token counts are low-cardinality), so
+    # the shared two-level rank needs no sampling here.
+    ranked = with_global_position(d, F.col('n_tokens'), ['doc_id'], 'pos')
+    return ranked.crossJoin(F.broadcast(total)).select(
+        'doc_id',
+        'n_tokens',
+        F.expr('(pos * 4) div n').cast('bigint').alias('bin'),
     )
 
 

@@ -531,28 +531,23 @@ class SparkColumn(DimArray):
     _POS_BUCKET_W = 4096
 
     def _with_position(self, df):
-        """Attach the global 0-based position ``__pos`` in index order.
+        """Attach the global 0-based position ``__pos`` in index order via
+        the bucketed two-level rank (one shared implementation:
+        :func:`cyclebane_spark.functions.ranking.with_global_position`) —
+        no single-reducer sort; costs one extra NARROW scan (the leading
+        index column only) for the bucket counts.
 
-        Numeric leading index column (the common case — dense ids): a
-        two-level rank with NO single-reducer sort. Rows bucket by
-        ``floor(col / W)`` (monotone in the sort key, so bucket-major order
-        IS the global order); per-bucket counts cumulate into bucket start
-        offsets — a window over ~n_rows/W rows, metadata-sized at any scale
-        — which broadcast-join back, and position = offset + row_number
-        within the bucket (the within-bucket window partitions by bucket,
-        so every partition sorts in parallel). Costs one extra NARROW scan
-        (the leading index column only) for the counts — the right trade
-        against sorting the whole table through one reducer.
-
+        Numeric leading index column (the common case — dense ids): rows
+        bucket by ``floor(col / W)`` (monotone in the sort key).
         Non-numeric leading column (strings, dates, timestamps, booleans):
-        the same two-level shape, with buckets from RANGE-SAMPLED split
-        points instead of floor(col/W) — see :meth:`_range_bucket_expr`.
-        Exotic orderable types (arrays/structs as index dims) raise loudly;
-        use label slicing instead.
+        buckets from RANGE-SAMPLED split points — see
+        :meth:`_range_bucket_expr`. Exotic orderable types (arrays/structs
+        as index dims) raise loudly; use label slicing instead.
         """
         import pyspark.sql.functions as F
-        from pyspark.sql import Window
         from pyspark.sql.types import NumericType
+
+        from ..functions.ranking import with_global_position
 
         order_cols = [F.col(c) for c in self.index_cols]
         lead = self.index_cols[0]
@@ -563,10 +558,8 @@ class SparkColumn(DimArray):
             # exponent: floor(key / W) is exact for every integer key <
             # 2^53. NULL keys sort FIRST under Spark's default ascending
             # order and NaN doubles sort LAST — give each its own sentinel
-            # bucket (an inner equi-join on a NULL bucket would silently
-            # DROP those rows while their counts still shifted every
-            # offset). The sentinels sit far outside floor(key/W)'s range
-            # for any |key| < 2^53.
+            # bucket (the helper requires NULL-free buckets). The sentinels
+            # sit far outside floor(key/W)'s range for any |key| < 2^53.
             from pyspark.sql.types import FractionalType
 
             raw_bucket = F.floor(F.col(lead) / F.lit(self._POS_BUCKET_W))
@@ -574,25 +567,7 @@ class SparkColumn(DimArray):
             if isinstance(df.schema[lead].dataType, FractionalType):
                 bucket = bucket.when(F.isnan(lead), F.lit(1 << 61))
             bucket = bucket.otherwise(raw_bucket)
-        bucketed = df.withColumn('__b', bucket)
-        counts = (
-            df.select(bucket.alias('__b'))
-            .groupBy('__b')
-            .agg(F.count(F.lit(1)).alias('__n'))
-        )
-        off_w = Window.orderBy('__b').rowsBetween(Window.unboundedPreceding, -1)
-        offsets = counts.select(
-            '__b',
-            F.coalesce(F.sum('__n').over(off_w), F.lit(0)).alias('__off'),
-        )
-        in_bucket = Window.partitionBy('__b').orderBy(*order_cols)
-        return (
-            bucketed.join(F.broadcast(offsets), '__b')
-            .withColumn(
-                '__pos', F.col('__off') + F.row_number().over(in_bucket) - 1
-            )
-            .drop('__b', '__off')
-        )
+        return with_global_position(df, bucket, order_cols, '__pos')
 
     _POS_MAX_SPLITS = 1024
 

@@ -95,7 +95,7 @@ def test_graph_slice_positional_no_single_reducer_sort(spark):
     rn_windows = [l for l in raw.splitlines() if 'row_number() windowspecdefinition' in l]
     assert rn_windows, raw
     for line in rn_windows:
-        assert '], [__b' in line, line  # partitioned by bucket, not global
+        assert '], [__grb' in line, line  # partitioned by bucket, not global
     assert 'BroadcastExchange' in raw
     assert sum(
         'documents' in l for l in raw.splitlines() if 'Scan parquet' in l
@@ -120,7 +120,7 @@ def test_string_keyed_positional_rank_partitions_its_windows(spark):
     ]
     assert rn_windows, raw
     for line in rn_windows:
-        assert '], [__b' in line, line  # partitioned by bucket, not global
+        assert '], [__grb' in line, line  # partitioned by bucket, not global
     assert 'BroadcastExchange' in raw
 
 
@@ -400,7 +400,8 @@ def test_length_curriculum_no_global_sort(spark):
     rn = [l for l in raw.splitlines() if 'row_number() windowspecdefinition' in l]
     assert rn, raw
     for line in rn:
-        assert '], [n_tokens' in line, line
+        # partitioned by the bucket (= the token-count key), never global
+        assert '], [__grb' in line, line
     assert raw.count('BroadcastExchange') >= 2
 
 
@@ -654,7 +655,7 @@ def test_sorted_neighborhood_rank_is_bucketed_and_reused(spark):
     and the rank table must be persisted so the pipeline runs once."""
     raw = raw_plan_of(spark, 'dedup_sorted_neighborhood')
     assert re.search(
-        r'row_number\(\) windowspecdefinition\(bkt#\d+, k#\d+ ASC', raw
+        r'row_number\(\) windowspecdefinition\(__grb#\d+, k#\d+ ASC', raw
     )
     # every row_number window is bucket-partitioned — none starts with the
     # sort key alone (that would be the single-reducer global window)

@@ -160,3 +160,43 @@ def test_rag_rerank_is_subset_in_exact_order(spark, sf_dir):
         rs.sort(key=lambda r: r.rk2)
         assert len(rs) == 5
         assert all(a.cosine >= b.cosine for a, b in zip(rs, rs[1:])), q
+
+
+def test_ivf_matryoshka_recall_and_exactness(spark, sf_dir, ground_truth):
+    """The IVF x matryoshka composition prunes twice (cell restriction,
+    then prefix-distance coarse rank); assert (a) every returned neighbor
+    lies in one of its query's nprobe probed cells, (b) returned distances
+    are the exact quantized full-dim distances (the funnel re-ranks, it
+    never corrupts scores), and (c) recall@10 vs exact brute force stays at
+    least that of the pure-IVF nprobe=2 search minus the coarse stage's
+    possible prefix misses — concretely, a substantial floor well above
+    chance."""
+    from cyclebane_spark.queries.similarity import (
+        IVF_MAT_NPROBE,
+        N_QUERIES,
+        _kmeans_train,
+        ann_ivf_matryoshka_topk,
+    )
+
+    got = ann_ivf_matryoshka_topk(spark, sf_dir).collect()
+    assert got, 'IVF x matryoshka returned nothing'
+
+    e, cent, af, assign = _kmeans_train(spark, sf_dir)
+    cells = {r.vec_id: r.cl for r in af.select('vec_id', 'cl').collect()}
+    probed: dict[int, set[int]] = {}
+    for r in assign(
+        e.filter(F.col('vec_id') < N_QUERIES), cent, n=IVF_MAT_NPROBE
+    ).collect():
+        probed.setdefault(r.vec_id, set()).add(r.cl)
+    for r in got:
+        assert cells[r.neighbor_id] in probed[r.query_id], r
+
+    truth_d = {(r.query_id, r.neighbor_id): r.dist2 for r in ground_truth}
+    overlap = [r for r in got if (r.query_id, r.neighbor_id) in truth_d]
+    assert overlap, 'found none of the true top-k'
+    for r in overlap:
+        assert r.dist2 == truth_d[(r.query_id, r.neighbor_id)]
+
+    truth = set(truth_d)
+    recall = len({(r.query_id, r.neighbor_id) for r in got} & truth) / len(truth)
+    assert recall >= 0.2, recall

@@ -325,6 +325,8 @@ EXTRA = (
     'text_extractive_summary',
     'quality_source_overlap_hll',
     'ann_matryoshka_rerank',
+    # round-5 additions
+    'ann_ivf_matryoshka_topk',
 )
 
 
