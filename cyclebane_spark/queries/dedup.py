@@ -1682,6 +1682,35 @@ def dedup_containment_pairs(spark, sf_dir):
     return _containment_pairs(docs, t=_CONTAIN_T)
 
 
+def _fits_broadcast(df) -> bool:
+    """Conf-gated broadcast decision for a verification build side: the
+    optimizer's own size estimate of ``df`` against
+    ``spark.sql.autoBroadcastJoinThreshold``. Returns False when the user
+    disabled broadcasting (threshold <= 0) or the estimate exceeds it —
+    callers then pin a shuffle-HASH join instead (never sort-merge; see
+    the containment-verify note). Estimate errors only flip WHICH exact
+    plan runs, never the answer."""
+    import re
+
+    spark = df.sparkSession
+    raw = str(spark.conf.get('spark.sql.autoBroadcastJoinThreshold', '10485760'))
+    m = re.fullmatch(r'(-?\d+)\s*([kmgt]?b?)', raw.strip(), re.IGNORECASE)
+    mult = {
+        '': 1, 'b': 1,
+        'k': 1 << 10, 'kb': 1 << 10,
+        'm': 1 << 20, 'mb': 1 << 20,
+        'g': 1 << 30, 'gb': 1 << 30,
+        't': 1 << 40, 'tb': 1 << 40,
+    }
+    threshold = int(m.group(1)) * mult[m.group(2).lower()] if m else 10 << 20
+    if threshold <= 0:
+        return False
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return est <= threshold
+
+
 def _containment_pairs(docs, t: float):
     """Prefix-filtered directed containment join.
 
@@ -1764,14 +1793,22 @@ def _containment_pairs(docs, t: float):
     # join's inferred isnotnull filters from dragging the whole shingle
     # expression below the repartition into the single-split parquet scan
     # (measured: that serializes the corpus-wide gram compute into one
-    # task). The array side is broadcast-PINNED: cold-stats AQE picks
-    # sort-merge here, and SMJ sorts the first join's OUTPUT — candidate
-    # pairs already widened by a ~1.3KB shingle array each (2.3GB of sort
-    # spill at sf1; measured 92s vs 9s). The broadcast table is 1 row/doc
-    # of arrays (65MB at sf1); where the corpus outgrows broadcast, the
-    # same plan wants a shuffle-HASH join on doc_id (hash, not merge —
-    # it's the sort of wide rows, not the shuffle, that kills).
-    sa, sb = F.broadcast(arrs).alias('sa'), F.broadcast(arrs).alias('sb')
+    # task). The array side is broadcast-PINNED when it fits: cold-stats
+    # AQE picks sort-merge here, and SMJ sorts the first join's OUTPUT —
+    # candidate pairs already widened by a ~1.3KB shingle array each
+    # (2.3GB of sort spill at sf1; measured 92s vs 9s). The broadcast
+    # table is 1 row/doc of arrays (65MB at sf1); where the corpus
+    # outgrows the broadcast threshold, the SAME plan switches to a
+    # shuffle-HASH join on doc_id (hash, not merge — it's the sort of
+    # wide rows, not the shuffle, that kills). The switch is conf-gated
+    # below: the optimizer's own size estimate of the array table vs
+    # spark.sql.autoBroadcastJoinThreshold; both branches are plan-pinned
+    # (tests/test_plans.py).
+    if _fits_broadcast(arrs):
+        sa, sb = F.broadcast(arrs).alias('sa'), F.broadcast(arrs).alias('sb')
+    else:
+        sa = arrs.hint('shuffle_hash').alias('sa')
+        sb = arrs.hint('shuffle_hash').alias('sb')
     verified = (
         cand.join(sa, F.col('doc_sub') == F.col('sa.doc_id'))
         .join(sb, F.col('doc_super') == F.col('sb.doc_id'))

@@ -365,6 +365,31 @@ def test_containment_matches_brute_force(spark, t):
         assert abs(got[k] - want[k]) < 1e-12
 
 
+def test_containment_shuffle_hash_branch_same_answer(spark):
+    """The conf-gated 100 TB fallback (shuffle-hash verify when the array
+    table outgrows broadcast) must return exactly the broadcast branch's
+    pairs and values — the gate flips WHICH plan runs, never the answer."""
+    from cyclebane_spark.queries.dedup import _containment_pairs
+
+    sf = '/root/testdata/sf0.001'
+    from cyclebane_spark.queries import queries
+
+    base = {
+        (r.doc_sub, r.doc_super): r.containment
+        for r in queries()['dedup_containment_pairs'](spark, sf).collect()
+    }
+    old = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+    spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+    try:
+        alt = {
+            (r.doc_sub, r.doc_super): r.containment
+            for r in queries()['dedup_containment_pairs'](spark, sf).collect()
+        }
+    finally:
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', old)
+    assert base == alt
+
+
 def test_incremental_cc_merges_across_batches(spark):
     """Incremental maintenance must be invisible in the result: old-edge
     labels + contracted-graph CC over the late batch == full CC. The

@@ -614,10 +614,38 @@ def test_phash_dedup_band_join_never_ships_pixels(spark):
 
 def test_containment_no_allpairs(spark):
     """Candidate generation must stay an equi-join on shingles (hash/SMJ),
-    never a nested-loop all-pairs comparison."""
+    never a nested-loop all-pairs comparison; the verify side broadcasts
+    on this small corpus (the conf-gated default branch)."""
     raw = raw_plan_of(spark, 'dedup_containment_pairs')
     assert 'NestedLoop' not in raw
     assert 'CartesianProduct' not in raw
+    assert 'BroadcastHashJoin' in raw
+
+
+def test_containment_verify_falls_back_to_shuffle_hash(spark):
+    """The documented 100 TB fallback, exercised: when the array table
+    outgrows the broadcast threshold (simulated by disabling broadcast),
+    the wide-array verify joins must become ShuffledHashJoin — NEVER
+    sort-merge, which would sort candidate rows already widened by ~KB
+    shingle arrays (measured 92s vs 9s at sf1)."""
+    old = spark.conf.get('spark.sql.autoBroadcastJoinThreshold')
+    spark.conf.set('spark.sql.autoBroadcastJoinThreshold', '-1')
+    try:
+        raw = raw_plan_of(spark, 'dedup_containment_pairs')
+    finally:
+        spark.conf.set('spark.sql.autoBroadcastJoinThreshold', old)
+    assert 'ShuffledHashJoin' in raw
+    # the verify joins (on doc_id against the persisted array rows) must
+    # not degrade to SMJ; the candidate equi-join on the shingle string
+    # keys is allowed to sort-merge (narrow rows)
+    smj_doc = [
+        l
+        for l in raw.splitlines()
+        if 'SortMergeJoin' in l and 'doc_sub' in l or
+           'SortMergeJoin' in l and 'doc_super' in l
+    ]
+    assert not smj_doc, smj_doc
+    assert 'NestedLoop' not in raw and 'CartesianProduct' not in raw
 
 
 def test_dataset_card_single_scan(spark):
