@@ -371,6 +371,65 @@ def test_watermark_drops_late_rows_and_evicts_window_state(spark, tmp_path):
     assert totals[-1] == 1
 
 
+def test_watermark_evicts_session_window_state(spark, tmp_path):
+    """Session-window state eviction, proven the same way as the tumbling
+    and join operators: after the watermark passes a finalized session,
+    its state rows leave the store (numRowsRemoved > 0) and a late-replayed
+    fragment of that session is dropped at the operator — it must neither
+    reopen the finalized session nor re-emit it."""
+    import datetime
+
+    from cyclebane_spark.streaming.windows import session_windows
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes):
+        return (42, i, 'view', t0 + datetime.timedelta(minutes=minutes), 1.0)
+
+    src = str(tmp_path / 'src')
+    # one early session: events 0 and 10 min (30-min gap -> one session)
+    _write_stream_file(spark, [ev(1, 0), ev(2, 10)], src, 'b1', 1_000)
+    # jump 2 days ahead: the NEXT batch runs with watermark ~1 day, far
+    # past the early session's close (the session watermark is '1 day')
+    _write_stream_file(spark, [ev(3, 2880), ev(4, 2890)], src, 'b2', 2_000)
+    # filler batch: eviction happens at the END of the batch that first
+    # runs with the advanced watermark — the early session is finalized,
+    # emitted, and its state evicted here
+    _write_stream_file(spark, [ev(5, 2900)], src, 'b3', 3_000)
+    # LATE fragment inside the early session's gap horizon (minute 15 —
+    # within 30 min of the last early event): with live state it would
+    # EXTEND that session; the watermark must drop it instead
+    _write_stream_file(spark, [ev(6, 15)], src, 'b4', 4_000)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(src)
+    )
+    out, progress = _run_collecting_progress(session_windows(stream), 'append')
+    assert len(progress) >= 4
+    # the late fragment was dropped at the state operator
+    assert _state_metric(progress, 'numRowsDroppedByWatermark') >= 1
+    # finalized session state actually left the store
+    assert _state_metric(progress, 'numRowsRemoved') >= 1
+    # the early session emitted ONCE with only its on-time events, and the
+    # late fragment neither reopened it (no second early-session row) nor
+    # shifted its boundaries
+    early = [
+        r for r in out.collect() if r.session_start < t0 + datetime.timedelta(days=1)
+    ]
+    assert [(r.session_start, r.n_events) for r in early] == [(t0, 2)]
+    # end state below peak: the live far-future session is all that remains
+    totals = [
+        op['numRowsTotal']
+        for p in progress
+        for op in p.get('stateOperators', [])
+        if 'numRowsTotal' in op
+    ]
+    assert totals and totals[-1] < max(totals)
+
+
 def test_watermark_evicts_stream_stream_join_state(spark, tmp_path):
     import datetime
 
