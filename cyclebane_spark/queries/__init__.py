@@ -132,12 +132,12 @@ _PRIORITY = (
     # backfill (rows whose last driver signal is round 1; re-proved
     # locally every session).
     'ann_ivf_matryoshka_topk',
+    'ann_ivf_incremental_assign',
     'text_length_curriculum',
     'q1_pricing_summary',
     'window_topk_per_group',
     'subquery_correlated_avg',
     'join_range_band',
-    'percentile_exact',
     # positions 51+: driver-green in r1-r4 and unchanged since; the
     # r4-green block (dedup_minhash_estimator .. dedup_incremental_minhash
     # and the rest of the r4 window) follows in registration order via the

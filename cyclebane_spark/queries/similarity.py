@@ -297,10 +297,15 @@ KM_SCALE = 1 << 14  # component quantization
 KM_TOPK = 10
 
 
-def _sql_kmeans_ctes() -> str:
+def _sql_kmeans_ctes(extra: str = '') -> str:
     """CTE chain: quantized explode -> seed -> (assign, centroid) x 2 ->
     final corpus re-assignment `af` against the trained centroids, so the
-    inverted lists and the query probe share one quantizer (real IVF)."""
+    inverted lists and the query probe share one quantizer (real IVF).
+
+    ``extra``: additional corpus predicate appended to every corpus
+    filter (e.g. ``' AND (vec_id % 10) <> 9'`` to hold out an incoming
+    batch for the incremental-maintenance query). The default renders
+    byte-identical SQL to the unparametrized form."""
     parts = [
         f"""e AS (
         SELECT vec_id,
@@ -310,7 +315,7 @@ def _sql_kmeans_ctes() -> str:
     ),
     seed AS (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
-        FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id >= {N_QUERIES}
+        FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id >= {N_QUERIES}{extra}
               ORDER BY vec_id LIMIT {KM_K})
     ),
     c0 AS (
@@ -327,7 +332,7 @@ def _sql_kmeans_ctes() -> str:
                        ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
                    ) AS rk
             FROM e JOIN c{i - 1} c ON e.pos = c.pos
-            WHERE e.vec_id >= {N_QUERIES}
+            WHERE e.vec_id >= {N_QUERIES}{extra}
             GROUP BY e.vec_id, c.cl
         ) WHERE rk = 1
     ),
@@ -345,7 +350,7 @@ def _sql_kmeans_ctes() -> str:
                        ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
                    ) AS rk
             FROM e JOIN c{KM_ITERS} c ON e.pos = c.pos
-            WHERE e.vec_id >= {N_QUERIES}
+            WHERE e.vec_id >= {N_QUERIES}{extra}
             GROUP BY e.vec_id, c.cl
         ) WHERE rk = 1
     )""")
@@ -387,12 +392,16 @@ def _sql_kmeans_search(nprobe: int) -> str:
     """
 
 
-def _kmeans_train(spark, sf_dir):
+def _kmeans_train(spark, sf_dir, extra_filter=None):
     """Train the coarse integer k-means quantizer: returns the persisted
     quantized component table ``e``, the trained centroids ``cent``
     (cl, pos, c), the final corpus assignment ``final_assigned``
     (vec_id, cl, dist2) and the ``assign`` helper. Shared by the IVF
-    searches and the IVF+PQ composition."""
+    searches and the IVF+PQ composition.
+
+    ``extra_filter``: optional Column predicate narrowing the TRAINING
+    corpus (the incremental-maintenance query holds out its incoming
+    batch); the default leaves the plan untouched."""
     from pyspark import StorageLevel
 
     emb = table(spark, sf_dir, 'embeddings')
@@ -413,6 +422,8 @@ def _kmeans_train(spark, sf_dir):
     # entry; MEMORY_AND_DISK spills rather than OOMs at scale.
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
     corpus = e.filter(F.col('vec_id') >= N_QUERIES)
+    if extra_filter is not None:
+        corpus = corpus.filter(extra_filter)
 
     # Seed = first K corpus vec_ids. limit(K) first so the row_number window
     # runs over K rows, not the whole corpus (Spark plans the distinct+limit
@@ -1832,4 +1843,62 @@ def ann_ivf_matryoshka_topk(spark, sf_dir):
         .withColumn('rk', F.row_number().over(wf).cast('long'))
         .filter(F.col('rk') <= KM_TOPK)
         .select('query_id', 'neighbor_id', 'dist2', 'rk')
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance: assign an INCOMING batch of vectors to
+# the cells of the already-trained coarse quantizer without retraining —
+# the per-ingest step that keeps a production vector index current (the
+# ANN counterpart of dedup_incremental_exact / dedup_incremental_minhash).
+# The index trains on the standing corpus only (the batch held out); the
+# batch then probes the K trained centroids.
+# Scale: the maintenance work is BATCH-proportional — the standing corpus
+# is never rescanned at assignment time (its components feed only the
+# one-off training job, which at 100 TB is amortized across ingests), and
+# the assignment itself is a broadcast join of the K x DIM centroid table
+# (512 rows) against the exploded batch, one partial-aggregable shuffle on
+# the batch's vec_ids. Distances stay in the quantized integer space, so
+# both engines assign bit-identically.
+# ---------------------------------------------------------------------------
+
+ANN_INCR_MOD = 10  # vec_id % 10 == 9 is the incoming batch; rest = corpus
+
+_INCR_HOLDOUT = f' AND (vec_id % {ANN_INCR_MOD}) <> {ANN_INCR_MOD - 1}'
+
+
+@register(
+    'ann_ivf_incremental_assign',
+    oracle=f"""{_sql_kmeans_ctes(_INCR_HOLDOUT)}
+    SELECT vec_id, cl, CAST(dist2 AS BIGINT) AS dist2 FROM (
+        SELECT e.vec_id, c.cl,
+               SUM((e.q - c.c) * (e.q - c.c)) AS dist2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
+               ) AS rk
+        FROM e JOIN c{KM_ITERS} c ON e.pos = c.pos
+        WHERE e.vec_id >= {N_QUERIES}
+          AND (e.vec_id % {ANN_INCR_MOD}) = {ANN_INCR_MOD - 1}
+        GROUP BY e.vec_id, c.cl
+    ) WHERE rk = 1
+    """,
+)
+def ann_ivf_incremental_assign(spark, sf_dir):
+    """Assign the incoming vector batch (vec_id % 10 == 9) to the nearest
+    cell of the quantizer trained on the standing corpus — batch-
+    proportional index maintenance (see the module note)."""
+    e, cent, _final, assign = _kmeans_train(
+        spark,
+        sf_dir,
+        extra_filter=F.col('vec_id') % ANN_INCR_MOD != ANN_INCR_MOD - 1,
+    )
+    incoming = e.filter(
+        (F.col('vec_id') >= N_QUERIES)
+        & (F.col('vec_id') % ANN_INCR_MOD == ANN_INCR_MOD - 1)
+    )
+    return assign(incoming, cent, n=1).select(
+        'vec_id',
+        F.col('cl').cast('bigint').alias('cl'),
+        F.col('dist2').cast('bigint').alias('dist2'),
     )

@@ -200,3 +200,40 @@ def test_ivf_matryoshka_recall_and_exactness(spark, sf_dir, ground_truth):
     truth = set(truth_d)
     recall = len({(r.query_id, r.neighbor_id) for r in got} & truth) / len(truth)
     assert recall >= 0.2, recall
+
+
+def test_incremental_assign_batch_held_out_and_complete(spark, sf_dir):
+    """Index maintenance semantics: the incoming batch (vec_id % 10 == 9)
+    is excluded from training (no batch id in the trained corpus
+    assignment), every incoming corpus vector gets EXACTLY one cell, and
+    each assigned cell is a real trained cell id."""
+    from cyclebane_spark.queries.similarity import (
+        ANN_INCR_MOD,
+        KM_K,
+        N_QUERIES,
+        _kmeans_train,
+        ann_ivf_incremental_assign,
+    )
+
+    got = ann_ivf_incremental_assign(spark, sf_dir).collect()
+    assert got
+    e, cent, final_assigned, _assign = _kmeans_train(
+        spark,
+        sf_dir,
+        extra_filter=F.col('vec_id') % ANN_INCR_MOD != ANN_INCR_MOD - 1,
+    )
+    trained_ids = {r.vec_id for r in final_assigned.select('vec_id').collect()}
+    incoming_ids = {
+        r.vec_id
+        for r in e.select('vec_id')
+        .distinct()
+        .filter(
+            (F.col('vec_id') >= N_QUERIES)
+            & (F.col('vec_id') % ANN_INCR_MOD == ANN_INCR_MOD - 1)
+        )
+        .collect()
+    }
+    assert trained_ids.isdisjoint(incoming_ids)
+    out_ids = [r.vec_id for r in got]
+    assert sorted(out_ids) == sorted(incoming_ids)  # exactly once each
+    assert all(0 <= r.cl < KM_K for r in got)

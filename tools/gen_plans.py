@@ -327,6 +327,7 @@ EXTRA = (
     'ann_matryoshka_rerank',
     # round-5 additions
     'ann_ivf_matryoshka_topk',
+    'ann_ivf_incremental_assign',
 )
 
 
