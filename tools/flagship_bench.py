@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    # External-noise sentinel: 1-min load at PROCESS START, before the
+    # SparkSession or warmup generate any load of their own — this is
+    # the number that says whether the box was otherwise busy.
+    load_start = os.getloadavg()[0]
     from pyspark.sql import SparkSession
 
     from cyclebane_spark.queries import queries
@@ -67,6 +71,7 @@ def main() -> None:
                 'unit': 'sec',
                 'queries': timings,
                 'runs': runs,
+                'loadavg_1m_start': round(load_start, 2),
                 'loadavg_1m_before': round(load_before, 2),
                 'loadavg_1m_after': round(os.getloadavg()[0], 2),
             }
