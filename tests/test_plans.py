@@ -717,3 +717,30 @@ def test_ewma_fold_single_shuffle_no_window(spark):
     assert raw.count('Exchange') == 1
     assert 'Window' not in raw
     assert 'aggregate(' in raw  # the fold expression survives to the plan
+
+
+def test_ivf_matryoshka_candidates_come_from_cells(spark):
+    """The coarse prefix stage must score only probed-cell members: the
+    candidate pairs arrive through an equi-join on the cell id (hash
+    join), never a corpus cross join; centroid tables broadcast; the
+    quantized component table is cached and reused across stages."""
+    raw = raw_plan_of(spark, 'ann_ivf_matryoshka_topk')
+    assert 'CartesianProduct' not in raw
+    assert 'BroadcastNestedLoopJoin' not in raw
+    assert 'BroadcastExchange' in raw  # centroids into the assignment joins
+    assert (
+        raw.count('InMemoryTableScan') + raw.count('TableCacheQueryStage')
+    ) >= 7  # the persisted component table feeds train/probe/coarse/fine
+
+
+def test_ivf_incremental_assign_is_batch_proportional(spark):
+    """Index maintenance must touch only the batch at assignment time: the
+    final assignment join broadcasts the K x DIM centroids (never shuffles
+    the components against them), with no cartesian anywhere."""
+    raw = raw_plan_of(spark, 'ann_ivf_incremental_assign')
+    assert 'CartesianProduct' not in raw
+    assert 'BroadcastNestedLoopJoin' not in raw
+    assert 'BroadcastExchange' in raw
+    # the batch filter reaches the cached component scan: the incoming
+    # assignment never scans the standing corpus's rows
+    assert '% 10)' in raw and '= 9' in raw.replace('<=> 9', '')
