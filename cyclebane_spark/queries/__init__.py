@@ -133,11 +133,11 @@ _PRIORITY = (
     # locally every session).
     'ann_ivf_matryoshka_topk',
     'ann_ivf_incremental_assign',
+    'pipeline_cluster_balanced_sample',
     'text_length_curriculum',
     'q1_pricing_summary',
     'window_topk_per_group',
     'subquery_correlated_avg',
-    'join_range_band',
     # positions 51+: driver-green in r1-r4 and unchanged since; the
     # r4-green block (dedup_minhash_estimator .. dedup_incremental_minhash
     # and the rest of the r4 window) follows in registration order via the

@@ -2481,3 +2481,96 @@ def pipeline_entity_resolution(spark, sf_dir):
     return labels.groupBy('cluster_id').agg(
         F.count(F.lit(1)).alias('n_members')
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling ("soft dedup"): keep at most K documents per
+# near-dup cluster, chosen by content hash — the corpus-construction step
+# that DOWNWEIGHTS heavily-duplicated content instead of hard-dropping it
+# (hard dedup keeps 1 per cluster and loses natural-frequency signal; no
+# dedup lets boilerplate dominate the token budget; capping at K is the
+# standard middle ground).
+# Scale: the per-cluster rank is stated as a SALTED two-phase top-K so a
+# boilerplate mega-cluster never funnels into one window task: phase 1
+# ranks within (cluster, doc_id % S) — S parallel sorts per hot cluster —
+# and keeps K per salt; phase 2 ranks the <= K*S survivors per cluster.
+# The two-phase result is EXACTLY the single-window top-K (each salt keeps
+# its own K smallest hash keys, and the cluster's true top-K are smallest
+# within their salts a fortiori), so the DuckDB oracle states the simple
+# single-window form. Hash keys are md5(doc_id) with a doc_id tiebreak —
+# deterministic across engines, runs and partitionings.
+# ---------------------------------------------------------------------------
+
+_CBS_K = 4  # docs kept per cluster
+_CBS_SALTS = 8  # phase-1 fan-out per cluster
+
+
+def _cluster_balanced_oracle() -> str:
+    return (
+        _minhash_ctes(recursive=True)
+        + f""",
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    reach(doc_id, other) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.doc_id, e.d FROM reach r JOIN edges e ON r.other = e.s
+    ),
+    labels AS (
+        SELECT doc_id, MIN(other) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS n_cluster FROM labels
+        GROUP BY cluster_id
+    ),
+    ranked AS (
+        SELECT doc_id, cluster_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM labels
+    )
+    SELECT r.doc_id, r.cluster_id, s.n_cluster, r.sample_rank
+    FROM ranked r JOIN sizes s USING (cluster_id)
+    WHERE r.sample_rank <= {_CBS_K}
+    """
+    )
+
+
+@register('pipeline_cluster_balanced_sample', oracle=_cluster_balanced_oracle())
+def pipeline_cluster_balanced_sample(spark, sf_dir):
+    """Keep at most K=4 docs per near-dup cluster by content hash — the
+    salted two-phase statement of per-cluster top-K (module note)."""
+    from pyspark.sql import Window
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    nodes = table(spark, sf_dir, 'documents').select('doc_id')
+    labels = _connected_components(pairs, nodes, 'doc_a', 'doc_b', 'doc_id')
+    sizes = labels.groupBy('cluster_id').agg(
+        F.count(F.lit(1)).alias('n_cluster')
+    )
+    keyed = labels.select(
+        'doc_id',
+        'cluster_id',
+        F.md5(F.col('doc_id').cast('string')).alias('h'),
+        F.pmod('doc_id', F.lit(_CBS_SALTS)).alias('salt'),
+    )
+    w1 = Window.partitionBy('cluster_id', 'salt').orderBy('h', 'doc_id')
+    survivors = (
+        keyed.withColumn('r1', F.row_number().over(w1))
+        .filter(F.col('r1') <= _CBS_K)
+        .drop('r1', 'salt')
+    )
+    w2 = Window.partitionBy('cluster_id').orderBy('h', 'doc_id')
+    return (
+        survivors.withColumn(
+            'sample_rank', F.row_number().over(w2).cast('bigint')
+        )
+        .filter(F.col('sample_rank') <= _CBS_K)
+        .join(sizes, 'cluster_id')
+        .select('doc_id', 'cluster_id', 'n_cluster', 'sample_rank')
+    )

@@ -328,6 +328,7 @@ EXTRA = (
     # round-5 additions
     'ann_ivf_matryoshka_topk',
     'ann_ivf_incremental_assign',
+    'pipeline_cluster_balanced_sample',
 )
 
 
