@@ -134,10 +134,10 @@ _PRIORITY = (
     'ann_ivf_matryoshka_topk',
     'ann_ivf_incremental_assign',
     'pipeline_cluster_balanced_sample',
+    'stream_near_dup_filter',
     'text_length_curriculum',
     'q1_pricing_summary',
     'window_topk_per_group',
-    'subquery_correlated_avg',
     # positions 51+: driver-green in r1-r4 and unchanged since; the
     # r4-green block (dedup_minhash_estimator .. dedup_incremental_minhash
     # and the rest of the r4 window) follows in registration order via the

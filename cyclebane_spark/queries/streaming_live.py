@@ -319,3 +319,44 @@ def stream_static_enrich(spark, sf_dir):
         ),
         output_mode='complete',
     )
+
+
+def _near_dup_stream_oracle() -> str:
+    from .dedup import _minhash_ctes
+
+    return (
+        _minhash_ctes()
+        + """
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+    """
+    )
+
+
+@register('stream_near_dup_filter', oracle=_near_dup_stream_oracle())
+def stream_near_dup_filter(spark, sf_dir):
+    """Streaming first-seen-wins near-dup admission == the batch rule
+    "admit docs with no LSH candidate pair to a smaller doc_id".
+
+    Each micro-batch probes the accumulated band-table state (the streaming
+    statement of ``dedup_incremental_minhash``'s corpus probe) and resolves
+    within-batch candidates by doc_id; the admitted set is
+    batch-boundary-invariant for id-ordered arrival because the state keeps
+    EVERY seen doc's bands — see
+    :func:`cyclebane_spark.streaming.windows.near_dup_filter_parquet`.
+    Multi-batch semantics (a later duplicate of an admitted doc is
+    rejected) are exercised in ``tests/test_streaming.py``.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.windows import documents_stream, near_dup_filter_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f'cb_neardup_{tag}')
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    out = near_dup_filter_parquet(documents_stream(spark, sf_dir), base)
+    return spark.read.parquet(out).select('doc_id')

@@ -485,3 +485,93 @@ def static_enrich(
         F.count(F.lit(1)).alias('n_events'),
         dsum('value').alias('total_value'),
     )
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file-source stream (same symlink-dir idiom
+    as :func:`events_stream`; a real deployment points at the corpus
+    landing directory)."""
+    import hashlib
+    import os
+
+    path = f'{sf_dir}/documents.parquet'
+    link_dir = (
+        f'/tmp/cb_stream_doc_{hashlib.md5(path.encode()).hexdigest()[:12]}'
+    )
+    os.makedirs(link_dir, exist_ok=True)
+    if os.path.isdir(path):
+        for part in sorted(os.listdir(path)):
+            if part.endswith('.parquet'):
+                link = f'{link_dir}/{part}'
+                if not os.path.exists(link):
+                    os.symlink(f'{path}/{part}', link)
+    else:
+        link = f'{link_dir}/documents.parquet'
+        if not os.path.exists(link):
+            os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(link_dir)
+
+
+def near_dup_filter_parquet(stream: DataFrame, base_dir: str) -> str:
+    """Streaming first-seen-wins near-dup admission filter; returns the
+    admitted-doc parquet path.
+
+    Each micro-batch (a) computes its LSH band rows, (b) probes the
+    accumulated BAND-TABLE STATE for cross-batch candidates, (c) resolves
+    within-batch candidates by doc_id order (smaller id wins — the
+    arrival-order statement for an id-ordered ingest), and (d) appends its
+    band rows to the state and its admitted doc_ids to the output. The
+    state is the FULL band index (admitted or not), exactly like the batch
+    ``dedup_incremental_minhash`` corpus table — so the final admitted set
+    equals the batch rule "no candidate pair with any smaller doc_id"
+    regardless of batch boundaries (for id-ordered arrival).
+
+    Scale: per batch, one band projection over the batch (narrow), one
+    equi-join probe on (band_id, bh) against the state — batch-proportional
+    probe work, the state is never rescanned wholesale — and one in-batch
+    bucket groupBy. State growth is one band row per (doc, band): the same
+    footprint the incremental batch pipeline maintains.
+    """
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ..queries.dedup import _minhash_bands, _pairs_from_bands
+
+    state_dir = f'{base_dir}/bands'
+    out_dir = f'{base_dir}/admitted'
+    seen_state = {'any': False}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        bands = _minhash_bands(batch_df.select('doc_id', 'text')).persist()
+        dup_prev = sp.createDataFrame([], 'doc_id bigint')
+        if seen_state['any']:
+            state = sp.read.parquet(state_dir)
+            dup_prev = (
+                bands.join(state, ['band_id', 'bh'])
+                .select(bands['doc_id'])
+                .distinct()
+            )
+        dup_within = (
+            _pairs_from_bands(bands).select(F.col('doc_b').alias('doc_id'))
+        ).distinct()
+        admitted = (
+            batch_df.select('doc_id')
+            .join(dup_prev.unionByName(dup_within).distinct(), 'doc_id', 'left_anti')
+        )
+        admitted.write.mode('append').parquet(out_dir)
+        bands.write.mode('append').parquet(state_dir)
+        seen_state['any'] = True
+        bands.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(step)
+        .trigger(availableNow=True)
+        .option('checkpointLocation', f'{base_dir}/_ckpt')
+        .start()
+    )
+    query.awaitTermination()
+    assert os.path.isdir(out_dir), 'stream produced no batches'
+    return out_dir

@@ -631,3 +631,46 @@ def test_tombstone_survives_batches_and_blocks_resurrection(spark, tmp_path):
     # ...and the live view hides the deleted key but keeps the other
     live = [r for r in rows if r.op == 'U']
     assert {(r.user_id, r.event_type) for r in live} == {(2, 'view')}
+
+
+def test_near_dup_filter_rejects_cross_batch_duplicates(spark, tmp_path):
+    """First-seen-wins across real micro-batches: an exact duplicate of an
+    ALREADY-ADMITTED doc arriving in a later batch must be rejected, a
+    within-batch duplicate resolves to the smaller doc_id, chains of
+    duplicates never resurrect, and novel docs always pass."""
+    import glob
+    import os
+    import shutil
+
+    from cyclebane_spark.streaming.windows import near_dup_filter_parquet
+
+    a = 'alpha beta gamma delta epsilon zeta eta theta'
+    b = 'one two three four five six seven eight nine'
+    c = 'lorem ipsum dolor sit amet consectetur adipiscing elit'
+    batches = [
+        [(1, a), (2, b)],            # both novel -> admitted
+        [(3, a), (4, c), (5, c)],    # 3 dups batch-1; 4 admitted; 5 in-batch dup of 4
+        [(6, c), (7, 'completely fresh words appear here now')],  # 6 dups 4
+    ]
+    src = str(tmp_path / 'docs')
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        tmp = f'{src}_b{i}_tmp'
+        spark.createDataFrame(rows, 'doc_id long, text string').coalesce(
+            1
+        ).write.mode('overwrite').parquet(tmp)
+        part = glob.glob(f'{tmp}/part-*.parquet')[0]
+        dst = f'{src}/b{i}.parquet'
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000 * (i + 1), 1_000 * (i + 1)))
+        shutil.rmtree(tmp)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(src)
+    )
+    out = near_dup_filter_parquet(stream, str(tmp_path / 'state'))
+    admitted = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert admitted == [1, 2, 4, 7]
