@@ -1689,25 +1689,44 @@ def _fits_broadcast(df) -> bool:
     disabled broadcasting (threshold <= 0) or the estimate exceeds it —
     callers then pin a shuffle-HASH join instead (never sort-merge; see
     the containment-verify note). Estimate errors only flip WHICH exact
-    plan runs, never the answer."""
+    plan runs, never the answer — and so does any failure here: the conf
+    is parsed by Spark's own byte-string parser (the exact code the
+    threshold conf itself goes through) with a regex fallback, and a
+    stats-probe failure (private-API drift across Spark upgrades) falls
+    back to the always-safe shuffle-hash branch instead of surfacing as a
+    query-construction exception."""
     import re
 
     spark = df.sparkSession
-    raw = str(spark.conf.get('spark.sql.autoBroadcastJoinThreshold', '10485760'))
-    m = re.fullmatch(r'(-?\d+)\s*([kmgt]?b?)', raw.strip(), re.IGNORECASE)
-    mult = {
-        '': 1, 'b': 1,
-        'k': 1 << 10, 'kb': 1 << 10,
-        'm': 1 << 20, 'mb': 1 << 20,
-        'g': 1 << 30, 'gb': 1 << 30,
-        't': 1 << 40, 'tb': 1 << 40,
-    }
-    threshold = int(m.group(1)) * mult[m.group(2).lower()] if m else 10 << 20
+    raw = str(
+        spark.conf.get('spark.sql.autoBroadcastJoinThreshold', '10485760')
+    ).strip()
+    try:
+        threshold = int(
+            spark.sparkContext._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(  # noqa: E501
+                raw
+            )
+        )
+    except Exception:
+        m = re.fullmatch(r'(-?\d+)\s*([kmgt]?b?)', raw, re.IGNORECASE)
+        mult = {
+            '': 1, 'b': 1,
+            'k': 1 << 10, 'kb': 1 << 10,
+            'm': 1 << 20, 'mb': 1 << 20,
+            'g': 1 << 30, 'gb': 1 << 30,
+            't': 1 << 40, 'tb': 1 << 40,
+        }
+        if not m:
+            return False
+        threshold = int(m.group(1)) * mult[m.group(2).lower()]
     if threshold <= 0:
         return False
-    est = int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return False
     return est <= threshold
 
 

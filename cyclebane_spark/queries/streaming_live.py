@@ -339,13 +339,15 @@ def stream_near_dup_filter(spark, sf_dir):
     "admit docs with no LSH candidate pair to a smaller doc_id".
 
     Each micro-batch probes the accumulated band-table state (the streaming
-    statement of ``dedup_incremental_minhash``'s corpus probe) and resolves
-    within-batch candidates by doc_id; the admitted set is
-    batch-boundary-invariant for id-ordered arrival because the state keeps
-    EVERY seen doc's bands — see
+    statement of ``dedup_incremental_minhash``'s corpus probe) for SMALLER
+    colliding doc_ids and resolves within-batch candidates by doc_id; the
+    admitted set is batch-boundary-invariant for id-ordered arrival because
+    the state keeps EVERY seen doc's bands, and the inequality probe keeps
+    it one-sided (no false rejects) for any arrival order — see
     :func:`cyclebane_spark.streaming.windows.near_dup_filter_parquet`.
-    Multi-batch semantics (a later duplicate of an admitted doc is
-    rejected) are exercised in ``tests/test_streaming.py``.
+    Multi-batch semantics, kill/resume recovery, replay idempotency and
+    the compacted state's footer-pruned probe are exercised in
+    ``tests/test_streaming.py``.
     """
     import hashlib
     import os

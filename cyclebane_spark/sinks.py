@@ -85,3 +85,28 @@ def write_zordered(
         .write.mode('overwrite')
         .parquet(path)
     )
+
+
+def compact_sorted(
+    df: DataFrame, path: str, col: str, n_files: int = 16
+) -> None:
+    """Rewrite ``df`` as ``n_files`` parquet files range-clustered on
+    ``col`` — the compaction step a streaming sink needs to keep its
+    accumulated per-micro-batch appends readable.
+
+    repartitionByRange gives each output file a NARROW, disjoint
+    ``col`` range (sampled split points, no single reducer), and
+    sortWithinPartitions keeps row-group footers tight inside each file,
+    so a point/IN predicate on ``col`` prunes at BOTH the file and the
+    row-group level (asserted on real footers in tests/test_sinks.py and
+    tests/test_streaming.py). This is the plain-parquet statement of
+    Delta ``OPTIMIZE``/Iceberg ``rewrite_data_files`` with a sort order:
+    at 100 TB the same call runs per state shard on a schedule, bounding
+    both the file count a reader lists and the bytes a keyed probe scans.
+    """
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode('overwrite')
+        .parquet(path)
+    )

@@ -493,78 +493,207 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing directory)."""
     import hashlib
     import os
+    import shutil
 
     path = f'{sf_dir}/documents.parquet'
     link_dir = (
         f'/tmp/cb_stream_doc_{hashlib.md5(path.encode()).hexdigest()[:12]}'
     )
-    os.makedirs(link_dir, exist_ok=True)
+    # Recreate the link dir from scratch on every call: a regenerated
+    # dataset with renamed/removed part files would otherwise leave stale
+    # symlinks behind (broken links fail the stream; surviving old parts
+    # silently break oracle equality).
+    shutil.rmtree(link_dir, ignore_errors=True)
+    os.makedirs(link_dir)
     if os.path.isdir(path):
         for part in sorted(os.listdir(path)):
             if part.endswith('.parquet'):
-                link = f'{link_dir}/{part}'
-                if not os.path.exists(link):
-                    os.symlink(f'{path}/{part}', link)
+                os.symlink(f'{path}/{part}', f'{link_dir}/{part}')
     else:
-        link = f'{link_dir}/documents.parquet'
-        if not os.path.exists(link):
-            os.symlink(path, link)
+        os.symlink(path, f'{link_dir}/documents.parquet')
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(link_dir)
 
 
-def near_dup_filter_parquet(stream: DataFrame, base_dir: str) -> str:
-    """Streaming first-seen-wins near-dup admission filter; returns the
-    admitted-doc parquet path.
+# Band rows per micro-batch below this bound take the PUSHDOWN probe
+# path: the batch's distinct band hashes ride into the state scan as an
+# In() literal filter, so range-compacted state files prune on their
+# parquet footers. Larger batches fall back to the plain join (an In()
+# with millions of literals would bloat the plan, and a batch that big
+# reads most of the state anyway).
+NEAR_DUP_PUSHDOWN_MAX_KEYS = 4096
 
-    Each micro-batch (a) computes its LSH band rows, (b) probes the
-    accumulated BAND-TABLE STATE for cross-batch candidates, (c) resolves
-    within-batch candidates by doc_id order (smaller id wins — the
-    arrival-order statement for an id-ordered ingest), and (d) appends its
-    band rows to the state and its admitted doc_ids to the output. The
-    state is the FULL band index (admitted or not), exactly like the batch
-    ``dedup_incremental_minhash`` corpus table — so the final admitted set
-    equals the batch rule "no candidate pair with any smaller doc_id"
-    regardless of batch boundaries (for id-ordered arrival).
 
-    Scale: per batch, one band projection over the batch (narrow), one
-    equi-join probe on (band_id, bh) against the state — batch-proportional
-    probe work, the state is never rescanned wholesale — and one in-batch
-    bucket groupBy. State growth is one band row per (doc, band): the same
-    footprint the incremental batch pipeline maintains.
+def _near_dup_state_paths(state_dir: str, batch_id: int) -> list[str]:
+    """The band-state parquet dirs micro-batch ``batch_id`` must probe:
+    the newest compacted run covering batches STRICTLY before it, plus
+    every delta batch after that run and before it.
+
+    Strictly-before on both is what makes REPLAY safe: a batch re-run
+    after a partial failure never probes its own previously-written band
+    rows (which would self-reject every doc in the batch), and never sees
+    a compacted run that already folded itself in. Derived purely from
+    the filesystem — no process memory — so a checkpoint restart resumes
+    with exactly the state the killed run had.
     """
     import os
 
+    def ids(sub: str, key: str) -> dict[int, str]:
+        d = f'{state_dir}/{sub}'
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for name in os.listdir(d):
+            if name.startswith(f'{key}='):
+                out[int(name.split('=', 1)[1])] = f'{d}/{name}'
+        return out
+
+    comp = {i: p for i, p in ids('compacted', 'upto').items() if i < batch_id}
+    lo = max(comp) if comp else -1
+    paths = [comp[lo]] if comp else []
+    paths += [
+        p for i, p in sorted(ids('delta', 'batch').items()) if lo < i < batch_id
+    ]
+    return paths
+
+
+def _near_dup_probe(bands: DataFrame, state: DataFrame) -> DataFrame:
+    """doc_ids of ``bands`` that band-collide with a SMALLER already-seen
+    doc_id in ``state`` — the inequality (not an equi-join on the band key
+    alone) keeps the filter one-sided under out-of-order arrival: a doc is
+    only ever rejected by a smaller partner, exactly the batch oracle's
+    rule, so no doc the oracle admits is ever rejected regardless of how
+    batches interleave. (Exact set equality additionally needs each doc's
+    smaller colliding partners to arrive no later than it — true for
+    id-ordered ingest and for the single availableNow batch; a later
+    smaller partner cannot retract an already-admitted doc.)
+    """
+    import pyspark.sql.functions as F
+
+    n, s = bands.alias('n'), state.alias('s')
+    return (
+        n.join(
+            s,
+            (F.col('n.band_id') == F.col('s.band_id'))
+            & (F.col('n.bh') == F.col('s.bh'))
+            & (F.col('s.doc_id') < F.col('n.doc_id')),
+        )
+        .select(F.col('n.doc_id').alias('doc_id'))
+        .distinct()
+    )
+
+
+def _near_dup_step(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+    compact_every: int = 8,
+    compact_files: int = 16,
+) -> None:
+    """One micro-batch of the admission filter; REPLAY-IDEMPOTENT.
+
+    Every write lands in a per-``batch_id`` directory with overwrite
+    semantics (the CDC sinks' versioned-write idiom), so a batch replayed
+    after a partial failure rewrites the same dirs byte-for-byte instead
+    of double-appending; the probe reads only state strictly before this
+    batch (see :func:`_near_dup_state_paths`), so the replay also probes
+    the same state the first attempt saw.
+    """
     import pyspark.sql.functions as F
 
     from ..queries.dedup import _minhash_bands, _pairs_from_bands
+    from ..sinks import compact_sorted
+
+    sp = batch_df.sparkSession
+    bands = _minhash_bands(batch_df.select('doc_id', 'text')).persist()
+    probe_paths = _near_dup_state_paths(state_dir, batch_id)
+    dup_prev = sp.createDataFrame([], 'doc_id bigint')
+    if probe_paths and bands.limit(1).count():
+        state = sp.read.parquet(*probe_paths)
+        if bands.count() <= NEAR_DUP_PUSHDOWN_MAX_KEYS:
+            bhs = [r.bh for r in bands.select('bh').distinct().collect()]
+            state = state.filter(F.col('bh').isin(bhs))
+        dup_prev = _near_dup_probe(bands, state)
+    dup_within = (
+        _pairs_from_bands(bands).select(F.col('doc_b').alias('doc_id'))
+    ).distinct()
+    admitted = batch_df.select('doc_id').join(
+        dup_prev.unionByName(dup_within).distinct(), 'doc_id', 'left_anti'
+    )
+    admitted.write.mode('overwrite').parquet(f'{out_dir}/batch={batch_id}')
+    bands.write.mode('overwrite').parquet(
+        f'{state_dir}/delta/batch={batch_id}'
+    )
+    bands.unpersist()
+    if (batch_id + 1) % compact_every == 0:
+        # Fold the covering run + the deltas up to HERE into one
+        # range-clustered run sorted on bh, so later batches' pushdown
+        # probes prune its files on parquet footers. Deterministic in
+        # (state_dir, batch_id) and written with overwrite -> replaying
+        # this batch re-produces the same run. Superseded runs/deltas
+        # are NOT deleted mid-stream (a replayed batch may still need
+        # them); they are simply never selected by _near_dup_state_paths
+        # once a newer run covers them.
+        folded = _near_dup_state_paths(state_dir, batch_id) + [
+            f'{state_dir}/delta/batch={batch_id}'
+        ]
+        compact_sorted(
+            sp.read.parquet(*folded),
+            f'{state_dir}/compacted/upto={batch_id}',
+            'bh',
+            n_files=compact_files,
+        )
+
+
+def near_dup_filter_parquet(
+    stream: DataFrame,
+    base_dir: str,
+    compact_every: int = 8,
+    compact_files: int = 16,
+) -> str:
+    """Streaming first-seen-wins near-dup admission filter; returns the
+    admitted-doc parquet path (partitioned by micro-batch id).
+
+    Each micro-batch (a) computes its LSH band rows, (b) probes the
+    accumulated BAND-TABLE STATE for cross-batch candidates colliding with
+    a SMALLER doc_id, (c) resolves within-batch candidates by doc_id order
+    (smaller id wins), and (d) writes its band rows and admitted doc_ids
+    to per-batch dirs. The state keeps EVERY seen doc's bands (admitted or
+    not), exactly like the batch ``dedup_incremental_minhash`` corpus
+    table — so the final admitted set equals the batch rule "no candidate
+    pair with any smaller doc_id" for id-ordered arrival, and is one-sided
+    (no false rejects) for any arrival order.
+
+    Fault tolerance: state presence is derived from the filesystem (a
+    checkpoint restart probes the surviving state — no in-memory flag to
+    reset), and every write is an overwrite of a per-batch_id dir, so
+    foreachBatch's at-least-once replays are idempotent (kill/resume and
+    double-invocation both exercised in tests/test_streaming.py).
+
+    Scale: per batch, one narrow band projection, one probe whose scan is
+    bounded — small batches push their band hashes into the state scan as
+    an In() literal, which the periodic range-compaction (every
+    ``compact_every`` batches the delta runs fold into ``compact_files``
+    files sorted on bh) turns into real file/row-group pruning on parquet
+    footers (asserted in tests/test_streaming.py) — and one in-batch
+    bucket groupBy. Probe I/O per batch is O(one compacted run's matching
+    files + <= compact_every deltas), never the whole append history.
+    """
+    import os
 
     state_dir = f'{base_dir}/bands'
     out_dir = f'{base_dir}/admitted'
-    seen_state = {'any': False}
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        bands = _minhash_bands(batch_df.select('doc_id', 'text')).persist()
-        dup_prev = sp.createDataFrame([], 'doc_id bigint')
-        if seen_state['any']:
-            state = sp.read.parquet(state_dir)
-            dup_prev = (
-                bands.join(state, ['band_id', 'bh'])
-                .select(bands['doc_id'])
-                .distinct()
-            )
-        dup_within = (
-            _pairs_from_bands(bands).select(F.col('doc_b').alias('doc_id'))
-        ).distinct()
-        admitted = (
-            batch_df.select('doc_id')
-            .join(dup_prev.unionByName(dup_within).distinct(), 'doc_id', 'left_anti')
+        _near_dup_step(
+            batch_df,
+            batch_id,
+            state_dir,
+            out_dir,
+            compact_every=compact_every,
+            compact_files=compact_files,
         )
-        admitted.write.mode('append').parquet(out_dir)
-        bands.write.mode('append').parquet(state_dir)
-        seen_state['any'] = True
-        bands.unpersist()
 
     query = (
         stream.writeStream.foreachBatch(step)

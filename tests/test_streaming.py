@@ -674,3 +674,220 @@ def test_near_dup_filter_rejects_cross_batch_duplicates(spark, tmp_path):
     out = near_dup_filter_parquet(stream, str(tmp_path / 'state'))
     admitted = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert admitted == [1, 2, 4, 7]
+
+
+def _docs_as_parts(spark, tmp_path, batches, name='docs'):
+    """Write each batch as ONE parquet part file with increasing mtimes so
+    maxFilesPerTrigger=1 replays them as ordered micro-batches."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / name)
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        tmp = f'{src}_b{i}_tmp'
+        spark.createDataFrame(rows, 'doc_id long, text string').coalesce(
+            1
+        ).write.mode('overwrite').parquet(tmp)
+        part = glob.glob(f'{tmp}/part-*.parquet')[0]
+        dst = f'{src}/b{i}.parquet'
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000 * (i + 1), 1_000 * (i + 1)))
+        shutil.rmtree(tmp)
+    return src
+
+
+def _file_stream(spark, src):
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(src)
+    )
+
+
+def test_near_dup_kill_resume_preserves_state(spark, tmp_path):
+    """Checkpoint restart must resume with the on-disk band state: the
+    killed run admits doc 1; after resume, doc 3 (a dup of 1, arriving in
+    the post-kill batch) must be REJECTED. The pre-fix in-memory seen_state
+    flag reset on restart and admitted every such duplicate. The kill fires
+    AFTER the batch's writes, so the resume also replays that batch's
+    writes over themselves — exercising overwrite idempotency through the
+    real checkpoint path."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from cyclebane_spark.streaming.windows import (
+        _near_dup_step,
+        near_dup_filter_parquet,
+    )
+
+    a = 'alpha beta gamma delta epsilon zeta eta theta'
+    b = 'one two three four five six seven eight nine'
+    src = _docs_as_parts(
+        spark,
+        tmp_path,
+        [
+            [(1, a)],          # admitted
+            [(2, b)],          # admitted; killed AFTER this batch's writes
+            [(3, a), (4, b)],  # both dup pre-kill docs -> rejected
+        ],
+    )
+    base = str(tmp_path / 'state')
+    state_dir, out_dir = f'{base}/bands', f'{base}/admitted'
+
+    def dying_step(batch_df, batch_id):
+        _near_dup_step(batch_df, batch_id, state_dir, out_dir)
+        if batch_id == 1:
+            raise RuntimeError('injected kill after batch-1 writes')
+
+    q = (
+        _file_stream(spark, src)
+        .writeStream.foreachBatch(dying_step)
+        .trigger(availableNow=True)
+        .option('checkpointLocation', f'{base}/_ckpt')
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match='injected kill'):
+        q.awaitTermination()
+
+    # resume: fresh near_dup_filter_parquet call, SAME checkpoint + state
+    out = near_dup_filter_parquet(_file_stream(spark, src), base)
+    admitted = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert admitted == [1, 2]
+
+
+def test_near_dup_step_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-invoking a batch with the same
+    batch_id (the replay after a partial failure) must leave the admitted
+    output and the band state byte-equal — no double-appended rows, and
+    the replayed probe must not see the batch's own first-attempt bands
+    (which would self-reject every doc)."""
+    from cyclebane_spark.streaming.windows import _near_dup_step
+
+    base = str(tmp_path / 's')
+    state_dir, out_dir = f'{base}/bands', f'{base}/admitted'
+    b0 = spark.createDataFrame(
+        [(1, 'alpha beta gamma delta epsilon zeta')],
+        'doc_id long, text string',
+    )
+    b1 = spark.createDataFrame(
+        [
+            (2, 'alpha beta gamma delta epsilon zeta'),  # dup of 1
+            (3, 'one two three four five six seven'),    # novel
+        ],
+        'doc_id long, text string',
+    )
+    _near_dup_step(b0, 0, state_dir, out_dir)
+    _near_dup_step(b1, 1, state_dir, out_dir)
+
+    def snap():
+        adm = sorted(r.doc_id for r in spark.read.parquet(out_dir).collect())
+        st = sorted(
+            map(tuple, spark.read.parquet(f'{state_dir}/delta').collect())
+        )
+        return adm, st
+
+    first = snap()
+    assert first[0] == [1, 3]
+    _near_dup_step(b1, 1, state_dir, out_dir)  # replay
+    assert snap() == first
+
+
+def test_near_dup_out_of_order_arrival_never_false_rejects(spark, tmp_path):
+    """The inequality probe's one-sided guarantee: a doc is only ever
+    rejected by a SMALLER already-seen partner, so out-of-id-order batch
+    arrival can never reject a doc the batch oracle admits. Doc 1 arrives
+    AFTER its larger duplicate 10 — the old equi-join probe rejected it;
+    it must be admitted (10 stays admitted: an admission filter cannot
+    retract, the documented one-sidedness)."""
+    from cyclebane_spark.streaming.windows import near_dup_filter_parquet
+
+    a = 'alpha beta gamma delta epsilon zeta eta theta'
+    b = 'one two three four five six seven eight nine'
+    src = _docs_as_parts(
+        spark,
+        tmp_path,
+        [
+            [(10, a), (11, b)],
+            [(1, a)],   # smaller dup of 10, arriving later
+            [(12, a)],  # larger dup: still rejected (collides with 1 & 10)
+        ],
+    )
+    out = near_dup_filter_parquet(_file_stream(spark, src), str(tmp_path / 'st'))
+    admitted = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    # oracle (smaller-id rule) admits {1, 10? no: 10 collides with 1 -> reject}
+    # -> oracle set {1, 11}; the stream admits a SUPERSET (10 already out).
+    assert admitted == [1, 10, 11]
+    assert {1, 11}.issubset(set(admitted))
+
+
+def test_near_dup_compaction_bounds_probe_and_prunes_files(spark, tmp_path):
+    """50 single-doc micro-batches with compact_every=8: the state a later
+    batch probes stays bounded (one compacted run + <8 deltas, never the
+    50-dir append history), the compacted run's files carry NARROW disjoint
+    bh footer ranges so a small batch's In() pushdown prunes most of them,
+    and the probe plan shows the pushed filter."""
+    import os
+
+    from cyclebane_spark.queries.dedup import _minhash_bands
+    from cyclebane_spark.streaming.windows import (
+        _near_dup_probe,
+        _near_dup_state_paths,
+        _near_dup_step,
+    )
+
+    base = str(tmp_path / 's')
+    state_dir, out_dir = f'{base}/bands', f'{base}/admitted'
+    for i in range(50):
+        batch = spark.createDataFrame(
+            [(i, f'word{i} token{i} alpha{i} beta{i} gamma{i} delta{i}')],
+            'doc_id long, text string',
+        )
+        _near_dup_step(
+            batch, i, state_dir, out_dir, compact_every=8, compact_files=8
+        )
+
+    paths = _near_dup_state_paths(state_dir, 50)
+    # newest compacted run (upto=47) + deltas 48, 49 — NOT 50 dirs
+    assert len(paths) == 3, paths
+    assert paths[0].endswith('upto=47')
+    comp_files = [
+        f'{paths[0]}/{f}'
+        for f in os.listdir(paths[0])
+        if f.endswith('.parquet')
+    ]
+    assert len(comp_files) == 8
+
+    # footer-level candidate files for ONE new doc's band hashes
+    import pyarrow.parquet as pq
+
+    probe_doc = spark.createDataFrame(
+        [(99, 'word3 token3 alpha3 beta3 gamma3 delta3')],  # dup of doc 3
+        'doc_id long, text string',
+    )
+    bands = _minhash_bands(probe_doc)
+    bhs = sorted(r.bh for r in bands.select('bh').distinct().collect())
+    candidates = []
+    for f in comp_files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index('bh')
+        st = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        lo, hi = min(s.min for s in st), max(s.max for s in st)
+        if any(lo <= h <= hi for h in bhs):
+            candidates.append(f)
+    assert len(candidates) < len(comp_files), (len(candidates), len(comp_files))
+
+    # the pushdown probe's scan carries the In() filter on bh
+    import contextlib
+    import io
+
+    state = spark.read.parquet(*paths).filter(F.col('bh').isin(bhs))
+    dup = _near_dup_probe(bands, state)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dup.explain('formatted')
+    plan = buf.getvalue()
+    assert 'PushedFilters' in plan and 'In(bh' in plan, plan
+    # and the collision is actually found through the compacted state
+    assert [r.doc_id for r in dup.collect()] == [99]
