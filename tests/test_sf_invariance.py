@@ -56,6 +56,11 @@ QUERIES = (
     'multimodal_phash_dedup',       # hamming-radius ties at denser corpora
     'ann_hard_negatives',           # rounded-cosine rank ties at denser corpora
     'sketch_cms_frequency',         # collision mass shifts with vocab density
+    # round-5 additions: two-stage rank ties + md5-keyed sampling ranks
+    'ann_ivf_matryoshka_topk',      # prefix-rank funnel cutoff ties at density
+    'ann_ivf_incremental_assign',   # held-out quantizer vs denser batch
+    'pipeline_cluster_balanced_sample',  # md5-rank cap-K ties at bigger clusters
+    'stream_near_dup_filter',       # band-collision volume at denser corpora
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')
