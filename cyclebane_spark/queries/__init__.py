@@ -63,85 +63,71 @@ _MODULES = (
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
-# is rotated per round to retire unverified queries.  Round-5 rotation (per
-# VERDICT r4 "Next round #1-2"): changed-since-green queries outrank
-# everything except driver-red ones. Position 1 is the one driver-RED row
-# (pipeline_tokenize_to_ids — output reshaped this round from array<bigint>
-# to a comma-joined string so the driver's pandas canonicalizer can hash
-# it); positions 2-3 are the two round-4 behavioral changes whose driver
-# rows went stale when the r4 window overflowed (stream_cdc_upsert
-# scratch-dir rework; graph_slice_positional non-numeric bucketing rework);
-# positions 4-43 are the FORTY late-round-4 operators that have never had a
-# driver CORRECTNESS row in any round (all re-proved oracle-exact locally
-# at sf0.001/0.01/0.1 this session); the remaining slots carry queries
-# added or changed in round 5 plus the oldest r1-green rows as backfill.
-# Everything below position 50 is driver-green in some round and unchanged
-# since (the local oracle gate re-verifies the FULL registry each session —
-# tests/oracle_check.py with no name filter — at three scale factors).
+# is rotated per round to retire the stalest driver signal. Round-6 rotation
+# (per VERDICT r5 "Next round #2"): no driver-red and no never-seen rows
+# remain, so the window is (a) the three queries whose CODE PATH changed
+# this round — the reworked fault-tolerant streaming admission filter, the
+# new IVF drift gate, and the containment query whose broadcast-decision
+# helper was hardened — then (b) the 44 queries whose newest driver-green
+# row still dates from ROUND 1 (unchanged since, re-proved oracle-exact
+# locally at three scale factors every session), then (c) the first of the
+# 37 round-2-green rows; the 34 remaining r2 rows head next round's
+# backfill. Everything below position 50 is driver-green in r3-r5 and
+# unchanged since.
 _PRIORITY = (
-    # 1: driver-red in r4 (harness array-sort), output reshaped this round
-    'pipeline_tokenize_to_ids',
-    # 2-3: changed in r4, driver row stale (window overflow at 52-53)
-    'stream_cdc_upsert',
-    'graph_slice_positional',
-    # 4-43: never driver-seen (late-round-4 additions, in r4 order)
-    'sample_stratified_exact_k',
-    'q14_promo_revenue',
-    'dedup_cc_largestar',
-    'text_bigram_lm_score',
-    'dedup_tf_cosine_pairs',
-    'stream_static_enrich',
-    'pipeline_mv_incremental',
-    'pipeline_rrf_fusion',
-    'join_null_safe_eq',
-    'dedup_recursive_hops',
-    'join_bloom_prefilter',
-    'events_skew_profile',
-    'dedup_lsh_band_diagnostics',
-    'multimodal_phash_dedup',
-    'dedup_containment_pairs',
-    'pipeline_dataset_card',
-    'pipeline_mix_weights',
-    'dedup_cc_incremental',
-    'ann_hard_negatives',
-    'sketch_cms_frequency',
-    'pipeline_target_encoding',
-    'graph_kcore_peel',
-    'multimodal_scene_cuts',
-    'join_interval_bucketed',
-    'pipeline_quantile_bins',
-    'quality_kanonymity_audit',
-    'multimodal_voice_activity',
-    'dedup_eval_confusion',
-    'quality_source_overlap',
-    'dedup_sorted_neighborhood',
-    'text_keyword_tagging',
-    'events_ewma_fold',
-    'dedup_bcubed_eval',
-    'graph_label_propagation',
-    'pipeline_entity_resolution',
-    'events_sessionization_sweep',
-    'events_cusum_alarm',
-    'text_extractive_summary',
-    'quality_source_overlap_hll',
-    'ann_matryoshka_rerank',
-    # 44-50: round-5 additions/changes (new IVF x matryoshka composition;
-    # text_length_curriculum reworked onto the shared bucketed-rank helper
-    # — dedup_sorted_neighborhood and graph_slice_positional, the other
-    # two call sites, already hold window slots above), then oldest-r1
-    # backfill (rows whose last driver signal is round 1; re-proved
-    # locally every session).
-    'ann_ivf_matryoshka_topk',
-    'ann_ivf_incremental_assign',
-    'pipeline_cluster_balanced_sample',
+    # 1-3: changed in round 6
     'stream_near_dup_filter',
-    'text_length_curriculum',
-    'q1_pricing_summary',
-    'window_topk_per_group',
-    # positions 51+: driver-green in r1-r4 and unchanged since; the
-    # r4-green block (dedup_minhash_estimator .. dedup_incremental_minhash
-    # and the rest of the r4 window) follows in registration order via the
-    # registry merge below.
+    'ann_ivf_drift_gate',
+    'dedup_containment_pairs',
+    # 4-47: oldest driver signal (newest green = round 1)
+    'argmax_per_group',
+    'argmin_cheapest_supplier',
+    'array_functions',
+    'conditional_agg_shipmodes',
+    'count_distinct_exact',
+    'cube_flag_status',
+    'date_functions',
+    'distinct_pairs',
+    'groupingsets_flag_status',
+    'join_anti',
+    'join_range_band',
+    'join_semi',
+    'map_functions',
+    'percentile_exact',
+    'promo_revenue_ratio',
+    'q13_customer_distribution',
+    'q18_large_volume_customer',
+    'q19_disjunctive_predicates',
+    'q22_idle_rich_customers',
+    'q3_shipping_priority',
+    'q5_local_supplier_volume',
+    'q6_forecast_revenue',
+    'q7_volume_shipping',
+    'q8_market_share',
+    'q9_product_type_profit',
+    'rollup_order_priority',
+    'sample_hash_based',
+    'sample_stratified',
+    'scalar_functions',
+    'setop_union_intersect',
+    'skew_salted_agg',
+    'sql_interface_portable',
+    'sql_interface_q10',
+    'subquery_correlated_avg',
+    'subquery_exists_priority',
+    'subquery_scalar_avg',
+    'topk_orders',
+    'unpivot_lineitem_measures',
+    'window_analytics_suite',
+    'window_first_last_nth',
+    'window_lag_delta',
+    'window_nulls_ordering',
+    'window_range_frame_trailing',
+    'window_running_total',
+    # 48-50: round-2-green backfill (alphabetical; rest next round)
+    'ann_bruteforce_topk',
+    'ann_ivf_blocked_topk',
+    'ann_rp_lsh_topk',
 )
 
 

@@ -1902,3 +1902,129 @@ def ann_ivf_incremental_assign(spark, sf_dir):
         F.col('cl').cast('bigint').alias('cl'),
         F.col('dist2').cast('bigint').alias('dist2'),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance, step 2: DRIFT DETECTION. Incremental assignment
+# (above) keeps the index current; nothing yet tells the pipeline when the
+# accumulated ingests have degraded the quantizer. The cheap monitor is the
+# cell-OCCUPANCY histogram: if the incoming batch lands in the trained
+# cells with a distribution far from the training-time occupancy, the
+# centroids no longer describe the data and a retrain is due — the ANN
+# analogue of the adaptive-salt gate (dedup.py), a one-scalar-job decision.
+# Statistic: total-variation distance between the two occupancy histograms,
+# kept in INTEGER arithmetic (|batch_n*corpus_total - corpus_n*batch_total|
+# summed; TVD = drift_num / (2*corpus_total*batch_total)) so both engines
+# flag bit-identically. Retrain iff TVD > 1/4 <=> 2*drift_num > ct*bt.
+# Scale: two K-row histogram aggs (one partial-aggregable shuffle each over
+# data already produced by training/assignment) + a broadcast of the 1-row
+# totals — batch-proportional, like the assignment itself.
+# ---------------------------------------------------------------------------
+
+DRIFT_TAU_NUM, DRIFT_TAU_DEN = 1, 4  # retrain threshold: TVD > 1/4
+
+
+def _occupancy_drift(corp, batch):
+    """One-row drift summary from two (cl, *_n) occupancy histograms:
+    (corpus_total, batch_total, drift_num, retrain). Pure integer TVD —
+    the decision the synthetic-shift test drives directly."""
+    cells = (
+        corp.join(batch, 'cl', 'full_outer')
+        .select(
+            F.coalesce('corpus_n', F.lit(0)).alias('corpus_n'),
+            F.coalesce('batch_n', F.lit(0)).alias('batch_n'),
+        )
+    )
+    tot = cells.agg(
+        F.sum('corpus_n').cast('bigint').alias('ct'),
+        F.sum('batch_n').cast('bigint').alias('bt'),
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy('ct', 'bt')
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col('batch_n') * F.col('ct')
+                    - F.col('corpus_n') * F.col('bt')
+                )
+            )
+            .cast('bigint')
+            .alias('drift_num')
+        )
+        .select(
+            F.col('ct').alias('corpus_total'),
+            F.col('bt').alias('batch_total'),
+            'drift_num',
+            # TVD = drift_num/(2*ct*bt) > NUM/DEN  <=>  (pure integers)
+            (
+                F.lit(DRIFT_TAU_DEN) * F.col('drift_num')
+                > F.lit(2 * DRIFT_TAU_NUM) * F.col('ct') * F.col('bt')
+            )
+            .cast('int')
+            .alias('retrain'),
+        )
+    )
+
+
+@register(
+    'ann_ivf_drift_gate',
+    oracle=f"""{_sql_kmeans_ctes(_INCR_HOLDOUT)},
+    corp AS (SELECT cl, COUNT(*) AS corpus_n FROM af GROUP BY cl),
+    ba AS (
+        SELECT cl, COUNT(*) AS batch_n FROM (
+            SELECT vec_id, cl FROM (
+                SELECT e.vec_id, c.cl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
+                       ) AS rk
+                FROM e JOIN c{KM_ITERS} c ON e.pos = c.pos
+                WHERE e.vec_id >= {N_QUERIES}
+                  AND (e.vec_id % {ANN_INCR_MOD}) = {ANN_INCR_MOD - 1}
+                GROUP BY e.vec_id, c.cl
+            ) WHERE rk = 1
+        ) GROUP BY cl
+    ),
+    cells AS (
+        SELECT COALESCE(corp.corpus_n, 0) AS corpus_n,
+               COALESCE(ba.batch_n, 0) AS batch_n
+        FROM corp FULL OUTER JOIN ba ON corp.cl = ba.cl
+    ),
+    tot AS (SELECT SUM(corpus_n) AS ct, SUM(batch_n) AS bt FROM cells)
+    SELECT CAST(tot.ct AS BIGINT) AS corpus_total,
+           CAST(tot.bt AS BIGINT) AS batch_total,
+           CAST(SUM(ABS(batch_n * tot.ct - corpus_n * tot.bt)) AS BIGINT)
+               AS drift_num,
+           CAST(
+               {DRIFT_TAU_DEN}
+                   * SUM(ABS(batch_n * tot.ct - corpus_n * tot.bt))
+               > 2 * {DRIFT_TAU_NUM} * tot.ct * tot.bt
+               AS INT
+           ) AS retrain
+    FROM cells, tot
+    GROUP BY tot.ct, tot.bt
+    """,
+)
+def ann_ivf_drift_gate(spark, sf_dir):
+    """Quantizer-drift monitor: TVD between the incoming batch's
+    cell-occupancy histogram and the training-time occupancy, flagging
+    retrain past 1/4 — the decision gate that schedules step-3 retraining
+    (see the module note; a shifted batch trips the flag and a
+    proportional one doesn't: tests/test_similarity_recall.py)."""
+    e, cent, final_assigned, assign = _kmeans_train(
+        spark,
+        sf_dir,
+        extra_filter=F.col('vec_id') % ANN_INCR_MOD != ANN_INCR_MOD - 1,
+    )
+    incoming = e.filter(
+        (F.col('vec_id') >= N_QUERIES)
+        & (F.col('vec_id') % ANN_INCR_MOD == ANN_INCR_MOD - 1)
+    )
+    corp = final_assigned.groupBy('cl').agg(
+        F.count(F.lit(1)).alias('corpus_n')
+    )
+    batch = assign(incoming, cent, n=1).groupBy('cl').agg(
+        F.count(F.lit(1)).alias('batch_n')
+    )
+    return _occupancy_drift(corp, batch)

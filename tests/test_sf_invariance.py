@@ -61,6 +61,8 @@ QUERIES = (
     'ann_ivf_incremental_assign',   # held-out quantizer vs denser batch
     'pipeline_cluster_balanced_sample',  # md5-rank cap-K ties at bigger clusters
     'stream_near_dup_filter',       # band-collision volume at denser corpora
+    # round-6 addition
+    'ann_ivf_drift_gate',           # integer TVD flag near threshold at density
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

@@ -237,3 +237,47 @@ def test_incremental_assign_batch_held_out_and_complete(spark, sf_dir):
     out_ids = [r.vec_id for r in got]
     assert sorted(out_ids) == sorted(incoming_ids)  # exactly once each
     assert all(0 <= r.cl < KM_K for r in got)
+
+
+def test_drift_gate_trips_on_shift_not_on_proportion(spark):
+    """The retrain decision itself, driven directly: a batch whose
+    occupancy is PROPORTIONAL to training-time occupancy has TVD 0 (no
+    retrain); a batch concentrated in one minority cell has TVD far past
+    1/4 (retrain). Also pins the exact integer drift numerator."""
+    from cyclebane_spark.queries.similarity import _occupancy_drift
+
+    corp = spark.createDataFrame(
+        [(0, 40), (1, 40), (2, 20)], 'cl int, corpus_n long'
+    )
+
+    # proportional: batch = corpus/10 -> every |bn*ct - cn*bt| term is 0
+    prop = spark.createDataFrame(
+        [(0, 4), (1, 4), (2, 2)], 'cl int, batch_n long'
+    )
+    row = _occupancy_drift(corp, prop).collect()[0]
+    assert (row.corpus_total, row.batch_total) == (100, 10)
+    assert row.drift_num == 0 and row.retrain == 0
+
+    # shifted: all batch mass in the minority cell 2
+    # terms: |0*100-40*10|*2 + |10*100-20*10| = 800 + 800 = 1600
+    # TVD = 1600 / (2*100*10) = 0.8 > 1/4 -> retrain
+    shift = spark.createDataFrame([(2, 10)], 'cl int, batch_n long')
+    row = _occupancy_drift(corp, shift).collect()[0]
+    assert row.drift_num == 1600 and row.retrain == 1
+
+    # a NEW cell appearing only in the batch still counts (full outer)
+    novel = spark.createDataFrame([(7, 10)], 'cl int, batch_n long')
+    row = _occupancy_drift(corp, novel).collect()[0]
+    # |10*100-0| + |0-40*10|*2 + |0-20*10| = 1000+800+200 = 2000 -> TVD 1.0
+    assert row.drift_num == 2000 and row.retrain == 1
+
+    # boundary honesty: TVD exactly 1/4 must NOT trip (strict >)
+    # corp (50,50), batch (30,10): ct=100,bt=40
+    # terms |30*100-50*40| + |10*100-50*40| = 1000+1000 = 2000
+    # TVD = 2000/(2*100*40) = 0.25
+    corp2 = spark.createDataFrame([(0, 50), (1, 50)], 'cl int, corpus_n long')
+    edge = spark.createDataFrame(
+        [(0, 30), (1, 10)], 'cl int, batch_n long'
+    )
+    row = _occupancy_drift(corp2, edge).collect()[0]
+    assert row.drift_num == 2000 and row.retrain == 0

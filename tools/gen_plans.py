@@ -329,6 +329,8 @@ EXTRA = (
     'ann_ivf_matryoshka_topk',
     'ann_ivf_incremental_assign',
     'pipeline_cluster_balanced_sample',
+    # round-6 additions
+    'ann_ivf_drift_gate',
 )
 
 
