@@ -744,3 +744,18 @@ def test_ivf_incremental_assign_is_batch_proportional(spark):
     # the batch filter reaches the cached component scan: the incoming
     # assignment never scans the standing corpus's rows
     assert '% 10)' in raw and '= 9' in raw.replace('<=> 9', '')
+
+
+def test_ivf_drift_gate_is_histogram_sized(spark):
+    """The retrain monitor must stay a cheap decision job: two K-row
+    occupancy aggregates (partial+final), the 1-row totals arriving via a
+    broadcast nested-loop (the ONLY acceptable NLJ — build side is one
+    row), and no CartesianProduct anywhere."""
+    raw = raw_plan_of(spark, 'ann_ivf_drift_gate')
+    assert 'CartesianProduct' not in raw
+    # exactly one NLJ: the 1-row totals cross; everything else hash/bcast
+    assert raw.count('BroadcastNestedLoopJoin') == 1
+    # both histograms partial-aggregate before their K-row exchange
+    assert 'partial_count' in raw
+    # the batch holdout filter reaches the component scan
+    assert '% 10)' in raw
