@@ -602,7 +602,7 @@ def _near_dup_step(
     """
     import pyspark.sql.functions as F
 
-    from ..queries.dedup import _minhash_bands, _pairs_from_bands
+    from ..queries.dedup import _adaptive_pairs_from_bands, _minhash_bands
     from ..sinks import compact_sorted
 
     sp = batch_df.sparkSession
@@ -615,8 +615,14 @@ def _near_dup_step(
             bhs = [r.bh for r in bands.select('bh').distinct().collect()]
             state = state.filter(F.col('bh').isin(bhs))
         dup_prev = _near_dup_probe(bands, state)
+    # Within-batch resolution inherits the stats-gated salting: a
+    # boilerplate-heavy BATCH funnels into one hot band bucket exactly like
+    # a boilerplate-heavy corpus, and the adaptive generator's histogram
+    # job is batch-sized here. Both branches yield identical pair sets.
     dup_within = (
-        _pairs_from_bands(bands).select(F.col('doc_b').alias('doc_id'))
+        _adaptive_pairs_from_bands(bands).select(
+            F.col('doc_b').alias('doc_id')
+        )
     ).distinct()
     admitted = batch_df.select('doc_id').join(
         dup_prev.unionByName(dup_within).distinct(), 'doc_id', 'left_anti'
@@ -653,7 +659,8 @@ def near_dup_filter_parquet(
     compact_files: int = 16,
 ) -> str:
     """Streaming first-seen-wins near-dup admission filter; returns the
-    admitted-doc parquet path (partitioned by micro-batch id).
+    admitted-doc parquet path (range-compacted post-stream; the
+    per-micro-batch ledger dirs remain under ``admitted/``).
 
     Each micro-batch (a) computes its LSH band rows, (b) probes the
     accumulated BAND-TABLE STATE for cross-batch candidates colliding with
@@ -703,4 +710,19 @@ def near_dup_filter_parquet(
     )
     query.awaitTermination()
     assert os.path.isdir(out_dir), 'stream produced no batches'
-    return out_dir
+    # Post-stream output compaction: the per-batch dirs are the
+    # idempotency LEDGER (one small file per micro-batch — unbounded file
+    # count under a long stream); downstream readers get one
+    # range-clustered rewrite instead. Runs after termination, so a
+    # restart that dies before it simply re-runs it (overwrite) on the
+    # next completion.
+    from ..sinks import compact_sorted
+
+    final_dir = f'{base_dir}/admitted_out'
+    compact_sorted(
+        stream.sparkSession.read.parquet(out_dir).select('doc_id'),
+        final_dir,
+        'doc_id',
+        n_files=compact_files,
+    )
+    return final_dir

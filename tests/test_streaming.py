@@ -814,12 +814,20 @@ def test_near_dup_out_of_order_arrival_never_false_rejects(spark, tmp_path):
             [(12, a)],  # larger dup: still rejected (collides with 1 & 10)
         ],
     )
-    out = near_dup_filter_parquet(_file_stream(spark, src), str(tmp_path / 'st'))
+    out = near_dup_filter_parquet(
+        _file_stream(spark, src), str(tmp_path / 'st'), compact_files=4
+    )
     admitted = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     # oracle (smaller-id rule) admits {1, 10? no: 10 collides with 1 -> reject}
     # -> oracle set {1, 11}; the stream admits a SUPERSET (10 already out).
     assert admitted == [1, 10, 11]
     assert {1, 11}.issubset(set(admitted))
+    # the returned output is the post-stream compaction, not the
+    # one-file-per-micro-batch ledger: bounded file count
+    import os
+
+    files = [f for f in os.listdir(out) if f.endswith('.parquet')]
+    assert 0 < len(files) <= 4, files
 
 
 def test_near_dup_compaction_bounds_probe_and_prunes_files(spark, tmp_path):
