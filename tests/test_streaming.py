@@ -899,3 +899,56 @@ def test_near_dup_compaction_bounds_probe_and_prunes_files(spark, tmp_path):
     assert 'PushedFilters' in plan and 'In(bh' in plan, plan
     # and the collision is actually found through the compacted state
     assert [r.doc_id for r in dup.collect()] == [99]
+
+
+def test_near_dup_admitted_set_is_batch_boundary_invariant(spark, tmp_path):
+    """The operator's core claim, as a property: for ANY partition of an
+    id-ordered corpus into micro-batches (random seeded cut points,
+    including the 1-batch and every-doc-alone extremes on a small prefix),
+    the streamed admitted set equals the single-shot batch rule "no LSH
+    candidate pair with a smaller doc_id" — because the state keeps every
+    seen doc's bands and the probe is the smaller-id inequality."""
+    import random
+
+    from cyclebane_spark.queries.dedup import (
+        _minhash_bands,
+        _pairs_from_bands,
+    )
+    from cyclebane_spark.streaming.windows import _near_dup_step
+    from cyclebane_spark.tables import table
+
+    docs = (
+        table(spark, SF_DIR, 'documents')
+        .select('doc_id', 'text')
+        .orderBy('doc_id')
+        .limit(120)
+        .cache()
+    )
+    ids = [r.doc_id for r in docs.select('doc_id').collect()]
+    expected = sorted(
+        set(ids)
+        - {
+            r.doc_b
+            for r in _pairs_from_bands(_minhash_bands(docs))
+            .select('doc_b')
+            .collect()
+        }
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n_cuts = rng.randint(1, 5)
+        cuts = sorted(rng.sample(range(1, len(ids)), n_cuts))
+        bounds = [0, *cuts, len(ids)]
+        base = str(tmp_path / f't{trial}')
+        state_dir, out_dir = f'{base}/bands', f'{base}/admitted'
+        for b, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            chunk = ids[lo:hi]
+            batch = docs.filter(
+                (F.col('doc_id') >= chunk[0]) & (F.col('doc_id') <= chunk[-1])
+            )
+            _near_dup_step(batch, b, state_dir, out_dir, compact_every=3)
+        admitted = sorted(
+            r.doc_id for r in spark.read.parquet(out_dir).collect()
+        )
+        assert admitted == expected, (trial, cuts)
