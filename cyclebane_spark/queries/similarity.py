@@ -1939,27 +1939,29 @@ def _occupancy_drift(corp, batch):
         F.sum('corpus_n').cast('bigint').alias('ct'),
         F.sum('batch_n').cast('bigint').alias('bt'),
     )
+    # The cross terms are count PRODUCTS: at 10^12-row corpora they pass
+    # bigint range, so the whole decision runs in 128-bit-safe arithmetic
+    # (decimal(38,0) here, HUGEINT in the oracle — both exact to 1e38);
+    # only the diagnostics cast back down.
+    dec = 'decimal(38,0)'
+    term = F.abs(
+        F.col('batch_n').cast(dec) * F.col('ct')
+        - F.col('corpus_n').cast(dec) * F.col('bt')
+    )
     return (
         cells.crossJoin(F.broadcast(tot))
         .groupBy('ct', 'bt')
-        .agg(
-            F.sum(
-                F.abs(
-                    F.col('batch_n') * F.col('ct')
-                    - F.col('corpus_n') * F.col('bt')
-                )
-            )
-            .cast('bigint')
-            .alias('drift_num')
-        )
+        .agg(F.sum(term).alias('dn'))
         .select(
             F.col('ct').alias('corpus_total'),
             F.col('bt').alias('batch_total'),
-            'drift_num',
-            # TVD = drift_num/(2*ct*bt) > NUM/DEN  <=>  (pure integers)
+            F.col('dn').cast('bigint').alias('drift_num'),
+            # TVD = dn/(2*ct*bt) > NUM/DEN  <=>  (exact, pre-downcast)
             (
-                F.lit(DRIFT_TAU_DEN) * F.col('drift_num')
-                > F.lit(2 * DRIFT_TAU_NUM) * F.col('ct') * F.col('bt')
+                F.lit(DRIFT_TAU_DEN).cast(dec) * F.col('dn')
+                > F.lit(2 * DRIFT_TAU_NUM).cast(dec)
+                * F.col('ct').cast(dec)
+                * F.col('bt')
             )
             .cast('int')
             .alias('retrain'),
@@ -1994,12 +1996,14 @@ def _occupancy_drift(corp, batch):
     tot AS (SELECT SUM(corpus_n) AS ct, SUM(batch_n) AS bt FROM cells)
     SELECT CAST(tot.ct AS BIGINT) AS corpus_total,
            CAST(tot.bt AS BIGINT) AS batch_total,
-           CAST(SUM(ABS(batch_n * tot.ct - corpus_n * tot.bt)) AS BIGINT)
+           CAST(SUM(ABS(CAST(batch_n AS HUGEINT) * tot.ct
+                        - CAST(corpus_n AS HUGEINT) * tot.bt)) AS BIGINT)
                AS drift_num,
            CAST(
                {DRIFT_TAU_DEN}
-                   * SUM(ABS(batch_n * tot.ct - corpus_n * tot.bt))
-               > 2 * {DRIFT_TAU_NUM} * tot.ct * tot.bt
+                   * SUM(ABS(CAST(batch_n AS HUGEINT) * tot.ct
+                             - CAST(corpus_n AS HUGEINT) * tot.bt))
+               > 2 * {DRIFT_TAU_NUM} * CAST(tot.ct AS HUGEINT) * tot.bt
                AS INT
            ) AS retrain
     FROM cells, tot
