@@ -24,6 +24,45 @@ from pyspark.sql import DataFrame, SparkSession
 _SINK_IDS = itertools.count()
 
 
+def _sync_link_dir(prefix: str, path: str) -> str:
+    """Idempotent symlink landing dir for a parquet dataset (the file
+    source needs a directory and does not recurse, so each part file is
+    linked in). Links whose targets vanished are PRUNED first — a
+    regenerated dataset renames/removes part files, and a surviving stale
+    link would silently feed old parts into the stream or fail it on a
+    broken link — then links for every current part are added. Prune+add
+    (not rmtree+recreate) keeps concurrent callers safe: no window where a
+    live stream's still-valid links disappear, and the two races that
+    remain (concurrent prune, concurrent add) are absorbed by the
+    try/excepts."""
+    import hashlib
+    import os
+
+    link_dir = f'/tmp/{prefix}_{hashlib.md5(path.encode()).hexdigest()[:12]}'
+    os.makedirs(link_dir, exist_ok=True)
+    for name in os.listdir(link_dir):
+        link = f'{link_dir}/{name}'
+        if os.path.islink(link) and not os.path.exists(link):
+            try:
+                os.unlink(link)
+            except FileNotFoundError:
+                pass  # a concurrent pruner got there first
+    if os.path.isdir(path):
+        targets = {
+            p: f'{path}/{p}'
+            for p in sorted(os.listdir(path))
+            if p.endswith('.parquet')
+        }
+    else:
+        targets = {os.path.basename(path): path}
+    for name, target in targets.items():
+        try:
+            os.symlink(target, f'{link_dir}/{name}')
+        except FileExistsError:
+            pass  # already linked (this run or a concurrent one)
+    return link_dir
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream.
 
@@ -33,29 +72,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     symlink to the parquet file stands in (a real deployment points at the
     stream's landing directory).
     """
-    import hashlib
-    import os
-
     spark.conf.set('spark.sql.legacy.parquet.nanosAsLong', 'true')
     spark.conf.set('spark.sql.session.timeZone', 'UTC')
     path = f'{sf_dir}/events.parquet'
-    link_dir = (
-        f'/tmp/cb_stream_src_{hashlib.md5(path.encode()).hexdigest()[:12]}'
-    )
-    os.makedirs(link_dir, exist_ok=True)
-    if os.path.isdir(path):
-        # Spark-written multi-file table (e.g. the synthesized sf1): the
-        # file source does not recurse into subdirectories, so symlink
-        # each part file into the landing dir
-        for part in sorted(os.listdir(path)):
-            if part.endswith('.parquet'):
-                link = f'{link_dir}/{part}'
-                if not os.path.exists(link):
-                    os.symlink(f'{path}/{part}', link)
-    else:
-        link = f'{link_dir}/events.parquet'
-        if not os.path.exists(link):
-            os.symlink(path, link)
+    link_dir = _sync_link_dir('cb_stream_src', path)
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(link_dir)
     # Mirror the batch loader's type detection (tables.events_table): the
@@ -491,26 +511,8 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table as a file-source stream (same symlink-dir idiom
     as :func:`events_stream`; a real deployment points at the corpus
     landing directory)."""
-    import hashlib
-    import os
-    import shutil
-
     path = f'{sf_dir}/documents.parquet'
-    link_dir = (
-        f'/tmp/cb_stream_doc_{hashlib.md5(path.encode()).hexdigest()[:12]}'
-    )
-    # Recreate the link dir from scratch on every call: a regenerated
-    # dataset with renamed/removed part files would otherwise leave stale
-    # symlinks behind (broken links fail the stream; surviving old parts
-    # silently break oracle equality).
-    shutil.rmtree(link_dir, ignore_errors=True)
-    os.makedirs(link_dir)
-    if os.path.isdir(path):
-        for part in sorted(os.listdir(path)):
-            if part.endswith('.parquet'):
-                os.symlink(f'{path}/{part}', f'{link_dir}/{part}')
-    else:
-        os.symlink(path, f'{link_dir}/documents.parquet')
+    link_dir = _sync_link_dir('cb_stream_doc', path)
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(link_dir)
 
@@ -609,9 +611,12 @@ def _near_dup_step(
     bands = _minhash_bands(batch_df.select('doc_id', 'text')).persist()
     probe_paths = _near_dup_state_paths(state_dir, batch_id)
     dup_prev = sp.createDataFrame([], 'doc_id bigint')
-    if probe_paths and bands.limit(1).count():
+    # one count serves both the emptiness guard and the pushdown gate
+    # (and materializes the persist every downstream pass reuses)
+    n_band_rows = bands.count()
+    if probe_paths and n_band_rows:
         state = sp.read.parquet(*probe_paths)
-        if bands.count() <= NEAR_DUP_PUSHDOWN_MAX_KEYS:
+        if n_band_rows <= NEAR_DUP_PUSHDOWN_MAX_KEYS:
             bhs = [r.bh for r in bands.select('bh').distinct().collect()]
             state = state.filter(F.col('bh').isin(bhs))
         dup_prev = _near_dup_probe(bands, state)
@@ -637,10 +642,12 @@ def _near_dup_step(
         # range-clustered run sorted on bh, so later batches' pushdown
         # probes prune its files on parquet footers. Deterministic in
         # (state_dir, batch_id) and written with overwrite -> replaying
-        # this batch re-produces the same run. Superseded runs/deltas
-        # are NOT deleted mid-stream (a replayed batch may still need
-        # them); they are simply never selected by _near_dup_state_paths
-        # once a newer run covers them.
+        # this batch re-produces the same run. Cost honesty: the fold
+        # rewrites the FULL state, so compaction write I/O amortizes to
+        # O(state)/compact_every per batch — the single-level LSM trade;
+        # a deployment whose state outgrows that tiers the fold (several
+        # run sizes, fold within a tier) exactly as RocksDB/LSM tables
+        # do, with _near_dup_state_paths reading newest-run-per-tier.
         folded = _near_dup_state_paths(state_dir, batch_id) + [
             f'{state_dir}/delta/batch={batch_id}'
         ]
@@ -650,6 +657,39 @@ def _near_dup_step(
             'bh',
             n_files=compact_files,
         )
+        _near_dup_gc(state_dir, batch_id)
+
+
+def _near_dup_gc(state_dir: str, upto: int) -> None:
+    """Drop state superseded TWICE over: everything already folded into
+    the PREVIOUS compacted run (runs older than it, deltas <= its upto)
+    is unreachable from any probe the engine can still issue — Structured
+    Streaming replays only the last uncommitted batch b, and b's probe
+    reads at most the newest run strictly before b plus newer deltas, so
+    the newest TWO runs and the deltas after the older of them must
+    survive; anything older is disk-only weight. Keeps retained state at
+    O(2x current) instead of growing a full copy per compaction."""
+    import os
+    import shutil
+
+    comp_dir = f'{state_dir}/compacted'
+    if not os.path.isdir(comp_dir):
+        return
+    uptos = sorted(
+        int(n.split('=', 1)[1])
+        for n in os.listdir(comp_dir)
+        if n.startswith('upto=')
+    )
+    if len(uptos) < 2:
+        return
+    keep_floor = uptos[-2]  # the previous run's coverage bound
+    for u in uptos[:-2]:
+        shutil.rmtree(f'{comp_dir}/upto={u}', ignore_errors=True)
+    delta_dir = f'{state_dir}/delta'
+    if os.path.isdir(delta_dir):
+        for n in os.listdir(delta_dir):
+            if n.startswith('batch=') and int(n.split('=', 1)[1]) <= keep_floor:
+                shutil.rmtree(f'{delta_dir}/{n}', ignore_errors=True)
 
 
 def near_dup_filter_parquet(

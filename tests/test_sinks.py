@@ -499,3 +499,21 @@ def test_rebalance_hint_before_write(spark):
     logical = rb._jdf.queryExecution().optimizedPlan().toString()
     assert 'RebalancePartitions' in logical, logical
     assert rb.count() == docs.count()
+
+
+def test_compact_sorted_gives_disjoint_narrow_file_stats(spark, tmp_path):
+    """The streaming-state compaction helper: range-clustered rewrite gives
+    every output file a narrow, non-overlapping key range in its parquet
+    footer (the property the admission filter's pushdown probe prunes on)."""
+    from cyclebane_spark.sinks import compact_sorted
+    from cyclebane_spark.tables import table
+
+    ev = table(spark, SF_DIR, 'events').select('event_id', 'value')
+    out = str(tmp_path / 'compacted')
+    compact_sorted(ev, out, 'event_id', n_files=6)
+    spans = sorted(_file_spans(out, 'event_id').values())
+    assert len(spans) == 6
+    total = ev.count()
+    assert all(hi - lo < total / 2 for lo, hi in spans), spans
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans

@@ -860,6 +860,15 @@ def test_near_dup_compaction_bounds_probe_and_prunes_files(spark, tmp_path):
     # newest compacted run (upto=47) + deltas 48, 49 — NOT 50 dirs
     assert len(paths) == 3, paths
     assert paths[0].endswith('upto=47')
+    # GC: only the two newest runs survive (39, 47 — runs 7..31 dropped),
+    # and every delta already folded into run 39 is gone; retained state
+    # is O(2x current), not a copy per compaction
+    runs = sorted(os.listdir(f'{state_dir}/compacted'))
+    assert runs == ['upto=39', 'upto=47'], runs
+    deltas = sorted(
+        int(n.split('=')[1]) for n in os.listdir(f'{state_dir}/delta')
+    )
+    assert deltas == list(range(40, 50)), deltas
     comp_files = [
         f'{paths[0]}/{f}'
         for f in os.listdir(paths[0])

@@ -181,7 +181,9 @@ def main() -> None:
     if MARKER in doc:
         start = doc.index(MARKER)
         nxt = doc.find('\n## ', start + len(MARKER))
-        end = len(doc) if nxt == -1 else nxt + 1
+        # keep the newline BEFORE the next heading (end = nxt, not nxt+1)
+        # so the separating blank line survives regeneration
+        end = len(doc) if nxt == -1 else nxt
         doc = doc[:start] + block + '\n' + doc[end:]
     else:
         doc = doc.rstrip() + '\n\n' + block + '\n'
