@@ -526,35 +526,55 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_PUSHDOWN_MAX_KEYS = 4096
 
 
-def _near_dup_state_paths(state_dir: str, batch_id: int) -> list[str]:
-    """The band-state parquet dirs micro-batch ``batch_id`` must probe:
-    the newest compacted run covering batches STRICTLY before it, plus
-    every delta batch after that run and before it.
-
-    Strictly-before on both is what makes REPLAY safe: a batch re-run
-    after a partial failure never probes its own previously-written band
-    rows (which would self-reject every doc in the batch), and never sees
-    a compacted run that already folded itself in. Derived purely from
-    the filesystem — no process memory — so a checkpoint restart resumes
-    with exactly the state the killed run had.
-    """
+def _state_ids(state_dir: str, sub: str, key: str) -> dict[int, str]:
     import os
 
-    def ids(sub: str, key: str) -> dict[int, str]:
-        d = f'{state_dir}/{sub}'
-        if not os.path.isdir(d):
-            return {}
-        out = {}
-        for name in os.listdir(d):
-            if name.startswith(f'{key}='):
-                out[int(name.split('=', 1)[1])] = f'{d}/{name}'
-        return out
+    d = f'{state_dir}/{sub}'
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for name in os.listdir(d):
+        if name.startswith(f'{key}='):
+            out[int(name.split('=', 1)[1])] = f'{d}/{name}'
+    return out
 
-    comp = {i: p for i, p in ids('compacted', 'upto').items() if i < batch_id}
-    lo = max(comp) if comp else -1
-    paths = [comp[lo]] if comp else []
+
+def _near_dup_state_paths(state_dir: str, batch_id: int) -> list[str]:
+    """The band-state parquet dirs micro-batch ``batch_id`` must probe —
+    newest-run-per-tier of the two-tier LSM:
+
+    - the newest MAJOR run (``compacted/upto=<id>``) covering batches
+      strictly before it,
+    - every MINOR run (``minor/upto=<id>``) after that major and strictly
+      before it,
+    - every delta batch after the newest minor/major cover and strictly
+      before it.
+
+    Strictly-before everywhere is what makes REPLAY safe: a batch re-run
+    after a partial failure never probes its own previously-written band
+    rows (which would self-reject every doc in the batch), and never sees
+    a run that already folded itself in. Derived purely from the
+    filesystem — no process memory — so a checkpoint restart resumes with
+    exactly the state the killed run had.
+    """
+    comp = {
+        i: p
+        for i, p in _state_ids(state_dir, 'compacted', 'upto').items()
+        if i < batch_id
+    }
+    major = max(comp) if comp else -1
+    paths = [comp[major]] if comp else []
+    minors = {
+        i: p
+        for i, p in _state_ids(state_dir, 'minor', 'upto').items()
+        if major < i < batch_id
+    }
+    paths += [p for _, p in sorted(minors.items())]
+    cover = max([major, *minors])
     paths += [
-        p for i, p in sorted(ids('delta', 'batch').items()) if lo < i < batch_id
+        p
+        for i, p in sorted(_state_ids(state_dir, 'delta', 'batch').items())
+        if cover < i < batch_id
     ]
     return paths
 
@@ -592,6 +612,7 @@ def _near_dup_step(
     out_dir: str,
     compact_every: int = 8,
     compact_files: int = 16,
+    major_every: int = 4,
 ) -> None:
     """One micro-batch of the admission filter; REPLAY-IDEMPOTENT.
 
@@ -638,58 +659,86 @@ def _near_dup_step(
     )
     bands.unpersist()
     if (batch_id + 1) % compact_every == 0:
-        # Fold the covering run + the deltas up to HERE into one
-        # range-clustered run sorted on bh, so later batches' pushdown
-        # probes prune its files on parquet footers. Deterministic in
-        # (state_dir, batch_id) and written with overwrite -> replaying
-        # this batch re-produces the same run. Cost honesty: the fold
-        # rewrites the FULL state, so compaction write I/O amortizes to
-        # O(state)/compact_every per batch — the single-level LSM trade;
-        # a deployment whose state outgrows that tiers the fold (several
-        # run sizes, fold within a tier) exactly as RocksDB/LSM tables
-        # do, with _near_dup_state_paths reading newest-run-per-tier.
-        folded = _near_dup_state_paths(state_dir, batch_id) + [
-            f'{state_dir}/delta/batch={batch_id}'
+        # Two-tier LSM fold (the RocksDB shape, stated on plain parquet):
+        #
+        # MINOR (every compact_every batches): fold ONLY the deltas since
+        # the last run into a small range-clustered run sorted on bh —
+        # O(compact_every x batch) write I/O, independent of state size.
+        # MAJOR (once major_every minors accumulate): fold the covering
+        # major + those minors into one full run — O(state), but amortized
+        # to O(state / (compact_every * major_every)) per batch.
+        #
+        # Both folds are deterministic in (state_dir, batch_id) and
+        # written with overwrite, so a replayed batch re-produces the
+        # same runs byte-for-byte. Every run is sorted on bh, so later
+        # batches' In(bh) pushdown probes prune files at EVERY tier on
+        # parquet footers.
+        majors = {
+            i: p
+            for i, p in _state_ids(state_dir, 'compacted', 'upto').items()
+            if i < batch_id
+        }
+        major = max(majors) if majors else -1
+        minors = {
+            i: p
+            for i, p in _state_ids(state_dir, 'minor', 'upto').items()
+            if major < i < batch_id
+        }
+        cover = max([major, *minors])
+        fold = [
+            p
+            for i, p in sorted(
+                _state_ids(state_dir, 'delta', 'batch').items()
+            )
+            if cover < i <= batch_id
         ]
         compact_sorted(
-            sp.read.parquet(*folded),
-            f'{state_dir}/compacted/upto={batch_id}',
+            sp.read.parquet(*fold),
+            f'{state_dir}/minor/upto={batch_id}',
             'bh',
-            n_files=compact_files,
+            n_files=max(2, compact_files // 4),
         )
-        _near_dup_gc(state_dir, batch_id)
+        if len(minors) + 1 >= major_every:
+            fold = ([majors[major]] if majors else []) + [
+                p for _, p in sorted(minors.items())
+            ] + [f'{state_dir}/minor/upto={batch_id}']
+            compact_sorted(
+                sp.read.parquet(*fold),
+                f'{state_dir}/compacted/upto={batch_id}',
+                'bh',
+                n_files=compact_files,
+            )
+        _near_dup_gc(state_dir)
 
 
-def _near_dup_gc(state_dir: str, upto: int) -> None:
-    """Drop state superseded TWICE over: everything already folded into
-    the PREVIOUS compacted run (runs older than it, deltas <= its upto)
-    is unreachable from any probe the engine can still issue — Structured
-    Streaming replays only the last uncommitted batch b, and b's probe
-    reads at most the newest run strictly before b plus newer deltas, so
-    the newest TWO runs and the deltas after the older of them must
-    survive; anything older is disk-only weight. Keeps retained state at
-    O(2x current) instead of growing a full copy per compaction."""
-    import os
+def _near_dup_gc(state_dir: str) -> None:
+    """Drop state superseded TWICE over. Structured Streaming replays only
+    the LAST uncommitted batch b, whose probe reads at most the newest
+    major strictly before b, the minors after it, and newer deltas — so
+    the newest TWO majors, every minor after the older of them, and every
+    delta after the second-newest minor/major cover must survive; anything
+    older is unreachable by any probe or re-fold the engine can still
+    issue. Keeps retained state at O(2x current) instead of growing a
+    full copy per fold."""
     import shutil
 
-    comp_dir = f'{state_dir}/compacted'
-    if not os.path.isdir(comp_dir):
-        return
-    uptos = sorted(
-        int(n.split('=', 1)[1])
-        for n in os.listdir(comp_dir)
-        if n.startswith('upto=')
+    majors = sorted(_state_ids(state_dir, 'compacted', 'upto').items())
+    if len(majors) >= 2:
+        major_floor = majors[-2][0]
+        for _, p in majors[:-2]:
+            shutil.rmtree(p, ignore_errors=True)
+        for i, p in _state_ids(state_dir, 'minor', 'upto').items():
+            if i <= major_floor:
+                shutil.rmtree(p, ignore_errors=True)
+    covers = sorted(
+        set(_state_ids(state_dir, 'minor', 'upto'))
+        | set(_state_ids(state_dir, 'compacted', 'upto'))
     )
-    if len(uptos) < 2:
-        return
-    keep_floor = uptos[-2]  # the previous run's coverage bound
-    for u in uptos[:-2]:
-        shutil.rmtree(f'{comp_dir}/upto={u}', ignore_errors=True)
-    delta_dir = f'{state_dir}/delta'
-    if os.path.isdir(delta_dir):
-        for n in os.listdir(delta_dir):
-            if n.startswith('batch=') and int(n.split('=', 1)[1]) <= keep_floor:
-                shutil.rmtree(f'{delta_dir}/{n}', ignore_errors=True)
+    if len(covers) >= 2:
+        delta_floor = covers[-2]
+        for i, p in _state_ids(state_dir, 'delta', 'batch').items():
+            if i <= delta_floor:
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def near_dup_filter_parquet(
@@ -697,6 +746,7 @@ def near_dup_filter_parquet(
     base_dir: str,
     compact_every: int = 8,
     compact_files: int = 16,
+    major_every: int = 4,
 ) -> str:
     """Streaming first-seen-wins near-dup admission filter; returns the
     admitted-doc parquet path (range-compacted post-stream; the
@@ -720,12 +770,18 @@ def near_dup_filter_parquet(
 
     Scale: per batch, one narrow band projection, one probe whose scan is
     bounded — small batches push their band hashes into the state scan as
-    an In() literal, which the periodic range-compaction (every
-    ``compact_every`` batches the delta runs fold into ``compact_files``
-    files sorted on bh) turns into real file/row-group pruning on parquet
-    footers (asserted in tests/test_streaming.py) — and one in-batch
-    bucket groupBy. Probe I/O per batch is O(one compacted run's matching
-    files + <= compact_every deltas), never the whole append history.
+    an In() literal, which the bh-sorted runs turn into real
+    file/row-group pruning on parquet footers (asserted in
+    tests/test_streaming.py) — and one in-batch bucket groupBy. The state
+    is a TWO-TIER LSM: every ``compact_every`` batches the recent deltas
+    fold into a small MINOR run (write cost independent of state size);
+    once ``major_every`` minors accumulate they fold with the covering
+    MAJOR run into a new full run — so fold write I/O amortizes to
+    O(batch) + O(state / (compact_every * major_every)) per batch, and
+    probe I/O is O(one major's matching files + <= major_every minors +
+    <= compact_every deltas), never the whole append history. Superseded
+    runs are garbage-collected down to the replay-reachable set
+    (:func:`_near_dup_gc`).
     """
     import os
 
@@ -740,6 +796,7 @@ def near_dup_filter_parquet(
             out_dir,
             compact_every=compact_every,
             compact_files=compact_files,
+            major_every=major_every,
         )
 
     query = (

@@ -853,18 +853,27 @@ def test_near_dup_compaction_bounds_probe_and_prunes_files(spark, tmp_path):
             'doc_id long, text string',
         )
         _near_dup_step(
-            batch, i, state_dir, out_dir, compact_every=8, compact_files=8
+            batch, i, state_dir, out_dir,
+            compact_every=8, compact_files=8, major_every=2,
         )
 
+    # two-tier LSM: minors at 7,15,...,47; majors (2 minors each) at
+    # 15, 31, 47 — batch 50 probes newest major + newer minors/deltas
     paths = _near_dup_state_paths(state_dir, 50)
-    # newest compacted run (upto=47) + deltas 48, 49 — NOT 50 dirs
     assert len(paths) == 3, paths
     assert paths[0].endswith('upto=47')
-    # GC: only the two newest runs survive (39, 47 — runs 7..31 dropped),
-    # and every delta already folded into run 39 is gone; retained state
-    # is O(2x current), not a copy per compaction
-    runs = sorted(os.listdir(f'{state_dir}/compacted'))
-    assert runs == ['upto=39', 'upto=47'], runs
+    # GC on both tiers: only the two newest majors survive (15 dropped),
+    # minors folded into the second-newest major are gone, and every
+    # delta already covered twice over is gone — retained state is
+    # O(2x current), not a copy per fold
+    majors = sorted(
+        int(n.split('=')[1]) for n in os.listdir(f'{state_dir}/compacted')
+    )
+    assert majors == [31, 47], majors
+    minors = sorted(
+        int(n.split('=')[1]) for n in os.listdir(f'{state_dir}/minor')
+    )
+    assert minors == [39, 47], minors
     deltas = sorted(
         int(n.split('=')[1]) for n in os.listdir(f'{state_dir}/delta')
     )
