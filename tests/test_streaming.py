@@ -970,3 +970,40 @@ def test_near_dup_admitted_set_is_batch_boundary_invariant(spark, tmp_path):
             r.doc_id for r in spark.read.parquet(out_dir).collect()
         )
         assert admitted == expected, (trial, cuts)
+
+
+def test_sync_link_dir_prunes_stale_and_tolerates_reruns(tmp_path):
+    """The landing-dir sync behind both file-stream sources: regenerating
+    a dataset (renamed/removed part files) must prune the now-broken
+    links — a survivor would silently feed old parts into the stream —
+    while re-running against an unchanged dataset is a no-op. Pure
+    filesystem test, no Spark."""
+    import os
+
+    from cyclebane_spark.streaming.windows import _sync_link_dir
+
+    ds = tmp_path / 'tbl.parquet'
+    ds.mkdir()
+    (ds / 'part-0.parquet').write_bytes(b'a')
+    (ds / 'part-1.parquet').write_bytes(b'b')
+
+    link_dir = _sync_link_dir('cb_test_sync', str(ds))
+    try:
+        assert sorted(os.listdir(link_dir)) == [
+            'part-0.parquet', 'part-1.parquet'
+        ]
+        # rerun: idempotent
+        assert _sync_link_dir('cb_test_sync', str(ds)) == link_dir
+        assert len(os.listdir(link_dir)) == 2
+
+        # regenerate: part-1 renamed to part-2
+        (ds / 'part-1.parquet').unlink()
+        (ds / 'part-2.parquet').write_bytes(b'c')
+        _sync_link_dir('cb_test_sync', str(ds))
+        names = sorted(os.listdir(link_dir))
+        assert names == ['part-0.parquet', 'part-2.parquet'], names
+        assert all(os.path.exists(f'{link_dir}/{n}') for n in names)
+    finally:
+        import shutil
+
+        shutil.rmtree(link_dir, ignore_errors=True)
