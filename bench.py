@@ -39,11 +39,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel('ERROR')
 
     qs = headline_queries()
+
+    def consume(df):
+        """Force FULL evaluation: checksum every output column.
+
+        A bare count() lets Catalyst PRUNE expressions no downstream
+        operator demands — e.g. q1's per-group decimal sums and the
+        param sweep's chained reduces collapse to grouping-key-only
+        aggregates, so rounds 1-5 timed their scan+shuffle but not their
+        arithmetic (measured: q1 0.21s -> 0.98s, sweep 0.40s -> 1.55s at
+        sf0.1 once forced). The xxhash fold itself runs over the FINAL
+        rows only (a few to a few thousand), so its own cost is noise.
+        """
+        import pyspark.sql.functions as F
+
+        df.select(F.xxhash64(*df.columns).alias('h')).agg(
+            F.bit_xor('h')
+        ).collect()
+
     # Warm the JVM/code paths twice so the measured pass is steady-state:
     # Janino/C2 compilation of each query shape converges after ~2 runs.
     for _ in range(2):
         for fn in qs.values():
-            fn(spark, sf_dir).count()
+            consume(fn(spark, sf_dir))
 
     # Load sentinel: 1-min system load BEFORE the measured passes. A judge
     # comparing BENCH artifacts across rounds can tell machine noise from a
@@ -58,7 +76,7 @@ def main() -> None:
         times = []
         for _ in range(5):  # best-of-5: drop per-query cold-start/noise
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            consume(fn(spark, sf_dir))
             times.append(round(time.perf_counter() - t0, 4))
         timings[name] = min(times)
         runs[name] = times
@@ -73,6 +91,11 @@ def main() -> None:
         json.dumps(
             {
                 'metric': 'headline_query_wall_time',
+                # round 6 harness fix: queries are consumed via an
+                # all-columns checksum, not count() (which let Catalyst
+                # prune final aggregate arithmetic) — totals step UP vs
+                # the r1-r5 series for harness reasons, not query code
+                'action': 'checksum_all_columns',
                 'value': round(total, 4),
                 'unit': 'sec',
                 'queries': timings,

@@ -45,9 +45,20 @@ def main() -> None:
     missing = [n for n in names if n not in qs]
     if missing:
         raise SystemExit(f'unknown queries: {missing}')
+
+    def consume(df):
+        """Force FULL evaluation via an all-columns checksum — a bare
+        count() lets Catalyst prune final aggregate/projection arithmetic
+        (see bench.py's consume for the measured impact)."""
+        import pyspark.sql.functions as F
+
+        df.select(F.xxhash64(*df.columns).alias('h')).agg(
+            F.bit_xor('h')
+        ).collect()
+
     for _ in range(2):  # steady-state warmup (see bench.py)
         for fn in qs.values():
-            fn(spark, sf_dir).count()
+            consume(fn(spark, sf_dir))
 
     load_before = os.getloadavg()[0]
     timings: dict[str, float] = {}
@@ -57,7 +68,7 @@ def main() -> None:
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
+            consume(qs[name](spark, sf_dir))
             times.append(round(time.perf_counter() - t0, 4))
         timings[name] = min(times)
         runs[name] = times
@@ -67,6 +78,7 @@ def main() -> None:
         json.dumps(
             {
                 'metric': 'flagship_query_wall_time',
+                'action': 'checksum_all_columns',
                 'value': round(total, 4),
                 'unit': 'sec',
                 'queries': timings,
