@@ -2015,7 +2015,12 @@ def ann_ivf_drift_gate(spark, sf_dir):
     cell-occupancy histogram and the training-time occupancy, flagging
     retrain past 1/4 — the decision gate that schedules step-3 retraining
     (see the module note; a shifted batch trips the flag and a
-    proportional one doesn't: tests/test_similarity_recall.py)."""
+    proportional one doesn't: tests/test_similarity_recall.py).
+
+    The registered query is SELF-CONTAINED (it re-trains the quantizer so
+    the DuckDB oracle can reproduce it), which is what SCALE.md times; on
+    a standing index the monitor's marginal cost is only the batch
+    assignment plus the two K-row histogram aggregations."""
     e, cent, final_assigned, assign = _kmeans_train(
         spark,
         sf_dir,
