@@ -50,10 +50,20 @@ def main() -> None:
         arithmetic (measured: q1 0.21s -> 0.98s, sweep 0.40s -> 1.55s at
         sf0.1 once forced). The xxhash fold itself runs over the FINAL
         rows only (a few to a few thousand), so its own cost is noise.
+
+        xxhash64 rejects MapType (maps are unordered, so they have no
+        canonical hash); such columns are serialized through to_json
+        first rather than crashing the harness on a future map-typed
+        headliner.
         """
         import pyspark.sql.functions as F
+        from pyspark.sql.types import MapType
 
-        df.select(F.xxhash64(*df.columns).alias('h')).agg(
+        cols = [
+            F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        df.select(F.xxhash64(*cols).alias('h')).agg(
             F.bit_xor('h')
         ).collect()
 

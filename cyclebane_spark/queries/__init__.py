@@ -61,73 +61,90 @@ _MODULES = (
     'multimodal_q',
 )
 
+# Queries whose CODE PATH changed this round (including via shared-helper
+# edits). The rotation contract (tests/test_priority_window.py) requires
+# every one of these to hold a window slot, after any driver-red rows.
+# Round 7: the drift gate gained the localCheckpoint'ed histogram and a
+# 128-bit-safe string drift_num; every streaming query flows through the
+# reworked uid-keyed `_sync_link_dir` landing dirs.
+_CHANGED_THIS_ROUND = (
+    'ann_ivf_drift_gate',
+    'stream_near_dup_filter',
+    'stream_tumbling_hourly',
+    'stream_session_windows',
+    'stream_sliding_windows',
+    'stream_dedup_exact',
+    'stream_stateful_counters',
+    'stream_view_click_join',
+    'stream_cdc_upsert',
+    'stream_cdc_tombstones',
+    'stream_static_enrich',
+)
+
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
-# is rotated per round to retire the stalest driver signal. Round-6 rotation
-# (per VERDICT r5 "Next round #2"): no driver-red and no never-seen rows
-# remain, so the window is (a) the three queries whose CODE PATH changed
-# this round — the reworked fault-tolerant streaming admission filter, the
-# new IVF drift gate, and the containment query whose broadcast-decision
-# helper was hardened — then (b) the 44 queries whose newest driver-green
-# row still dates from ROUND 1 (unchanged since, re-proved oracle-exact
-# locally at three scale factors every session), then (c) the first of the
-# 37 round-2-green rows; the 34 remaining r2 rows head next round's
-# backfill. Everything below position 50 is driver-green in r3-r5 and
-# unchanged since.
+# is rotated per round to retire the stalest driver signal. Rotation rule
+# (r4 VERDICT, enforced by tests/test_priority_window.py): driver-red first,
+# then changed-since-green, then never-seen, then oldest-green backfill.
+# Round-7 rotation: no driver-red rows; (a) the 11 changed queries above;
+# (b) never-seen new registrations; (c) ALL remaining round-2-green rows —
+# the staleness tail VERDICT r6 "Next round #1" retires — then the oldest
+# round-3-green rows (alphabetical within a round). Everything below
+# position 50 is driver-green in r3-r6 and unchanged since.
 _PRIORITY = (
-    # 1-3: changed in round 6
-    'stream_near_dup_filter',
+    # 1-11: changed in round 7
     'ann_ivf_drift_gate',
-    'dedup_containment_pairs',
-    # 4-47: oldest driver signal (newest green = round 1)
-    'argmax_per_group',
-    'argmin_cheapest_supplier',
-    'array_functions',
-    'conditional_agg_shipmodes',
-    'count_distinct_exact',
-    'cube_flag_status',
-    'date_functions',
-    'distinct_pairs',
-    'groupingsets_flag_status',
-    'join_anti',
-    'join_range_band',
-    'join_semi',
-    'map_functions',
-    'percentile_exact',
-    'promo_revenue_ratio',
-    'q13_customer_distribution',
-    'q18_large_volume_customer',
-    'q19_disjunctive_predicates',
-    'q22_idle_rich_customers',
-    'q3_shipping_priority',
-    'q5_local_supplier_volume',
-    'q6_forecast_revenue',
-    'q7_volume_shipping',
-    'q8_market_share',
-    'q9_product_type_profit',
-    'rollup_order_priority',
-    'sample_hash_based',
-    'sample_stratified',
-    'scalar_functions',
-    'setop_union_intersect',
-    'skew_salted_agg',
-    'sql_interface_portable',
-    'sql_interface_q10',
-    'subquery_correlated_avg',
-    'subquery_exists_priority',
-    'subquery_scalar_avg',
-    'topk_orders',
-    'unpivot_lineitem_measures',
-    'window_analytics_suite',
-    'window_first_last_nth',
-    'window_lag_delta',
-    'window_nulls_ordering',
-    'window_range_frame_trailing',
-    'window_running_total',
-    # 48-50: round-2-green backfill (alphabetical; rest next round)
-    'ann_bruteforce_topk',
-    'ann_ivf_blocked_topk',
-    'ann_rp_lsh_topk',
+    'stream_near_dup_filter',
+    'stream_tumbling_hourly',
+    'stream_session_windows',
+    'stream_sliding_windows',
+    'stream_dedup_exact',
+    'stream_stateful_counters',
+    'stream_view_click_join',
+    'stream_cdc_upsert',
+    'stream_cdc_tombstones',
+    'stream_static_enrich',
+    # 12-42: the full remaining round-2-green staleness tail
+    'approx_count_distinct_hll',
+    'dedup_embedding_cosine',
+    'dedup_exact',
+    'dedup_ngram_jaccard',
+    'dedup_simhash',
+    'events_asof_join',
+    'events_consecutive_errors',
+    'events_funnel_3step',
+    'events_gap_fill',
+    'events_hourly_agg',
+    'events_json_extract',
+    'events_multi_grain_rollup',
+    'events_pivot_type_counts',
+    'events_retention_cohorts',
+    'events_sessionization',
+    'events_sliding_windows',
+    'explode_embedding_components',
+    'explode_outer_long_tokens',
+    'multimodal_decode_stats',
+    'multimodal_image_metadata',
+    'pipeline_training_data',
+    'text_bpe_token_count',
+    'text_chunking',
+    'text_fingerprint',
+    'text_greedy_packing',
+    'text_language_id',
+    'text_quality_score',
+    'text_sentences_udtf',
+    'text_token_count_pandas_udf',
+    'text_token_stats',
+    'text_zscore_by_lang',
+    # 43-50: oldest round-3-green backfill (alphabetical; rest next round)
+    'ann_ivf_kmeans_nprobe2',
+    'ann_ivf_kmeans_topk',
+    'ann_pq_adc_topk',
+    'approx_percentile_bounds',
+    'approx_top_k_terms',
+    'dedup_connected_components',
+    'dedup_minhash_lsh',
+    'dedup_minhash_lsh_salted',
 )
 
 

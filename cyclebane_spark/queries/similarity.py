@@ -1924,10 +1924,19 @@ def ann_ivf_incremental_assign(spark, sf_dir):
 DRIFT_TAU_NUM, DRIFT_TAU_DEN = 1, 4  # retrain threshold: TVD > 1/4
 
 
-def _occupancy_drift(corp, batch):
+def _occupancy_drift(corp, batch, checkpoint: bool = True):
     """One-row drift summary from two (cl, *_n) occupancy histograms:
     (corpus_total, batch_total, drift_num, retrain). Pure integer TVD —
-    the decision the synthetic-shift test drives directly."""
+    the decision the synthetic-shift test drives directly.
+
+    ``cells`` (at most K + novel-cell rows) is consumed by TWO jobs — the
+    broadcast totals and the final aggregate — and in the registered gate
+    each consumption would re-execute the full k-means assignment subtree
+    above it (two WindowGroupLimit top-1 passes per re-execution; r6
+    PLANS.md showed the subtree three times). An eager ``localCheckpoint``
+    materializes the K-row histogram ONCE and both jobs read the
+    checkpointed rows. ``checkpoint=False`` keeps the raw composed plan
+    for the plan-shape pin tests."""
     cells = (
         corp.join(batch, 'cl', 'full_outer')
         .select(
@@ -1935,14 +1944,19 @@ def _occupancy_drift(corp, batch):
             F.coalesce('batch_n', F.lit(0)).alias('batch_n'),
         )
     )
+    if checkpoint:
+        cells = cells.localCheckpoint(eager=True)
     tot = cells.agg(
         F.sum('corpus_n').cast('bigint').alias('ct'),
         F.sum('batch_n').cast('bigint').alias('bt'),
     )
     # The cross terms are count PRODUCTS: at 10^12-row corpora they pass
     # bigint range, so the whole decision runs in 128-bit-safe arithmetic
-    # (decimal(38,0) here, HUGEINT in the oracle — both exact to 1e38);
-    # only the diagnostics cast back down.
+    # (decimal(38,0) here, HUGEINT in the oracle — both exact to 1e38).
+    # The drift_num diagnostic stays 128-bit too, surfaced as its decimal
+    # digit string: a bigint downcast would NULL (Spark, non-ANSI) or
+    # error (DuckDB) at the 1e12-row design point where the numerator
+    # (~2*ct*bt ≈ 1e24) exceeds int64.
     dec = 'decimal(38,0)'
     term = F.abs(
         F.col('batch_n').cast(dec) * F.col('ct')
@@ -1955,7 +1969,7 @@ def _occupancy_drift(corp, batch):
         .select(
             F.col('ct').alias('corpus_total'),
             F.col('bt').alias('batch_total'),
-            F.col('dn').cast('bigint').alias('drift_num'),
+            F.col('dn').cast('string').alias('drift_num'),
             # TVD = dn/(2*ct*bt) > NUM/DEN  <=>  (exact, pre-downcast)
             (
                 F.lit(DRIFT_TAU_DEN).cast(dec) * F.col('dn')
@@ -1997,7 +2011,7 @@ def _occupancy_drift(corp, batch):
     SELECT CAST(tot.ct AS BIGINT) AS corpus_total,
            CAST(tot.bt AS BIGINT) AS batch_total,
            CAST(SUM(ABS(CAST(batch_n AS HUGEINT) * tot.ct
-                        - CAST(corpus_n AS HUGEINT) * tot.bt)) AS BIGINT)
+                        - CAST(corpus_n AS HUGEINT) * tot.bt)) AS VARCHAR)
                AS drift_num,
            CAST(
                {DRIFT_TAU_DEN}
@@ -2020,7 +2034,18 @@ def ann_ivf_drift_gate(spark, sf_dir):
     The registered query is SELF-CONTAINED (it re-trains the quantizer so
     the DuckDB oracle can reproduce it), which is what SCALE.md times; on
     a standing index the monitor's marginal cost is only the batch
-    assignment plus the two K-row histogram aggregations."""
+    assignment plus the two K-row histogram aggregations. The histograms
+    are localCheckpoint'ed inside :func:`_occupancy_drift`, so the whole
+    training/assignment subtree executes exactly once per call instead of
+    once per consuming job (r6 PLANS.md showed it three times)."""
+    return _occupancy_drift(*_drift_gate_histograms(spark, sf_dir))
+
+
+def _drift_gate_histograms(spark, sf_dir):
+    """The two (cl, *_n) occupancy histograms the drift gate compares:
+    training-time corpus occupancy and the incoming batch's assignment
+    occupancy. Split out so the plan-shape test can pin the composed
+    (pre-checkpoint) plan via ``_occupancy_drift(..., checkpoint=False)``."""
     e, cent, final_assigned, assign = _kmeans_train(
         spark,
         sf_dir,
@@ -2036,4 +2061,4 @@ def ann_ivf_drift_gate(spark, sf_dir):
     batch = assign(incoming, cent, n=1).groupBy('cl').agg(
         F.count(F.lit(1)).alias('batch_n')
     )
-    return _occupancy_drift(corp, batch)
+    return corp, batch

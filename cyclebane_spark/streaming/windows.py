@@ -34,11 +34,19 @@ def _sync_link_dir(prefix: str, path: str) -> str:
     (not rmtree+recreate) keeps concurrent callers safe: no window where a
     live stream's still-valid links disappear, and the two races that
     remain (concurrent prune, concurrent add) are absorbed by the
-    try/excepts."""
+    try/excepts.
+
+    The landing dir is keyed by uid as well as the dataset path: a
+    world-shared /tmp name keyed only by md5(path) is predictable, so on a
+    multi-user host another user could pre-create it and feed a stream."""
     import hashlib
     import os
+    import tempfile
 
-    link_dir = f'/tmp/{prefix}_{hashlib.md5(path.encode()).hexdigest()[:12]}'
+    link_dir = (
+        f'{tempfile.gettempdir()}/{prefix}_u{os.getuid()}'
+        f'_{hashlib.md5(path.encode()).hexdigest()[:12]}'
+    )
     os.makedirs(link_dir, exist_ok=True)
     for name in os.listdir(link_dir):
         link = f'{link_dir}/{name}'
@@ -618,10 +626,13 @@ def _near_dup_step(
 
     Every write lands in a per-``batch_id`` directory with overwrite
     semantics (the CDC sinks' versioned-write idiom), so a batch replayed
-    after a partial failure rewrites the same dirs byte-for-byte instead
-    of double-appending; the probe reads only state strictly before this
-    batch (see :func:`_near_dup_state_paths`), so the replay also probes
-    the same state the first attempt saw.
+    after a partial failure rewrites the same dirs with the same ROW SET
+    instead of double-appending (file layout may differ across attempts —
+    ``compact_sorted``'s range partitioner samples split points per run —
+    but probe semantics and the idempotency test depend only on row-set
+    equality); the probe reads only state strictly before this batch (see
+    :func:`_near_dup_state_paths`), so the replay also probes the same
+    state the first attempt saw.
     """
     import pyspark.sql.functions as F
 
@@ -668,9 +679,10 @@ def _near_dup_step(
         # major + those minors into one full run — O(state), but amortized
         # to O(state / (compact_every * major_every)) per batch.
         #
-        # Both folds are deterministic in (state_dir, batch_id) and
-        # written with overwrite, so a replayed batch re-produces the
-        # same runs byte-for-byte. Every run is sorted on bh, so later
+        # Both folds read the same inputs for a given (state_dir,
+        # batch_id) and are written with overwrite, so a replayed batch
+        # re-produces runs with identical ROW SETS (not necessarily the
+        # same file split points). Every run is sorted on bh, so later
         # batches' In(bh) pushdown probes prune files at EVERY tier on
         # parquet footers.
         majors = {

@@ -747,15 +747,37 @@ def test_ivf_incremental_assign_is_batch_proportional(spark):
 
 
 def test_ivf_drift_gate_is_histogram_sized(spark):
-    """The retrain monitor must stay a cheap decision job: two K-row
-    occupancy aggregates (partial+final), the 1-row totals arriving via a
-    broadcast nested-loop (the ONLY acceptable NLJ — build side is one
-    row), and no CartesianProduct anywhere."""
+    """The retrain monitor must stay a cheap decision job. Two pins:
+
+    (a) the registered query's DECISION plan consumes one materialized
+        K-row histogram (eager localCheckpoint) — the k-means assignment
+        subtree, with its per-vector WindowGroupLimit top-1, must appear
+        ZERO times (r6 PLANS.md showed it three times, once per consuming
+        job), with the 1-row totals arriving via the only acceptable NLJ;
+    (b) the COMPOSED histogram plan (checkpoint=False) keeps the r6
+        shape guarantees: partial-aggregated occupancy counts, the batch
+        holdout filter reaching the component scan, no CartesianProduct.
+    """
+    from cyclebane_spark.queries.similarity import (
+        _drift_gate_histograms,
+        _occupancy_drift,
+    )
+
     raw = raw_plan_of(spark, 'ann_ivf_drift_gate')
     assert 'CartesianProduct' not in raw
     # exactly one NLJ: the 1-row totals cross; everything else hash/bcast
     assert raw.count('BroadcastNestedLoopJoin') == 1
+    # decision plan reads the checkpointed histogram, not the k-means
+    # subtree — no window top-1, no parquet scan, no re-assignment
+    assert 'ExistingRDD' in raw
+    assert 'WindowGroupLimit' not in raw and 'FileScan' not in raw
+
+    corp, batch = _drift_gate_histograms(spark, SF_DIR)
+    composed = _occupancy_drift(corp, batch, checkpoint=False)
+    raw2 = composed._jdf.queryExecution().executedPlan().toString()
+    assert 'CartesianProduct' not in raw2
+    assert raw2.count('BroadcastNestedLoopJoin') == 1
     # both histograms partial-aggregate before their K-row exchange
-    assert 'partial_count' in raw
+    assert 'partial_count' in raw2
     # the batch holdout filter reaches the component scan
-    assert '% 10)' in raw
+    assert '% 10)' in raw2

@@ -1,0 +1,103 @@
+"""The driver-window rotation contract, enforced against the committed
+correctness history.
+
+The external correctness gate samples the FIRST 50 entries of
+``cyclebane_spark.queries._PRIORITY`` each round. The rotation rule
+(VERDICT r4, restated r6 "Next round #4") orders the window:
+
+1. driver-RED rows (red in the newest committed CORRECTNESS file);
+2. queries whose code path changed since their last green row — declared
+   per round in ``_CHANGED_THIS_ROUND`` (a shared-helper edit counts);
+3. never-seen registrations (in the registry, absent from every
+   committed CORRECTNESS file);
+4. oldest-green backfill: remaining slots go to the queries whose newest
+   driver-green row is OLDEST (alphabetical within a round).
+
+The rotation was hand-maintained prose through round 6; one slip silently
+wastes a round of driver signal, so this test recomputes the required
+window from the committed ``CORRECTNESS_r0*.json`` history and fails when
+a stale query is omitted or a fresh one squats on a slot.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _is_green(rec: dict) -> bool:
+    return (
+        rec.get('err') is None
+        and bool(rec.get('rows_match'))
+        and bool(rec.get('schema_match'))
+        and rec.get('hash_match') is not False
+    )
+
+
+def _history():
+    """(newest_green, reds, seen): per-query newest green round, the red
+    set of the newest committed round, and every name any round saw."""
+    files = sorted(
+        glob.glob(os.path.join(REPO, 'CORRECTNESS_r*.json')),
+        key=lambda p: int(re.search(r'_r0*(\d+)', p).group(1)),
+    )
+    assert files, 'no committed CORRECTNESS files — contract unverifiable'
+    newest_green: dict[str, int] = {}
+    seen: set[str] = set()
+    reds: set[str] = set()
+    for path in files:
+        rnd = int(re.search(r'_r0*(\d+)', path).group(1))
+        data = json.load(open(path))
+        seen.update(data)
+        reds = {n for n, rec in data.items() if not _is_green(rec)}
+        for name, rec in data.items():
+            if _is_green(rec):
+                newest_green[name] = max(newest_green.get(name, 0), rnd)
+    return newest_green, reds, seen
+
+
+def test_priority_window_satisfies_rotation_contract():
+    from cyclebane_spark.queries import (
+        _CHANGED_THIS_ROUND,
+        _PRIORITY,
+        registry,
+    )
+
+    names = set(registry())
+    assert len(_PRIORITY) == len(set(_PRIORITY)), 'duplicate window entries'
+    window = list(_PRIORITY[:WINDOW])
+    newest_green, reds, seen = _history()
+
+    # tiers 1-3 are hard requirements on window MEMBERSHIP
+    required = (reds & names) | set(_CHANGED_THIS_ROUND) | (names - seen)
+    missing = required - set(window)
+    assert not missing, f'red/changed/never-seen rows outside the window: {sorted(missing)}'
+
+    # tier 4: every remaining slot goes to the stalest greens. No query
+    # OUTSIDE the window may be staler than a backfill query INSIDE it.
+    backfill = [n for n in window if n not in required]
+    outside = [n for n in names - set(window) if n in newest_green]
+    if backfill and outside:
+        # alphabetical within a round ⇒ compare (round, name) tuples
+        worst_in = max((newest_green[n], n) for n in backfill)
+        best_out = min((newest_green[n], n) for n in outside)
+        assert worst_in < best_out, (
+            f'window backfill {worst_in} is fresher than omitted {best_out}'
+            ' — a staler query lost its slot'
+        )
+
+    # the window must be FULL whenever the registry can fill it
+    assert len(window) == min(WINDOW, len(names))
+
+
+def test_changed_this_round_names_are_registered():
+    from cyclebane_spark.queries import _CHANGED_THIS_ROUND, registry
+
+    names = set(registry())
+    unknown = [n for n in _CHANGED_THIS_ROUND if n not in names]
+    assert not unknown, f'_CHANGED_THIS_ROUND names not registered: {unknown}'

@@ -256,20 +256,20 @@ def test_drift_gate_trips_on_shift_not_on_proportion(spark):
     )
     row = _occupancy_drift(corp, prop).collect()[0]
     assert (row.corpus_total, row.batch_total) == (100, 10)
-    assert row.drift_num == 0 and row.retrain == 0
+    assert int(row.drift_num) == 0 and row.retrain == 0
 
     # shifted: all batch mass in the minority cell 2
     # terms: |0*100-40*10|*2 + |10*100-20*10| = 800 + 800 = 1600
     # TVD = 1600 / (2*100*10) = 0.8 > 1/4 -> retrain
     shift = spark.createDataFrame([(2, 10)], 'cl int, batch_n long')
     row = _occupancy_drift(corp, shift).collect()[0]
-    assert row.drift_num == 1600 and row.retrain == 1
+    assert int(row.drift_num) == 1600 and row.retrain == 1
 
     # a NEW cell appearing only in the batch still counts (full outer)
     novel = spark.createDataFrame([(7, 10)], 'cl int, batch_n long')
     row = _occupancy_drift(corp, novel).collect()[0]
     # |10*100-0| + |0-40*10|*2 + |0-20*10| = 1000+800+200 = 2000 -> TVD 1.0
-    assert row.drift_num == 2000 and row.retrain == 1
+    assert int(row.drift_num) == 2000 and row.retrain == 1
 
     # boundary honesty: TVD exactly 1/4 must NOT trip (strict >)
     # corp (50,50), batch (30,10): ct=100,bt=40
@@ -280,4 +280,4 @@ def test_drift_gate_trips_on_shift_not_on_proportion(spark):
         [(0, 30), (1, 10)], 'cl int, batch_n long'
     )
     row = _occupancy_drift(corp2, edge).collect()[0]
-    assert row.drift_num == 2000 and row.retrain == 0
+    assert int(row.drift_num) == 2000 and row.retrain == 0

@@ -49,10 +49,16 @@ def main() -> None:
     def consume(df):
         """Force FULL evaluation via an all-columns checksum — a bare
         count() lets Catalyst prune final aggregate/projection arithmetic
-        (see bench.py's consume for the measured impact)."""
+        (see bench.py's consume for the measured impact). Map-typed
+        columns go through to_json — xxhash64 rejects MapType."""
         import pyspark.sql.functions as F
+        from pyspark.sql.types import MapType
 
-        df.select(F.xxhash64(*df.columns).alias('h')).agg(
+        cols = [
+            F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
+            for f in df.schema.fields
+        ]
+        df.select(F.xxhash64(*cols).alias('h')).agg(
             F.bit_xor('h')
         ).collect()
 
