@@ -104,7 +104,10 @@ _PRIORITY = (
     'stream_cdc_upsert',
     'stream_cdc_tombstones',
     'stream_static_enrich',
-    # 12-42: the full remaining round-2-green staleness tail
+    # 12-13: never-seen (new this round)
+    'pipeline_corpus_build',
+    'ann_ivf_merge',
+    # 14-44: the full remaining round-2-green staleness tail
     'approx_count_distinct_hll',
     'dedup_embedding_cosine',
     'dedup_exact',
@@ -136,15 +139,13 @@ _PRIORITY = (
     'text_token_count_pandas_udf',
     'text_token_stats',
     'text_zscore_by_lang',
-    # 43-50: oldest round-3-green backfill (alphabetical; rest next round)
+    # 45-50: oldest round-3-green backfill (alphabetical; rest next round)
     'ann_ivf_kmeans_nprobe2',
     'ann_ivf_kmeans_topk',
     'ann_pq_adc_topk',
     'approx_percentile_bounds',
     'approx_top_k_terms',
     'dedup_connected_components',
-    'dedup_minhash_lsh',
-    'dedup_minhash_lsh_salted',
 )
 
 

@@ -297,59 +297,70 @@ KM_SCALE = 1 << 14  # component quantization
 KM_TOPK = 10
 
 
-def _sql_kmeans_ctes(extra: str = '') -> str:
+def _sql_kmeans_ctes(extra: str = '', prefix: str = '') -> str:
     """CTE chain: quantized explode -> seed -> (assign, centroid) x 2 ->
     final corpus re-assignment `af` against the trained centroids, so the
     inverted lists and the query probe share one quantizer (real IVF).
 
     ``extra``: additional corpus predicate appended to every corpus
     filter (e.g. ``' AND (vec_id % 10) <> 9'`` to hold out an incoming
-    batch for the incremental-maintenance query). The default renders
-    byte-identical SQL to the unparametrized form."""
+    batch for the incremental-maintenance query).
+
+    ``prefix``: prepended to every CTE name (``e`` -> ``{prefix}e`` etc.)
+    so TWO independent trainings can share one WITH clause — the index-
+    merge oracle trains on two corpus shards. Parametrization is
+    append-only: the defaults render byte-identical SQL to the
+    unparametrized form (pinned by tests/test_golden_sql.py)."""
+    p = prefix
+    # alias prefixed CTEs back to their bare names so the SELECT bodies are
+    # prefix-independent; with the default '' the rendered text is exactly
+    # the historical (golden-pinned) form, alias-free
+    e_ref = f'{p}e e' if p else 'e'
+    seed_ref = f'{p}seed seed' if p else 'seed'
     parts = [
-        f"""e AS (
+        f"""{p}e AS (
         SELECT vec_id,
                CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
                CAST(round(CAST(UNNEST(embedding) AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS q
         FROM embeddings
     ),
-    seed AS (
+    {p}seed AS (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
-        FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id >= {N_QUERIES}{extra}
+        FROM (SELECT DISTINCT vec_id FROM {p}e WHERE vec_id >= {N_QUERIES}{extra}
               ORDER BY vec_id LIMIT {KM_K})
     ),
-    c0 AS (
+    {p}c0 AS (
         SELECT seed.cl, e.pos, e.q AS c
-        FROM e JOIN seed ON e.vec_id = seed.vec_id
+        FROM {e_ref} JOIN {seed_ref} ON e.vec_id = seed.vec_id
     )"""
     ]
     for i in range(1, KM_ITERS + 1):
-        parts.append(f"""a{i} AS (
+        parts.append(f"""{p}a{i} AS (
         SELECT vec_id, cl FROM (
             SELECT e.vec_id, c.cl,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
                    ) AS rk
-            FROM e JOIN c{i - 1} c ON e.pos = c.pos
+            FROM {e_ref} JOIN {p}c{i - 1} c ON e.pos = c.pos
             WHERE e.vec_id >= {N_QUERIES}{extra}
             GROUP BY e.vec_id, c.cl
         ) WHERE rk = 1
     ),
-    c{i} AS (
+    {p}c{i} AS (
         SELECT a.cl, e.pos,
                CAST(floor(CAST(SUM(e.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-        FROM e JOIN a{i} a ON e.vec_id = a.vec_id
+        FROM {e_ref} JOIN {p}a{i} a ON e.vec_id = a.vec_id
         GROUP BY a.cl, e.pos
     )""")
-    parts.append(f"""af AS (
+    parts.append(f"""{p}af AS (
         SELECT vec_id, cl FROM (
             SELECT e.vec_id, c.cl,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
                    ) AS rk
-            FROM e JOIN c{KM_ITERS} c ON e.pos = c.pos
+            FROM {e_ref} JOIN {p}c{KM_ITERS} c ON e.pos = c.pos
             WHERE e.vec_id >= {N_QUERIES}{extra}
             GROUP BY e.vec_id, c.cl
         ) WHERE rk = 1
@@ -2062,3 +2073,140 @@ def _drift_gate_histograms(spark, sf_dir):
         F.count(F.lit(1)).alias('batch_n')
     )
     return corp, batch
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance, step 3: INDEX MERGE. Build (ann_ivf_kmeans_topk),
+# assign (ann_ivf_incremental_assign) and drift-gate (ann_ivf_drift_gate)
+# cover a single standing index; at 100 TB indexes are BUILT IN PARALLEL,
+# one per corpus shard, and the per-shard quantizers must then merge into
+# one serving index without touching the vectors again. The merge consumes
+# only each partial index's SUMMARY — centroids (K x DIM rows) and cell
+# occupancy (K rows) — never the corpus: pair every B cell with its nearest
+# A cell by integer centroid distance, then take the occupancy-weighted
+# mean of each A cell and the B cells that mapped to it. Cost is
+# O(K^2 * DIM) pairing + O(K * DIM) folding, INDEPENDENT of corpus size —
+# the defining property of a mergeable index summary (the same contract as
+# sketch merging, relational3.py). Weighted sums run in decimal(38,0) /
+# HUGEINT like the drift gate: occupancy x centroid products pass int64 at
+# the 1e12-row design point.
+# ---------------------------------------------------------------------------
+
+_MERGE_A = ' AND (vec_id % 2) = 0'
+_MERGE_B = ' AND (vec_id % 2) = 1'
+
+
+def _ivf_partial_summary(spark, sf_dir, parity: int):
+    """Train one shard's partial index (corpus = vec_id % 2 == parity) and
+    return its merge summary: checkpointed centroids (cl, pos, c) and cell
+    occupancy (cl, n). Each summary is consumed by several downstream jobs
+    of the merge plan; without the eager localCheckpoint every consumption
+    would replay the shard's full Lloyd loop (the drift-gate lesson)."""
+    e, cent, _fa, assign = _kmeans_train(
+        spark, sf_dir, extra_filter=F.col('vec_id') % 2 == parity
+    )
+    cent = cent.localCheckpoint(eager=True)  # K x DIM rows; Lloyd runs once
+    corpus = e.filter(
+        (F.col('vec_id') >= N_QUERIES) & (F.col('vec_id') % 2 == parity)
+    )
+    counts = (
+        assign(corpus, cent, n=1)
+        .groupBy('cl')
+        .agg(F.count(F.lit(1)).alias('n'))
+        .localCheckpoint(eager=True)  # K rows
+    )
+    return cent, counts
+
+
+@register(
+    'ann_ivf_merge',
+    oracle=f"""{_sql_kmeans_ctes(_MERGE_A, 'x')},
+    {_sql_kmeans_ctes(_MERGE_B, 'y')[len('WITH '):]},
+    na AS (SELECT cl, COUNT(*) AS n FROM xaf GROUP BY cl),
+    nb AS (SELECT cl, COUNT(*) AS n FROM yaf GROUP BY cl),
+    pair AS (
+        SELECT cl_b, cl_a FROM (
+            SELECT b.cl AS cl_b, a.cl AS cl_a,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.cl
+                       ORDER BY SUM((b.c - a.c) * (b.c - a.c)), a.cl
+                   ) AS rk
+            FROM yc{KM_ITERS} b JOIN xc{KM_ITERS} a ON b.pos = a.pos
+            GROUP BY b.cl, a.cl
+        ) WHERE rk = 1
+    ),
+    contrib AS (
+        SELECT a.cl AS cl, a.pos, CAST(na.n AS HUGEINT) * a.c AS nc, na.n AS n
+        FROM xc{KM_ITERS} a JOIN na ON na.cl = a.cl
+        UNION ALL
+        SELECT p.cl_a AS cl, b.pos, CAST(nb.n AS HUGEINT) * b.c AS nc, nb.n AS n
+        FROM yc{KM_ITERS} b
+        JOIN pair p ON p.cl_b = b.cl
+        JOIN nb ON nb.cl = b.cl
+    )
+    SELECT CAST(cl AS BIGINT) AS cl, CAST(pos AS BIGINT) AS pos,
+           CAST(floor(CAST(SUM(nc) AS DOUBLE) / SUM(n)) AS BIGINT) AS c,
+           CAST(SUM(n) AS BIGINT) AS n_merged
+    FROM contrib GROUP BY cl, pos
+    """,
+)
+def ann_ivf_merge(spark, sf_dir):
+    """Merge two shard-local IVF indexes into one: nearest-centroid cell
+    pairing (B -> A, tiebreak cl) followed by an occupancy-weighted
+    centroid fold, touching only the K x DIM index summaries (see the
+    module note). The registered query is SELF-CONTAINED — it trains both
+    partial indexes so the DuckDB oracle can reproduce them; in production
+    the inputs are the standing summaries and the merge is the only work.
+
+    The weighted mean floor()s through double exactly like the trainer's
+    centroid update, so merged centroids are bit-identical cross-engine.
+    """
+    cent_a, n_a = _ivf_partial_summary(spark, sf_dir, 0)
+    cent_b, n_b = _ivf_partial_summary(spark, sf_dir, 1)
+
+    pair = (
+        cent_b.alias('b')
+        .join(F.broadcast(cent_a.alias('a')), F.col('b.pos') == F.col('a.pos'))
+        .groupBy(F.col('b.cl').alias('cl_b'), F.col('a.cl').alias('cl_a'))
+        .agg(
+            F.sum(
+                (F.col('b.c') - F.col('a.c')) * (F.col('b.c') - F.col('a.c'))
+            ).alias('d2')
+        )
+    )
+    w = Window.partitionBy('cl_b').orderBy('d2', 'cl_a')
+    pair = (
+        pair.withColumn('rk', F.row_number().over(w))
+        .filter(F.col('rk') == 1)
+        .select('cl_b', 'cl_a')
+    )
+    dec = 'decimal(38,0)'
+    contrib_a = cent_a.join(n_a, 'cl').select(
+        'cl', 'pos', (F.col('n').cast(dec) * F.col('c')).alias('nc'), 'n'
+    )
+    contrib_b = (
+        cent_b.join(n_b, 'cl')
+        .join(pair, F.col('cl') == F.col('cl_b'))
+        .select(
+            F.col('cl_a').alias('cl'),
+            'pos',
+            (F.col('n').cast(dec) * F.col('c')).alias('nc'),
+            'n',
+        )
+    )
+    return (
+        contrib_a.unionByName(contrib_b)
+        .groupBy('cl', 'pos')
+        .agg(
+            F.floor(F.sum('nc').cast('double') / F.sum('n'))
+            .cast('bigint')
+            .alias('c'),
+            F.sum('n').cast('bigint').alias('n_merged'),
+        )
+        .select(
+            F.col('cl').cast('bigint').alias('cl'),
+            F.col('pos').cast('bigint').alias('pos'),
+            'c',
+            'n_merged',
+        )
+    )

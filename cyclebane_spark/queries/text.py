@@ -2884,3 +2884,130 @@ def quality_source_overlap_hll(spark, sf_dir):
             ).alias('est_ok'),
         )
     )
+
+
+# -- end-to-end corpus build (composition) ------------------------------------
+
+
+@register(
+    'pipeline_corpus_build',
+    oracle=r"""
+    WITH canon AS (
+        SELECT doc_id, text,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, text, fingerprint FROM (
+            SELECT doc_id, text, fingerprint,
+                   ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rk
+            FROM canon
+        ) WHERE rk = 1
+    ), scored AS (
+        SELECT doc_id, fingerprint,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               (CASE WHEN CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) >= 20
+                      AND CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) <= 1000
+                     THEN 1.0 ELSE 0.0 END
+                * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE))
+                * least(1.0, 4.0 * CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x IN """ + _STOP_SQL + r""")) AS DOUBLE)
+                                 / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)))
+               AS quality
+        FROM kept
+    ), gated AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN substring(md5(fingerprint), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+                    THEN 'train' ELSE 'holdout' END AS split,
+               doc_id % 8 AS shard
+        FROM scored WHERE quality > 0.5
+    ), packed AS (
+        SELECT split, shard, n_tokens,
+               CASE WHEN split = 'train' THEN
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY split, shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 2048 AS BIGINT)
+               ELSE -1 END AS bin_id
+        FROM gated
+    )
+    SELECT split, shard, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY split, shard, bin_id
+    """,
+)
+def pipeline_corpus_build(spark, sf_dir):
+    """End-to-end corpus build in ONE composed plan: exact dedup -> quality
+    gate -> content-hash train/holdout split -> shard-local sequence
+    packing -> per-bin summary. Exercises operator COMPOSITION at the plan
+    layer — each stage is an existing registry operator's logic
+    (``dedup_exact``, ``text_quality_score``, ``sample_hash_based``'s split
+    idiom, ``text_packing_two_level``'s shard-local cumsum) fused into a
+    single Catalyst plan with no materialization between stages.
+
+    Scale: one shuffle per stage boundary that needs one — fingerprint
+    window (dedup), nothing for the row-local score/split, the
+    (split, shard)-partitioned packing window (shard-local, no global
+    sort), and the final (split, shard, bin) aggregate. The split hashes
+    the CONTENT fingerprint, so replicated raw rows can never straddle the
+    boundary: dedup keeps one copy and identical text always hashes to the
+    same side regardless of doc_id.
+    """
+    docs = table(spark, sf_dir, 'documents')
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col('text')), r'\s+', ' ')))
+    canon = docs.select('doc_id', 'text', fp.alias('fingerprint'))
+    w_fp = Window.partitionBy('fingerprint').orderBy('doc_id')
+    kept = (
+        canon.withColumn('rk', F.row_number().over(w_fp))
+        .filter(F.col('rk') == 1)
+        .drop('rk')
+    )
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    ntd = F.size(toks).cast('double')
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast('double')
+    n_punct = F.length(F.regexp_replace('text', r'[^.,;:!?]', '')).cast('double')
+    n_chars = F.length('text').cast('double')
+    length_gate = F.when((ntd >= 20) & (ntd <= 1000), 1.0).otherwise(0.0)
+    quality = (
+        length_gate
+        * (F.lit(1.0) - n_punct / n_chars)
+        * F.least(F.lit(1.0), F.lit(4.0) * n_stop / ntd)
+    )
+    scored = kept.select(
+        'doc_id',
+        'fingerprint',
+        F.size(toks).cast('long').alias('n_tokens'),
+        quality.alias('quality'),
+    )
+    gated = scored.filter(F.col('quality') > 0.5).select(
+        'doc_id',
+        'n_tokens',
+        F.when(_CF.hash_sample('fingerprint', 12), F.lit('train'))
+        .otherwise(F.lit('holdout'))
+        .alias('split'),
+        (F.col('doc_id') % 8).alias('shard'),
+    )
+    w_pack = (
+        Window.partitionBy('split', 'shard')
+        .orderBy('doc_id')
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = gated.select(
+        'split',
+        'shard',
+        'n_tokens',
+        F.when(
+            F.col('split') == 'train',
+            F.floor(
+                F.coalesce(F.sum('n_tokens').over(w_pack), F.lit(0))
+                / F.lit(2048)
+            ).cast('long'),
+        )
+        .otherwise(F.lit(-1).cast('long'))
+        .alias('bin_id'),
+    )
+    return packed.groupBy('split', 'shard', 'bin_id').agg(
+        F.count(F.lit(1)).alias('n_docs'),
+        F.sum('n_tokens').alias('total_tokens'),
+    )

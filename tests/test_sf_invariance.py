@@ -63,6 +63,9 @@ QUERIES = (
     'stream_near_dup_filter',       # band-collision volume at denser corpora
     # round-6 addition
     'ann_ivf_drift_gate',           # integer TVD flag near threshold at density
+    # round-7 additions
+    'ann_ivf_merge',                # pairing ties + weighted floors at density
+    'pipeline_corpus_build',        # quality-gate 0.5 compare + bin cumsum
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

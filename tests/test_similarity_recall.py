@@ -281,3 +281,44 @@ def test_drift_gate_trips_on_shift_not_on_proportion(spark):
     )
     row = _occupancy_drift(corp2, edge).collect()[0]
     assert int(row.drift_num) == 2000 and row.retrain == 0
+
+
+def test_ivf_merge_conserves_mass_and_bounds_centroids(spark):
+    """Index-merge invariants the oracle equality can't express:
+    (1) occupancy conservation — for every pos, the merged occupancies sum
+    to the whole corpus (each shard vector counted exactly once);
+    (2) merged cells are a subset of shard-A cells (B folds INTO A);
+    (3) every merged centroid component lies within [min, max] of its
+    contributing shard centroids (a weighted mean, up to floor)."""
+    from cyclebane_spark.queries import queries
+    from cyclebane_spark.queries.similarity import (
+        N_QUERIES,
+        _ivf_partial_summary,
+    )
+
+    sf = '/root/testdata/sf0.001'
+    out = queries()['ann_ivf_merge'](spark, sf).collect()
+
+    emb = spark.read.parquet(f'{sf}/embeddings.parquet')
+    n_corpus = emb.filter(F.col('vec_id') >= N_QUERIES).count()
+    by_pos = {}
+    for r in out:
+        by_pos.setdefault(r.pos, 0)
+        by_pos[r.pos] += r.n_merged
+    assert set(by_pos.values()) == {n_corpus}
+
+    cent_a, n_a = _ivf_partial_summary(spark, sf, 0)
+    cent_b, n_b = _ivf_partial_summary(spark, sf, 1)
+    a_cells = {r.cl for r in n_a.collect()}
+    assert {r.cl for r in out} <= a_cells
+
+    # bound uses the global per-pos min/max over BOTH shards' centroids —
+    # looser than per-cell contributors but free of the pairing logic
+    lo_hi = {}
+    for r in cent_a.collect() + cent_b.collect():
+        lo_hi.setdefault(r.pos, [r.c, r.c])
+        lo_hi[r.pos][0] = min(lo_hi[r.pos][0], r.c)
+        lo_hi[r.pos][1] = max(lo_hi[r.pos][1], r.c)
+    for r in out:
+        lo, hi = lo_hi[r.pos]
+        assert lo - 1 <= r.c <= hi, (r.cl, r.pos)

@@ -331,6 +331,9 @@ EXTRA = (
     'pipeline_cluster_balanced_sample',
     # round-6 additions
     'ann_ivf_drift_gate',
+    # round-7 additions
+    'pipeline_corpus_build',
+    'ann_ivf_merge',
 )
 
 
