@@ -1007,3 +1007,66 @@ def test_sync_link_dir_prunes_stale_and_tolerates_reruns(tmp_path):
         import shutil
 
         shutil.rmtree(link_dir, ignore_errors=True)
+
+
+def test_near_dup_out_of_order_divergence_is_exactly_the_late_partner_set(
+    spark, tmp_path
+):
+    """QUANTIFIED one-sidedness (COVERAGE.md determinism rule 7): on a
+    shuffled multi-batch corpus, admitted(stream) must equal
+    admitted(oracle) ∪ LATE where LATE is exactly the set of docs whose
+    every smaller colliding partner arrives in a strictly later batch —
+    no other divergence direction or magnitude is allowed. The collision
+    graph is computed from the SAME band generator the filter uses, so
+    the bound is measured, not assumed."""
+    from cyclebane_spark.queries.dedup import (
+        _adaptive_pairs_from_bands,
+        _minhash_bands,
+    )
+    from cyclebane_spark.streaming.windows import near_dup_filter_parquet
+
+    texts = {
+        'A': 'alpha beta gamma delta epsilon zeta eta theta iota',
+        'B': 'one two three four five six seven eight nine ten',
+        'C': 'red orange yellow green blue indigo violet umber',
+        'D': 'north south east west up down left right center',
+        'E': 'spark flink trino duck presto hive impala drill',
+    }
+    batches = [
+        [(20, texts['A']), (21, texts['B']), (3, texts['C'])],
+        [(10, texts['A']), (5, texts['B']), (22, texts['C'])],
+        [(2, texts['A']), (30, texts['B']), (23, texts['D']),
+         (31, texts['E']), (32, texts['E'])],   # same-batch dup pair
+        [(1, texts['A']), (40, texts['D']), (24, texts['B'])],
+    ]
+    batch_of = {d: i for i, rows in enumerate(batches) for d, _ in rows}
+    all_rows = [r for rows in batches for r in rows]
+
+    # the collision graph, from the filter's own band generator
+    corpus = spark.createDataFrame(all_rows, 'doc_id long, text string')
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _adaptive_pairs_from_bands(_minhash_bands(corpus)).collect()
+    }
+    partners = {}  # doc -> smaller colliding partners
+    for a, b in pairs:
+        partners.setdefault(b, set()).add(a)
+    oracle_admitted = {d for d, _ in all_rows if d not in partners}
+    late = {
+        d
+        for d, ps in partners.items()
+        if all(batch_of[p] > batch_of[d] for p in ps)
+    }
+
+    src = _docs_as_parts(spark, tmp_path, batches)
+    out = near_dup_filter_parquet(
+        _file_stream(spark, src), str(tmp_path / 'st'), compact_files=4
+    )
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    assert oracle_admitted <= admitted          # never a false reject
+    assert admitted == oracle_admitted | late   # the exact divergence
+    # the scenario actually exercises the claim: dups in earlier, later
+    # and the SAME batch all occur, and the late set is non-trivial
+    assert late == {2, 10, 20, 21}
+    assert oracle_admitted == {1, 3, 5, 23, 31}
