@@ -2180,13 +2180,17 @@ def ann_ivf_merge(spark, sf_dir):
         .filter(F.col('rk') == 1)
         .select('cl_b', 'cl_a')
     )
+    # the occupancy tables and the pair map are K rows, but a checkpointed
+    # RDD carries no stats, so Catalyst would plan sort-merge joins for
+    # them — broadcast explicitly; the only exchange left in the decision
+    # plan is the final (cl, pos) fold over 2 x K x DIM rows
     dec = 'decimal(38,0)'
-    contrib_a = cent_a.join(n_a, 'cl').select(
+    contrib_a = cent_a.join(F.broadcast(n_a), 'cl').select(
         'cl', 'pos', (F.col('n').cast(dec) * F.col('c')).alias('nc'), 'n'
     )
     contrib_b = (
-        cent_b.join(n_b, 'cl')
-        .join(pair, F.col('cl') == F.col('cl_b'))
+        cent_b.join(F.broadcast(n_b), 'cl')
+        .join(F.broadcast(pair), F.col('cl') == F.col('cl_b'))
         .select(
             F.col('cl_a').alias('cl'),
             'pos',

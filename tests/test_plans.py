@@ -781,3 +781,32 @@ def test_ivf_drift_gate_is_histogram_sized(spark):
     assert 'partial_count' in raw2
     # the batch holdout filter reaches the component scan
     assert '% 10)' in raw2
+
+
+def test_ivf_merge_touches_only_index_summaries(spark):
+    """The merge's decision plan must consume the checkpointed K x DIM
+    summaries only: no corpus parquet scan (the shard trainings ran at
+    checkpoint time), every K-row join broadcast (a stat-less checkpointed
+    RDD would otherwise plan sort-merge), no cartesian. The one window
+    top-1 is the K^2-row CELL pairing, never a per-vector pass — pinned by
+    the absence of any corpus-sized input."""
+    raw = raw_plan_of(spark, 'ann_ivf_merge')
+    assert 'FileScan' not in raw and 'Scan parquet' not in raw
+    assert 'ExistingRDD' in raw
+    assert 'SortMergeJoin' not in raw and 'CartesianProduct' not in raw
+    assert raw.count('BroadcastHashJoin') == 4
+
+
+def test_corpus_build_is_one_scan_two_shuffles(spark):
+    """The composed corpus build must stay a single column-pruned corpus
+    scan with exactly its two semantic shuffles (fingerprint dedup window,
+    (split, shard) packing window — the bin aggregate reuses the second),
+    and the dedup window must carry the rank-1 WindowGroupLimit pushdown
+    so replicated fingerprints collapse before the shuffle."""
+    plan = plan_of(spark, 'pipeline_corpus_build')
+    assert 'struct<doc_id:bigint,text:string>' in plan
+    raw = raw_plan_of(spark, 'pipeline_corpus_build')
+    assert raw.count('FileScan parquet') == 1
+    assert raw.count('Exchange hashpartitioning') == 2
+    assert 'WindowGroupLimit' in raw  # partial top-1 before the shuffle
+    assert 'CartesianProduct' not in raw and 'Join' not in raw

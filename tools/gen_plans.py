@@ -254,6 +254,37 @@ NOTES['dedup_lsh_band_diagnostics'] = [
     'instruments',
 ]
 
+NOTES['ann_ivf_drift_gate'] = [
+    'DECISION plan only: the k-means training/assignment subtree ran ONCE',
+    'at the eager localCheckpoint of the K-row occupancy histogram (r6',
+    'showed it three times, once per consuming job) — both the 1-row',
+    'totals and the final aggregate read the checkpointed ExistingRDD',
+    'the only NLJ is the 1-row totals broadcast (IdentityBroadcastMode);',
+    'retrain arithmetic stays decimal(38,0) so 1e12-row count products',
+    'cannot overflow; drift_num surfaces as its decimal digit string',
+    'upstream (pinned separately in test_plans.py): partial_count',
+    'histograms, % 10 holdout filter reaching the cached component scan,',
+    'WindowGroupLimit top-1 per vector, no CartesianProduct',
+]
+
+NOTES['ann_ivf_merge'] = [
+    'decision plan touches ONLY checkpointed K x DIM index summaries',
+    '(ExistingRDD scans) — each shard Lloyd loop ran exactly once at its',
+    'eager localCheckpoint; corpus parquet never appears here',
+    'cell pairing broadcasts shard-A centroids (K x DIM rows); the',
+    'occupancy-weighted fold is one union + one (cl, pos) hash aggregate',
+    'in decimal(38,0) — O(K^2 x DIM) total, corpus-size-independent',
+]
+
+NOTES['pipeline_corpus_build'] = [
+    'four pipeline stages, ONE plan: a single column-pruned documents',
+    'scan (doc_id, text only) feeds dedup window -> quality filter ->',
+    'split projection -> packing window -> final aggregate',
+    'two exchanges total: the fingerprint window shuffle and the',
+    '(split, shard) packing shuffle (the bin aggregate reuses it);',
+    'packing is shard-local — no global sort anywhere',
+]
+
 EXTRA = (
     'events_funnel_3step',
     'q19_disjunctive_predicates',
