@@ -40,32 +40,9 @@ def main() -> None:
 
     qs = headline_queries()
 
-    def consume(df):
-        """Force FULL evaluation: checksum every output column.
-
-        A bare count() lets Catalyst PRUNE expressions no downstream
-        operator demands — e.g. q1's per-group decimal sums and the
-        param sweep's chained reduces collapse to grouping-key-only
-        aggregates, so rounds 1-5 timed their scan+shuffle but not their
-        arithmetic (measured: q1 0.21s -> 0.98s, sweep 0.40s -> 1.55s at
-        sf0.1 once forced). The xxhash fold itself runs over the FINAL
-        rows only (a few to a few thousand), so its own cost is noise.
-
-        xxhash64 rejects MapType (maps are unordered, so they have no
-        canonical hash); such columns are serialized through to_json
-        first rather than crashing the harness on a future map-typed
-        headliner.
-        """
-        import pyspark.sql.functions as F
-        from pyspark.sql.types import MapType
-
-        cols = [
-            F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
-            for f in df.schema.fields
-        ]
-        df.select(F.xxhash64(*cols).alias('h')).agg(
-            F.bit_xor('h')
-        ).collect()
+    # the shared consumption action (see its docstring for why count()
+    # under-measures and how map-typed columns are handled)
+    from cyclebane_spark.functions import checksum_consume as consume
 
     # Warm the JVM/code paths twice so the measured pass is steady-state:
     # Janino/C2 compilation of each query shape converges after ~2 runs.

@@ -28,6 +28,7 @@ __all__ = [
     'exact_avg',
     'minhash_signature',
     'zorder_interleave',
+    'checksum_consume',
 ]
 
 DEFAULT_STOPWORDS = ('the', 'a', 'and', 'of', 'to')
@@ -191,3 +192,37 @@ def minhash_signature(shingle: Column | str, n_perms: int = 16) -> list[Column]:
             F.min(F.substring(m, chunk * 8 + 1, 8)).alias(f'h{p}')
         )
     return out
+
+
+# -- bench/harness helpers -----------------------------------------------------
+
+
+def _contains_map(dt) -> bool:
+    """True when a Spark DataType contains a MapType at ANY nesting level
+    (xxhash64 rejects maps — they are unordered, so they have no canonical
+    hash — including maps inside arrays and structs)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def checksum_consume(df) -> None:
+    """Force FULL evaluation of every output column: fold an all-columns
+    xxhash64 with bit_xor. The shared consumption action of bench.py and
+    tools/flagship_bench.py — a bare count() lets Catalyst PRUNE
+    expressions no downstream operator demands (the round-6 harness fix;
+    measured: q1 0.21s -> 0.98s, param sweep 0.40s -> 1.55s at sf0.1 once
+    forced). The hash fold runs over the FINAL rows only, so its own cost
+    is noise. Columns containing a map at any nesting depth are serialized
+    through to_json first rather than crashing the harness."""
+    cols = [
+        F.to_json(f.name) if _contains_map(f.dataType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    df.select(F.xxhash64(*cols).alias('h')).agg(F.bit_xor('h')).collect()

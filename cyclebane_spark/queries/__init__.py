@@ -66,9 +66,12 @@ _MODULES = (
 # every one of these to hold a window slot, after any driver-red rows.
 # Round 7: the drift gate gained the localCheckpoint'ed histogram and a
 # 128-bit-safe string drift_num; every streaming query flows through the
-# reworked uid-keyed `_sync_link_dir` landing dirs.
+# reworked ownership-verified per-uid scratch dirs (cyclebane_spark.scratch),
+# as does the materialized-view snapshot query.
 _CHANGED_THIS_ROUND = (
     'ann_ivf_drift_gate',
+    'approx_top_k_terms',  # sf1 oracle fix: over-fetch + re-rank (slot 50)
+    'pipeline_mv_incremental',
     'stream_near_dup_filter',
     'stream_tumbling_hourly',
     'stream_session_windows',
@@ -92,8 +95,9 @@ _CHANGED_THIS_ROUND = (
 # round-3-green rows (alphabetical within a round). Everything below
 # position 50 is driver-green in r3-r6 and unchanged since.
 _PRIORITY = (
-    # 1-11: changed in round 7
+    # 1-12: changed in round 7
     'ann_ivf_drift_gate',
+    'pipeline_mv_incremental',
     'stream_near_dup_filter',
     'stream_tumbling_hourly',
     'stream_session_windows',
@@ -104,10 +108,10 @@ _PRIORITY = (
     'stream_cdc_upsert',
     'stream_cdc_tombstones',
     'stream_static_enrich',
-    # 12-13: never-seen (new this round)
+    # 13-14: never-seen (new this round)
     'pipeline_corpus_build',
     'ann_ivf_merge',
-    # 14-44: the full remaining round-2-green staleness tail
+    # 15-45: the full remaining round-2-green staleness tail
     'approx_count_distinct_hll',
     'dedup_embedding_cosine',
     'dedup_exact',
@@ -139,13 +143,12 @@ _PRIORITY = (
     'text_token_count_pandas_udf',
     'text_token_stats',
     'text_zscore_by_lang',
-    # 45-50: oldest round-3-green backfill (alphabetical; rest next round)
+    # 46-50: oldest round-3-green backfill (alphabetical; rest next round)
     'ann_ivf_kmeans_nprobe2',
     'ann_ivf_kmeans_topk',
     'ann_pq_adc_topk',
     'approx_percentile_bounds',
     'approx_top_k_terms',
-    'dedup_connected_components',
 )
 
 

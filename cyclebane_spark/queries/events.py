@@ -1510,11 +1510,7 @@ _MV_CUTOFF = '2024-01-24 00:00:00'
 def pipeline_mv_incremental(spark, sf_dir):
     """Merge a delta batch into a materialized aggregate snapshot; the
     result equals full recompute (module note above)."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
+    from ..scratch import scratch_dir
     from ._helpers import DEC
 
     ev = table(spark, sf_dir, 'events')
@@ -1526,11 +1522,11 @@ def pipeline_mv_incremental(spark, sf_dir):
             F.sum(F.col('value').cast(DEC)).alias('value_dec'),
         )
 
-    # Materialize the historical snapshot (deterministic scratch path, same
-    # idiom as the CDC sinks: wipe + rewrite so reruns reuse one dir).
-    tag = hashlib.md5(f'mv|{sf_dir}'.encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f'cb_mv_{tag}')
-    shutil.rmtree(base, ignore_errors=True)
+    # Materialize the historical snapshot (deterministic scratch path under
+    # the ownership-verified per-uid parent, same idiom as the CDC sinks:
+    # wipe + rewrite so reruns reuse one dir; create=False because the
+    # parquet writer insists on creating its own target).
+    base = scratch_dir('cb_mv', f'mv|{sf_dir}', wipe=True, create=False)
     partials(ev.filter(F.col('ts') < cutoff)).write.parquet(base)
     snapshot = spark.read.parquet(base)
 

@@ -205,23 +205,18 @@ def stream_cdc_upsert(spark, sf_dir):
     associative — whatever the batch boundaries, the per-key argmax of the
     union is the argmax of per-batch argmaxes.
     """
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     import pyspark.sql.functions as F
 
+    from ..scratch import scratch_dir
     from ..streaming.windows import cdc_upsert_parquet
 
     # Deterministic scratch dir per sf_dir (mirrors the events_stream
-    # symlink-dir idiom): wipe any prior run's snapshots + checkpoint so
+    # landing-dir idiom): wipe any prior run's snapshots + checkpoint so
     # repeated gate/bench runs reuse ONE path instead of leaking a fresh
-    # mkdtemp per invocation.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f'cb_upsert_{tag}')
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
+    # mkdtemp per invocation; lives under the ownership-verified per-uid
+    # parent (cyclebane_spark.scratch) so a pre-created decoy can't swap
+    # the snapshot between write and read-back.
+    base = scratch_dir('cb_upsert', sf_dir, wipe=True)
     snapshot = cdc_upsert_parquet(events_stream(spark, sf_dir), base)
     return spark.read.parquet(snapshot).select(
         'user_id',
@@ -258,13 +253,9 @@ def stream_cdc_tombstones(spark, sf_dir):
     associativity of the per-key argmax makes the final snapshot equal
     batch compaction whatever the batch boundaries.
     """
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     import pyspark.sql.functions as F
 
+    from ..scratch import scratch_dir
     from ..streaming.windows import cdc_upsert_parquet_tombstones
 
     op = F.when(
@@ -272,10 +263,7 @@ def stream_cdc_tombstones(spark, sf_dir):
         'D',
     ).otherwise('U')
     stream = events_stream(spark, sf_dir).withColumn('op', op)
-    tag = hashlib.md5(f'tomb|{sf_dir}'.encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f'cb_tomb_{tag}')
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
+    base = scratch_dir('cb_tomb', f'tomb|{sf_dir}', wipe=True)
     snapshot = cdc_upsert_parquet_tombstones(stream, base)
     return (
         spark.read.parquet(snapshot)
@@ -349,16 +337,9 @@ def stream_near_dup_filter(spark, sf_dir):
     the compacted state's footer-pruned probe are exercised in
     ``tests/test_streaming.py``.
     """
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
+    from ..scratch import scratch_dir
     from ..streaming.windows import documents_stream, near_dup_filter_parquet
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f'cb_neardup_{tag}')
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
+    base = scratch_dir('cb_neardup', sf_dir, wipe=True)
     out = near_dup_filter_parquet(documents_stream(spark, sf_dir), base)
     return spark.read.parquet(out).select('doc_id')

@@ -36,18 +36,15 @@ def _sync_link_dir(prefix: str, path: str) -> str:
     remain (concurrent prune, concurrent add) are absorbed by the
     try/excepts.
 
-    The landing dir is keyed by uid as well as the dataset path: a
-    world-shared /tmp name keyed only by md5(path) is predictable, so on a
-    multi-user host another user could pre-create it and feed a stream."""
-    import hashlib
+    The landing dir lives under the ownership-verified per-uid scratch
+    parent (see :mod:`cyclebane_spark.scratch`): a world-shared /tmp name
+    keyed only by md5(path) is predictable, so on a multi-user host
+    another user could pre-create it and feed the stream."""
     import os
-    import tempfile
 
-    link_dir = (
-        f'{tempfile.gettempdir()}/{prefix}_u{os.getuid()}'
-        f'_{hashlib.md5(path.encode()).hexdigest()[:12]}'
-    )
-    os.makedirs(link_dir, exist_ok=True)
+    from ..scratch import scratch_dir
+
+    link_dir = scratch_dir(prefix, path)
     for name in os.listdir(link_dir):
         link = f'{link_dir}/{name}'
         if os.path.islink(link) and not os.path.exists(link):

@@ -58,6 +58,12 @@ def _history():
         for name, rec in data.items():
             if _is_green(rec):
                 newest_green[name] = max(newest_green.get(name, 0), rnd)
+    # a seen-but-NEVER-green query (red once, then dropped from every later
+    # window) is the stalest possible signal: rank it round 0 so the tier-4
+    # ordering surfaces it instead of silently excluding it (and so a
+    # backfill comparison can never KeyError on it)
+    for name in seen:
+        newest_green.setdefault(name, 0)
     return newest_green, reds, seen
 
 

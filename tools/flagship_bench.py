@@ -46,21 +46,9 @@ def main() -> None:
     if missing:
         raise SystemExit(f'unknown queries: {missing}')
 
-    def consume(df):
-        """Force FULL evaluation via an all-columns checksum — a bare
-        count() lets Catalyst prune final aggregate/projection arithmetic
-        (see bench.py's consume for the measured impact). Map-typed
-        columns go through to_json — xxhash64 rejects MapType."""
-        import pyspark.sql.functions as F
-        from pyspark.sql.types import MapType
-
-        cols = [
-            F.to_json(f.name) if isinstance(f.dataType, MapType) else F.col(f.name)
-            for f in df.schema.fields
-        ]
-        df.select(F.xxhash64(*cols).alias('h')).agg(
-            F.bit_xor('h')
-        ).collect()
+    # the same consumption action bench.py times (single shared helper so
+    # the two benches can never measure different things)
+    from cyclebane_spark.functions import checksum_consume as consume
 
     for _ in range(2):  # steady-state warmup (see bench.py)
         for fn in qs.values():
