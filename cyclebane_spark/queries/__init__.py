@@ -71,6 +71,7 @@ _MODULES = (
 _CHANGED_THIS_ROUND = (
     'ann_ivf_drift_gate',
     'approx_top_k_terms',  # sf1 oracle fix: over-fetch + re-rank (slot 50)
+    'multimodal_phash_dedup',  # sf1 oracle fix: 8x8-bit bands, radius 6
     'pipeline_mv_incremental',
     'stream_near_dup_filter',
     'stream_tumbling_hourly',
@@ -143,11 +144,12 @@ _PRIORITY = (
     'text_token_count_pandas_udf',
     'text_token_stats',
     'text_zscore_by_lang',
-    # 46-50: oldest round-3-green backfill (alphabetical; rest next round)
+    # 46: changed this round (sf1 tie fix)
+    'multimodal_phash_dedup',
+    # 47-50: oldest round-3-green backfill (alphabetical; rest next round)
     'ann_ivf_kmeans_nprobe2',
     'ann_ivf_kmeans_topk',
     'ann_pq_adc_topk',
-    'approx_percentile_bounds',
     'approx_top_k_terms',
 )
 

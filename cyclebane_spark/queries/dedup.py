@@ -1492,7 +1492,17 @@ _COS_PAIR_K = 25
 )
 def dedup_tf_cosine_pairs(spark, sf_dir):
     """Top-25 most cosine-similar document pairs over TF bag-of-words
-    vectors via the inverted index (module note above)."""
+    vectors via the inverted index (module note above).
+
+    MEASURED SCALE LIMIT (round-7 sf1 oracle pass): the synthetic corpus
+    has a CLOSED ~300-term vocabulary, so every base token is a stop
+    token (df ~ N) and the exact AllPairs cost sum(df^2) reaches ~2.5e10
+    pair-partials at sf1 (50k docs) — the one registry query whose sf1
+    check is small-SF-only (exact at sf0.001/0.01/0.1). This is the cost
+    model of EXACT all-pairs cosine, not a plan defect: on Zipfian real
+    corpora the hot tail is bounded, and corpus-scale similarity goes
+    through the shipped sub-quadratic paths (MinHash-LSH banding, the
+    ANN family, `dedup_jaccard_prefix_filter`)."""
     docs = table(spark, sf_dir, 'documents')
     tf = (
         docs.select('doc_id', F.explode(_CF.tokens('text')).alias('tok'))

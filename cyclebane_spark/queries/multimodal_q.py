@@ -270,12 +270,22 @@ def multimodal_clip_filter(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # With B bands, a pair within hamming radius B-1 ALWAYS agrees on a full
-# band (pigeonhole), so radius = bands - 1 makes band recall exact by
+# band (pigeonhole), so radius <= bands - 1 makes band recall exact by
 # construction instead of probabilistic — the design rule this operator
-# pins. (A radius-10 variant measured here missed exactly one ham-4 pair
-# whose 4 flipped bits hit all 4 bands; radius 3 removes that failure mode
-# and the encoder-jitter amplitude keeps true variants within it.)
-_PHASH_RADIUS = 3
+# pins. Geometry history: 4 x 16-bit bands with radius 3 held at
+# sf0.001-0.1, but the round-7 sf1 oracle pass measured ONE true variant
+# pair at hamming 4 (jitter diameter has a tail: ham histogram at sf1 is
+# 2078/554/88/9/1 for 0-4), so the verify radius must dominate the
+# MEASURED jitter diameter with margin. Now 8 x 8-bit bands, radius 6:
+# pigeonhole exact to 7, x2 headroom over the observed max of 4, and the
+# false-positive side stays negligible (unrelated hashes are ~Bernoulli:
+# P(ham<=6) ~ 4.6e-12/pair, ~0.006 expected over sf1's 1.25e9 unrelated
+# pairs). Cost of the tighter radius: byte buckets are denser than 16-bit
+# ones (P(band match) 2^-8 vs 2^-16), so the candidate join carries more
+# rows — the standard multi-index recall/cost trade, absorbed by the same
+# salt/adapt machinery as the LSH band join.
+_PHASH_BANDS = 8
+_PHASH_RADIUS = 6
 
 
 @register(
@@ -312,9 +322,11 @@ def multimodal_phash_dedup(spark, sf_dir):
     bands = ph.select(
         'doc_id',
         'phash',
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias('b'),
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_PHASH_BANDS)])
+        ).alias('b'),
     ).withColumn(
-        'bv', F.expr('shiftright(phash, b * 16) & CAST(65535 AS BIGINT)')
+        'bv', F.expr('shiftright(phash, b * 8) & CAST(255 AS BIGINT)')
     )
     a, b = bands.alias('a'), bands.alias('b')
     cand = (
