@@ -61,96 +61,87 @@ _MODULES = (
     'multimodal_q',
 )
 
+# The driver round this _PRIORITY window was rotated FOR. The rotation
+# contract test evaluates the window against CORRECTNESS files for rounds
+# < _WINDOW_ROUND only, so the driver committing round N's results can
+# never redden a window that was (correctly) built before they existed.
+# Bump this together with every rotation.
+_WINDOW_ROUND = 8
+
 # Queries whose CODE PATH changed this round (including via shared-helper
 # edits). The rotation contract (tests/test_priority_window.py) requires
 # every one of these to hold a window slot, after any driver-red rows.
-# Round 7: the drift gate gained the localCheckpoint'ed histogram and a
-# 128-bit-safe string drift_num; every streaming query flows through the
-# reworked ownership-verified per-uid scratch dirs (cyclebane_spark.scratch),
-# as does the materialized-view snapshot query.
-_CHANGED_THIS_ROUND = (
-    'ann_ivf_drift_gate',
-    'approx_top_k_terms',  # sf1 oracle fix: over-fetch + re-rank (slot 50)
-    'multimodal_phash_dedup',  # sf1 oracle fix: 8x8-bit bands, radius 6
-    'pipeline_mv_incremental',
-    'stream_near_dup_filter',
-    'stream_tumbling_hourly',
-    'stream_session_windows',
-    'stream_sliding_windows',
-    'stream_dedup_exact',
-    'stream_stateful_counters',
-    'stream_view_click_join',
-    'stream_cdc_upsert',
-    'stream_cdc_tombstones',
-    'stream_static_enrich',
-)
+# Round 8: ann_ivf_merge's body moved into merge_from_summaries so the
+# marginal-cost bench (tools/marginal_bench.py) can time the merge alone.
+_CHANGED_THIS_ROUND = ('ann_ivf_merge',)
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
 # is rotated per round to retire the stalest driver signal. Rotation rule
 # (r4 VERDICT, enforced by tests/test_priority_window.py): driver-red first,
 # then changed-since-green, then never-seen, then oldest-green backfill.
-# Round-7 rotation: no driver-red rows; (a) the 11 changed queries above;
-# (b) never-seen new registrations; (c) ALL remaining round-2-green rows —
-# the staleness tail VERDICT r6 "Next round #1" retires — then the oldest
-# round-3-green rows (alphabetical within a round). Everything below
-# position 50 is driver-green in r3-r6 and unchanged since.
+# The contract is on window MEMBERSHIP, not position: tiers 1-3 must hold a
+# slot somewhere in the first 50; tier-4 backfill must be stalest-first.
+# Round-8 rotation: no driver-red rows (r7 was 50/50 green); slot 1 holds
+# the one changed query (ann_ivf_merge); the rest is the ENTIRE 41-query
+# round-3-green staleness tail (the oldest signal left after r7 retired
+# the r2 tail) plus the 8 alphabetically-first round-4-green rows.
+# Everything below position 50 is driver-green in r4-r7 and unchanged
+# since.
 _PRIORITY = (
-    # 1-12: changed in round 7
-    'ann_ivf_drift_gate',
-    'pipeline_mv_incremental',
-    'stream_near_dup_filter',
-    'stream_tumbling_hourly',
-    'stream_session_windows',
-    'stream_sliding_windows',
-    'stream_dedup_exact',
-    'stream_stateful_counters',
-    'stream_view_click_join',
-    'stream_cdc_upsert',
-    'stream_cdc_tombstones',
-    'stream_static_enrich',
-    # 13-14: never-seen (new this round)
-    'pipeline_corpus_build',
+    # 1: changed in round 8
     'ann_ivf_merge',
-    # 15-45: the full remaining round-2-green staleness tail
-    'approx_count_distinct_hll',
-    'dedup_embedding_cosine',
-    'dedup_exact',
-    'dedup_ngram_jaccard',
-    'dedup_simhash',
-    'events_asof_join',
-    'events_consecutive_errors',
-    'events_funnel_3step',
-    'events_gap_fill',
-    'events_hourly_agg',
-    'events_json_extract',
-    'events_multi_grain_rollup',
-    'events_pivot_type_counts',
-    'events_retention_cohorts',
-    'events_sessionization',
-    'events_sliding_windows',
-    'explode_embedding_components',
-    'explode_outer_long_tokens',
-    'multimodal_decode_stats',
-    'multimodal_image_metadata',
-    'pipeline_training_data',
-    'text_bpe_token_count',
-    'text_chunking',
-    'text_fingerprint',
-    'text_greedy_packing',
-    'text_language_id',
-    'text_quality_score',
-    'text_sentences_udtf',
-    'text_token_count_pandas_udf',
-    'text_token_stats',
-    'text_zscore_by_lang',
-    # 46: changed this round (sf1 tie fix)
-    'multimodal_phash_dedup',
-    # 47-50: oldest round-3-green backfill (alphabetical; rest next round)
-    'ann_ivf_kmeans_nprobe2',
-    'ann_ivf_kmeans_topk',
-    'ann_pq_adc_topk',
-    'approx_top_k_terms',
+    # 2-42: the full round-3-green staleness tail (alphabetical)
+    'approx_percentile_bounds',
+    'dedup_connected_components',
+    'dedup_minhash_lsh',
+    'dedup_minhash_lsh_salted',
+    'events_anomaly_robust_z',
+    'events_cdc_compaction',
+    'events_variant_extract',
+    'graph_branch_projection',
+    'graph_branch_pruning',
+    'graph_branch_replacement',
+    'graph_groupby_reduce',
+    'graph_map_reduce_all',
+    'graph_map_reduce_partial',
+    'graph_pagerank_neardup',
+    'graph_pandas_udaf_median',
+    'graph_param_sweep_broadcast',
+    'graph_slice_loc',
+    'graph_triangles_neardup',
+    'multimodal_audio_features',
+    'multimodal_frame_sample',
+    'multimodal_resize_pixels',
+    'pipeline_clean_corpus',
+    'pipeline_embedding_clusters',
+    'pipeline_rag_retrieval',
+    'q11_important_parts',
+    'q15_top_supplier',
+    'q16_supplier_part_counts',
+    'q20_dominant_part_suppliers',
+    'q21_sole_returning_supplier',
+    'q2_min_cost_supplier',
+    'sketch_merge_hll',
+    'sql_lateral_topk_nations',
+    'stats_exact_moments',
+    'text_decontamination',
+    'text_gopher_repetition',
+    'text_importance_sampling',
+    'text_packing_two_level',
+    'text_pii_redaction',
+    'text_span_dedup',
+    'text_tfidf_top_terms',
+    'text_typo_candidates',
+    # 43-50: oldest round-4-green backfill (alphabetical; rest next round)
+    'ann_filtered_topk',
+    'ann_ivfpq_topk',
+    'ann_rp_lsh_multiprobe',
+    'basket_brand_rules',
+    'dedup_cluster_representatives',
+    'dedup_incremental_exact',
+    'dedup_incremental_minhash',
+    'dedup_jaccard_prefix_filter',
 )
 
 

@@ -2075,6 +2075,41 @@ def _drift_gate_histograms(spark, sf_dir):
     return corp, batch
 
 
+def drift_standing_index(spark, sf_dir):
+    """Standing-index state for the marginal-cost bench: centroids and
+    training-time corpus occupancy, eagerly checkpointed so the Lloyd
+    training is PAID HERE and excluded from the timed monitor path. In
+    production these are the persisted index artifacts; the registered
+    ``ann_ivf_drift_gate`` re-derives them inline only for oracle parity."""
+    e, cent, final_assigned, assign = _kmeans_train(
+        spark,
+        sf_dir,
+        extra_filter=F.col('vec_id') % ANN_INCR_MOD != ANN_INCR_MOD - 1,
+    )
+    cent = cent.localCheckpoint(eager=True)  # K x DIM rows
+    corp = (
+        final_assigned.groupBy('cl')
+        .agg(F.count(F.lit(1)).alias('corpus_n'))
+        .localCheckpoint(eager=True)  # K rows
+    )
+    return e, cent, corp, assign
+
+
+def drift_monitor(e, cent, corp, assign):
+    """The monitor's marginal work on a standing index: assign the
+    incoming batch to the checkpointed centroids, histogram it, and run
+    the integer-TVD decision against the checkpointed corpus occupancy —
+    batch-proportional plus two K-row aggregations, nothing else."""
+    incoming = e.filter(
+        (F.col('vec_id') >= N_QUERIES)
+        & (F.col('vec_id') % ANN_INCR_MOD == ANN_INCR_MOD - 1)
+    )
+    batch = assign(incoming, cent, n=1).groupBy('cl').agg(
+        F.count(F.lit(1)).alias('batch_n')
+    )
+    return _occupancy_drift(corp, batch)
+
+
 # ---------------------------------------------------------------------------
 # IVF index maintenance, step 3: INDEX MERGE. Build (ann_ivf_kmeans_topk),
 # assign (ann_ivf_incremental_assign) and drift-gate (ann_ivf_drift_gate)
@@ -2156,14 +2191,20 @@ def ann_ivf_merge(spark, sf_dir):
     centroid fold, touching only the K x DIM index summaries (see the
     module note). The registered query is SELF-CONTAINED — it trains both
     partial indexes so the DuckDB oracle can reproduce them; in production
-    the inputs are the standing summaries and the merge is the only work.
+    the inputs are the standing summaries and the merge is the only work
+    (timed separately: tools/marginal_bench.py → SCALE.md).
 
     The weighted mean floor()s through double exactly like the trainer's
     centroid update, so merged centroids are bit-identical cross-engine.
     """
     cent_a, n_a = _ivf_partial_summary(spark, sf_dir, 0)
     cent_b, n_b = _ivf_partial_summary(spark, sf_dir, 1)
+    return merge_from_summaries(cent_a, n_a, cent_b, n_b)
 
+
+def merge_from_summaries(cent_a, n_a, cent_b, n_b):
+    """The merge proper — everything downstream of the standing shard
+    summaries. Split out so the marginal-cost bench can time it alone."""
     pair = (
         cent_b.alias('b')
         .join(F.broadcast(cent_a.alias('a')), F.col('b.pos') == F.col('a.pos'))

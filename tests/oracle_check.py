@@ -7,7 +7,18 @@ and compares row count, sorted column names, and cell values
 (order-insensitive, floats to 1e-9 relative tolerance with exactness
 reported). Exit code 0 iff every query with an oracle matches.
 
-Usage: python tests/oracle_check.py [sf_dir] [query_name ...]
+Usage: python tests/oracle_check.py [--checksum] [sf_dir] [query_name ...]
+
+``--checksum`` replaces the Python-side value canon with an
+order-independent checksum computed INSIDE each engine over the same
+canonical row string: ``bit_xor`` of a 60-bit slice of ``md5`` over the
+sorted-column ``concat_ws`` rendering (plus ``count(*)``). Nothing but
+two (n, x) rows crosses the driver, so outputs of any size get VALUE
+evidence — this is how the 24M/48.9M-row sf1 rows are verified
+(docs/SF1_ORACLE.md). Exactness requires every output column to render
+identically via ``cast(col as string)`` in Spark and DuckDB — true for
+int/bigint/string/date/decimal; double formatting differs between the
+engines, so double columns are rejected loudly in this mode.
 """
 
 from __future__ import annotations
@@ -81,6 +92,73 @@ def cells_equal(a, b):
     return a == b, a == b
 
 
+def canon_string_sql(cols, double_cols=()) -> str:
+    """Engine-portable canonical row string over the sorted columns.
+
+    Every fragment here parses and evaluates identically in Spark SQL and
+    DuckDB: ``cast(x as string)`` (STRING aliases VARCHAR in DuckDB),
+    ``coalesce``, ``chr``, ``concat_ws``. chr(1) marks NULL cells, chr(2)
+    separates cells — neither occurs in the data.
+
+    Doubles render differently across engines (Java Double.toString uses
+    scientific notation from 1e7; DuckDB much later), so double columns
+    are canonicalized through ``decimal(38,9)`` first — a 1e-9 absolute
+    quantization, the same strength as the full canon's 1e-9 float
+    tolerance. Soundness bound: this agrees across engines only while the
+    double's ulp spacing is below 5e-10, i.e. |v| < ~4e6 — Spark's
+    double→decimal goes through the shortest decimal repr
+    (BigDecimal.valueOf) while DuckDB expands the exact binary value, and
+    past that magnitude the 9th decimal digit exposes the difference
+    (measured: q1's 2.8e8-scale sums render ...557027000 vs ...557026976).
+    Larger doubles false-FAIL (the safe direction); use the full canon's
+    relative tolerance for those.
+    """
+    double_cols = set(double_cols)
+    parts = ', '.join(
+        'coalesce(cast('
+        + (f'cast({c} as decimal(38,9))' if c in double_cols else c)
+        + " as string), chr(1))"
+        for c in sorted(cols)
+    )
+    return f'concat_ws(chr(2), {parts})'
+
+
+# 60-bit md5 slice: fits a signed bigint in both engines; bit_xor of it is
+# order-independent, and agreement on (count, xor) over the SAME canonical
+# string is a collision-resistant proxy for multiset equality.
+SPARK_XOR = (
+    'bit_xor(cast(conv(substring(md5({c}),1,15),16,10) as bigint))'
+)
+DUCK_XOR = "bit_xor(('0x' || substr(md5({c}),1,15))::bigint)"
+
+
+def double_columns(df):
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString() in ('double', 'float')
+    ]
+
+
+def spark_checksum(df):
+    """(count, xor) computed inside Spark — see canon_string_sql."""
+    c = canon_string_sql(df.columns, double_columns(df))
+    row = df.selectExpr(
+        'count(1) as n', SPARK_XOR.format(c=c) + ' as x'
+    ).collect()[0]
+    return int(row.n), None if row.x is None else int(row.x)
+
+
+def duckdb_checksum(con, sql: str, cols, double_cols=()):
+    c = canon_string_sql(cols, double_cols)
+    q = (
+        f"SELECT count(*) AS n, {DUCK_XOR.format(c='_row_canon')} AS x "
+        f'FROM (SELECT {c} AS _row_canon FROM ({sql}) _q) _t'
+    )
+    n, x = con.execute(q).fetchone()
+    return int(n), None if x is None else int(x)
+
+
 def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -88,6 +166,8 @@ def main() -> int:
     import __spark_entry__ as entry
 
     args = sys.argv[1:]
+    use_checksum = '--checksum' in args
+    args = [a for a in args if a != '--checksum']
     sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.001')
     if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
@@ -119,6 +199,38 @@ def main() -> int:
             continue
         n_checked += 1
         sql = oracles.get(name)
+        if use_checksum:
+            if sql is None:
+                no_oracle.append(name)
+                print(f'---- {name}: no oracle (skipped in checksum mode)')
+                continue
+            try:
+                df = fn(spark, sf_dir)
+                ocols = sorted(df.columns)
+                tcols = sorted(
+                    d[0] for d in con.execute(f'SELECT * FROM ({sql}) LIMIT 0').description
+                )
+                if ocols != tcols:
+                    raise ValueError(f'schema {ocols} != {tcols}')
+                dbl = double_columns(df)
+                on, ox = spark_checksum(df)
+                tn, tx = duckdb_checksum(con, sql, ocols, dbl)
+            except Exception as exc:  # noqa: BLE001
+                failures.append((name, f'checksum error: {exc}'))
+                print(f'FAIL {name}: checksum error: {exc}')
+                continue
+            if (on, ox) != (tn, tx):
+                failures.append((name, f'checksum ({on},{ox}) != ({tn},{tx})'))
+                print(f'FAIL {name}: checksum ({on},{ox}) != ({tn},{tx})')
+            elif dbl:
+                exact_misses.append(name)
+                print(
+                    f'ok~  {name} ({on} rows, checksum-exact x={ox}; '
+                    f'doubles {dbl} quantized at 1e-9)'
+                )
+            else:
+                print(f'ok   {name} ({on} rows, checksum-exact x={ox})')
+            continue
         try:
             df = fn(spark, sf_dir)
             # Driver-harness compatibility gate: the external compare

@@ -17,6 +17,13 @@ The rotation was hand-maintained prose through round 6; one slip silently
 wastes a round of driver signal, so this test recomputes the required
 window from the committed ``CORRECTNESS_r0*.json`` history and fails when
 a stale query is omitted or a fresh one squats on a slot.
+
+Phase stability (ADVICE r7): the window for round N is rotated while only
+rounds < N have results on disk; the driver then drops round N's file into
+the tree WITHOUT any code change. The contract is therefore evaluated
+against correctness files for rounds < ``_WINDOW_ROUND`` only — the exact
+information the rotation was built from. Forgetting to rotate (and bump
+``_WINDOW_ROUND``) next round still fails, which is the signal we want.
 """
 
 from __future__ import annotations
@@ -39,11 +46,18 @@ def _is_green(rec: dict) -> bool:
     )
 
 
-def _history():
+def _history(window_round: int):
     """(newest_green, reds, seen): per-query newest green round, the red
-    set of the newest committed round, and every name any round saw."""
+    set of the newest considered round, and every name any round saw.
+
+    Only rounds < ``window_round`` are considered — the history the
+    rotation was built from (see module docstring)."""
     files = sorted(
-        glob.glob(os.path.join(REPO, 'CORRECTNESS_r*.json')),
+        (
+            p
+            for p in glob.glob(os.path.join(REPO, 'CORRECTNESS_r*.json'))
+            if int(re.search(r'_r0*(\d+)', p).group(1)) < window_round
+        ),
         key=lambda p: int(re.search(r'_r0*(\d+)', p).group(1)),
     )
     assert files, 'no committed CORRECTNESS files — contract unverifiable'
@@ -71,13 +85,14 @@ def test_priority_window_satisfies_rotation_contract():
     from cyclebane_spark.queries import (
         _CHANGED_THIS_ROUND,
         _PRIORITY,
+        _WINDOW_ROUND,
         registry,
     )
 
     names = set(registry())
     assert len(_PRIORITY) == len(set(_PRIORITY)), 'duplicate window entries'
     window = list(_PRIORITY[:WINDOW])
-    newest_green, reds, seen = _history()
+    newest_green, reds, seen = _history(_WINDOW_ROUND)
 
     # tiers 1-3 are hard requirements on window MEMBERSHIP
     required = (reds & names) | set(_CHANGED_THIS_ROUND) | (names - seen)
@@ -99,6 +114,20 @@ def test_priority_window_satisfies_rotation_contract():
 
     # the window must be FULL whenever the registry can fill it
     assert len(window) == min(WINDOW, len(names))
+
+    # _WINDOW_ROUND must track the committed history: equal to the newest
+    # committed round + 1 at builder-commit time, or equal to it right
+    # after the driver drops that round's results. Anything else means the
+    # pin drifted (e.g. two rounds passed without a rotation).
+    all_rounds = [
+        int(re.search(r'_r0*(\d+)', p).group(1))
+        for p in glob.glob(os.path.join(REPO, 'CORRECTNESS_r*.json'))
+    ]
+    newest = max(all_rounds)
+    assert newest <= _WINDOW_ROUND <= newest + 1, (
+        f'_WINDOW_ROUND={_WINDOW_ROUND} out of step with newest committed '
+        f'correctness round {newest} — rotate the window and bump the pin'
+    )
 
 
 def test_changed_this_round_names_are_registered():

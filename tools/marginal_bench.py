@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Registered vs MARGINAL wall time for the index-lifecycle operators.
+
+The two most expensive flagships — ``ann_ivf_merge`` and
+``ann_ivf_drift_gate`` — are registered SELF-CONTAINED: each re-trains its
+quantizer(s) inline so the DuckDB oracle can reproduce the result from the
+raw tables. That is the right correctness contract but the wrong cost
+model: in production the index is a standing artifact and only the
+monitor / merge runs per batch. This tool measures both numbers in one
+process:
+
+- ``registered``: the registry query exactly as SCALE.md times it
+  (training included), best-of-5 after warmup, checksum-consumed;
+- ``marginal``: the standing state (centroids + occupancies, eagerly
+  localCheckpoint'ed) is built ONCE untimed, then only the monitor /
+  merge path is timed — batch assignment + two K-row aggs for the drift
+  gate, the O(K^2 x DIM) pair-and-fold for the merge.
+
+Usage: python tools/marginal_bench.py   (env: SPARK_GRAFT_SF_DIR,
+SPARK_GRAFT_CPUS). Prints ONE JSON line; tools/gen_scale.py runs it per
+SF and writes the comparison table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _best_of(n: int, fn) -> tuple[float, list[float]]:
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(round(time.perf_counter() - t0, 4))
+    return min(times), times
+
+
+def main() -> None:
+    load_start = os.getloadavg()[0]
+    from pyspark.sql import SparkSession
+
+    from cyclebane_spark.functions import checksum_consume as consume
+    from cyclebane_spark.queries import queries
+    from cyclebane_spark.queries.similarity import (
+        _ivf_partial_summary,
+        drift_monitor,
+        drift_standing_index,
+        merge_from_summaries,
+    )
+
+    sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+    cpus = os.environ.get('SPARK_GRAFT_CPUS', '32')
+    spark = (
+        SparkSession.builder.master(f'local[{cpus}]')
+        .config('spark.sql.shuffle.partitions', cpus)
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.session.timeZone', 'UTC')
+        .config('spark.driver.memory', '16g')
+        .config('spark.sql.autoBroadcastJoinThreshold', str(64 * 1024 * 1024))
+        .appName('cyclebane-spark-marginal-bench')
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel('ERROR')
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+
+    # -- drift gate ---------------------------------------------------
+    # standing state: built once, NOT timed (production: persisted index)
+    e, cent, corp, assign = drift_standing_index(spark, sf_dir)
+    consume(drift_monitor(e, cent, corp, assign))  # warmup
+    timings['ann_ivf_drift_gate_marginal'], runs['ann_ivf_drift_gate_marginal'] = _best_of(
+        5, lambda: consume(drift_monitor(e, cent, corp, assign))
+    )
+    consume(qs['ann_ivf_drift_gate'](spark, sf_dir))  # warmup
+    timings['ann_ivf_drift_gate'], runs['ann_ivf_drift_gate'] = _best_of(
+        5, lambda: consume(qs['ann_ivf_drift_gate'](spark, sf_dir))
+    )
+
+    # -- shard merge --------------------------------------------------
+    summaries = (
+        *_ivf_partial_summary(spark, sf_dir, 0),
+        *_ivf_partial_summary(spark, sf_dir, 1),
+    )
+    cent_a, n_a, cent_b, n_b = summaries
+    consume(merge_from_summaries(cent_a, n_a, cent_b, n_b))  # warmup
+    timings['ann_ivf_merge_marginal'], runs['ann_ivf_merge_marginal'] = _best_of(
+        5, lambda: consume(merge_from_summaries(cent_a, n_a, cent_b, n_b))
+    )
+    consume(qs['ann_ivf_merge'](spark, sf_dir))  # warmup
+    timings['ann_ivf_merge'], runs['ann_ivf_merge'] = _best_of(
+        5, lambda: consume(qs['ann_ivf_merge'](spark, sf_dir))
+    )
+
+    print(
+        json.dumps(
+            {
+                'metric': 'marginal_vs_registered_wall_time',
+                'action': 'checksum_all_columns',
+                'unit': 'sec',
+                'queries': timings,
+                'runs': runs,
+                'loadavg_1m_start': round(load_start, 2),
+                'loadavg_1m_after': round(os.getloadavg()[0], 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
