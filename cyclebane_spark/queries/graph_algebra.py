@@ -337,6 +337,99 @@ def graph_branch_replacement(spark, sf_dir):
 
 
 @register(
+    'graph_branch_graft_sweep',
+    oracle="""
+    WITH params(dim_2, rate) AS (
+        VALUES (0, CAST(0.00 AS DOUBLE)),
+               (1, CAST(0.25 AS DOUBLE)),
+               (2, CAST(0.50 AS DOUBLE))
+    )
+    SELECT CAST(dim_2 AS BIGINT) AS dim_2,
+           -- quantize the 6-dp-exact taxed price to decimal BEFORE the
+           -- sweep multiply, then sweep in DECIMAL arithmetic: taxed_price
+           -- is a 6-dp rational (2dp x 2dp x 2dp factors), so its
+           -- double->decimal(28,6) cast is exact in both engines, and the
+           -- decimal x decimal(3,2) product + sum never leave decimal.
+           -- The output stays a DIGIT STRING (the drift_num precedent):
+           -- the sweep totals carry 17+ significant digits at sf0.1 —
+           -- past double's 15.95 — so a double output would round to
+           -- adjacent ulps across engines (COVERAGE.md rule 8)
+           CAST(CAST(SUM(
+               CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(28,6))
+               * CAST(1 - rate AS DECIMAL(3,2))
+           ) AS DECIMAL(38,8)) AS VARCHAR) AS value
+    FROM lineitem CROSS JOIN params
+    GROUP BY dim_2
+    """,
+)
+def graph_branch_graft_sweep(spark, sf_dir):
+    """Branch surgery at pipeline scale: __setitem__ graft on a MAPPED
+    multi-dim family, composed with a param-sweep map and chained reduces.
+
+    The existing branch-surgery gates (graph_branch_replacement/_pruning/
+    _projection) exercise reference semantics (graph.py:480-537) on 1-D
+    dims; this query proves the same surgery composes with the 100 TB
+    path: the grafted branch is itself a 2-D lineitem-backed mapped family
+    (6M rows/dim-instance at sf1), the sweep dim is mapped AFTER the graft
+    (broadcast 3-row side), and the result flows through the two-stage
+    chained decimal reduce. Compiled shape: one pruned parquet scan of the
+    REPLACEMENT source (the original branch's source is never scanned —
+    asserted by tests/test_plans.py), one broadcast cross join, one
+    partial+final aggregation pair per reduce stage.
+    """
+    li = _lineitem_with_id(spark, sf_dir)
+    g = Graph([('item', 'adjusted'), ('adjusted', 'swept'), ('rate', 'swept')])
+    g = g.map(
+        {
+            'item': SparkColumn(
+                li, index=['l_orderkey', 'l_linenumber'], values='disc_price'
+            )
+        }
+    )
+
+    # graft: replace the branch feeding 'adjusted' with a tax-adjusted
+    # mapped family over the same 2-D index — the original 'item' source
+    # drops out of the compiled plan entirely
+    taxed = li.withColumn(
+        'taxed_price', F.col('disc_price') * (1 + F.col('l_tax'))
+    )
+    repl = Graph([('item2', 'adjusted')])
+    repl = repl.map(
+        {
+            'item2': SparkColumn(
+                taxed, index=['l_orderkey', 'l_linenumber'], values='taxed_price'
+            )
+        }
+    )
+    g['adjusted'] = repl
+
+    # sweep mapped AFTER the graft: surgery must not disturb dim bookkeeping
+    g = g.map({'rate': [0.00, 0.25, 0.50]})
+    g = g.reduce('swept', index='l_orderkey', name='per_order')
+    g = g.reduce('per_order', index='l_linenumber', name='per_rate')
+    plan = g.compile(
+        spark,
+        impls={
+            # quantize BEFORE the sweep multiply and sweep in decimal —
+            # taxed_price is a 6-dp rational so the decimal(28,6) cast is
+            # exact cross-engine; multiplying the DOUBLE by (1-rate) first
+            # would push items to 8 dp, where Spark (shortest-repr) and
+            # DuckDB (exact-binary) round the 6-dp quantization apart
+            'swept': lambda adjusted, rate: adjusted.cast('decimal(28,6)')
+            * (1 - rate).cast('decimal(3,2)'),
+            'per_order': lambda c: F.sum(c),
+            # exact-decimal digit string out (drift_num precedent): the
+            # totals exceed double's 15.95 digits at sf0.1
+            'per_rate': lambda c: F.sum(c)
+            .cast('decimal(38,8)')
+            .cast('string'),
+        },
+    )
+    return plan.frame('per_rate')
+
+
+@register(
     'graph_branch_pruning',
     oracle="""
     SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS kept_total

@@ -309,6 +309,43 @@ def stream_static_enrich(spark, sf_dir):
     )
 
 
+@register(
+    'stream_late_data_audit',
+    oracle="""
+    WITH bounds AS (SELECT MIN(ts) AS t0 FROM events),
+    tagged AS (
+        SELECT CASE WHEN e.ts < b.t0 + INTERVAL '1 hour' THEN 1 ELSE 0 END
+            AS is_late
+        FROM events e, bounds b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS input_rows,
+           CAST(SUM(is_late) AS BIGINT) AS dropped_late_rows,
+           CAST(COUNT(*) - SUM(is_late) AS BIGINT) AS admitted_rows
+    FROM tagged
+    """,
+)
+def stream_late_data_audit(spark, sf_dir):
+    """Late-data accounting at the watermark boundary: replay the events
+    table out of order (first-hour stragglers arrive two micro-batches
+    after the bulk has advanced the watermark to month-end), run a
+    watermarked admission aggregate, and surface the counts a production
+    pipeline alarms on — input rows via ``observe()``, watermark-dropped
+    rows via the StreamingQueryProgress state-operator metrics.
+
+    The oracle restates the watermark decision in SQL: every first-hour
+    row (and ONLY those) is months past the filter watermark when its
+    batch runs, so dropped_late_rows must equal the first-hour row count
+    exactly — the observability metrics are oracle-checked values, not
+    just monotonic telemetry. See
+    :func:`cyclebane_spark.streaming.windows.late_data_audit` for the
+    replay construction and the measured two-batch watermark propagation
+    this relies on.
+    """
+    from ..streaming.windows import late_data_audit
+
+    return late_data_audit(spark, sf_dir)
+
+
 def _near_dup_stream_oracle() -> str:
     from .dedup import _minhash_ctes
 

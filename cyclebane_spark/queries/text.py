@@ -2253,6 +2253,169 @@ def text_bpe_train_iterative(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE APPLY: the trained merge table applied back to the corpus — the
+# missing half of the train->apply loop (text_bpe_train_iterative trains;
+# this encodes). BPE applies per token TYPE, so the collapsed vocabulary
+# IS the codec: after the merge rounds, each vocab row carries the token's
+# final symbol decomposition, and encoding the corpus is ONE equi-join of
+# the token stream against the BROADCAST (token -> n_symbols) table — no
+# per-document Python, no re-running merges over corpus rows. Scale: a
+# production tokenizer's vocab is bounded (tens of thousands of types) so
+# the broadcast side stays KB-MB at any corpus size; the only corpus-sized
+# shuffle keys on doc_id for the final per-doc aggregate, with map-side
+# partials collapsing each doc.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_sql_round(i: int) -> str:
+    """One greedy merge round CARRYING the token key (the train oracle's
+    rounds drop it — vocab rows there need only (w, c))."""
+    prev = f'v{i - 1}'
+    return f"""p{i} AS (
+        SELECT s[i] AS lhs, s[i + 1] AS rhs, c
+        FROM (SELECT string_split(trim(w, '{BPE_SEP}'), '{BPE_SEP}') AS s, c
+              FROM {prev}),
+             LATERAL unnest(generate_series(1, len(s) - 1)) AS t(i)
+        WHERE len(s) >= 2
+    ),
+    m{i} AS (
+        SELECT lhs, rhs
+        FROM p{i} GROUP BY lhs, rhs
+        ORDER BY SUM(c) DESC, lhs, rhs LIMIT 1
+    ),
+    v{i} AS (
+        SELECT tok,
+               replace(w, '{BPE_SEP}' || m{i}.lhs || '{BPE_SEP}' || m{i}.rhs
+                          || '{BPE_SEP}',
+                       '{BPE_SEP}' || m{i}.lhs || m{i}.rhs || '{BPE_SEP}') AS w,
+               c
+        FROM v{i - 1} CROSS JOIN m{i}
+    )"""
+
+
+def _bpe_apply_oracle(rounds: int) -> str:
+    parts = [
+        rf"""tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    v0 AS (
+        SELECT tok,
+               '{BPE_SEP}' || regexp_replace(tok, '(.)', '\1{BPE_SEP}', 'g')
+                   AS w,
+               c
+        FROM tf
+    )"""
+    ]
+    parts.extend(_bpe_apply_sql_round(i) for i in range(1, rounds + 1))
+    parts.append(
+        f"""vocab AS (
+        SELECT tok,
+               len(string_split(trim(w, '{BPE_SEP}'), '{BPE_SEP}')) AS n_sym
+        FROM v{rounds}
+    )"""
+    )
+    return (
+        'WITH '
+        + ',\n    '.join(parts)
+        + """
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_sym) AS BIGINT) AS n_symbols
+    FROM tok t JOIN vocab USING (tok)
+    GROUP BY t.doc_id
+    """
+    )
+
+
+@register('text_bpe_apply', oracle=_bpe_apply_oracle(BPE_ROUNDS))
+def text_bpe_apply(spark, sf_dir):
+    """Encode the corpus with the trained BPE merges (module note above):
+    train the BPE_ROUNDS greedy merges over the collapsed vocabulary
+    exactly as text_bpe_train_iterative does, then apply by broadcasting
+    the (token -> symbol count) codec against the token stream. Returns
+    one row per document: (doc_id, n_tokens, n_symbols) — n_symbols is the
+    document's encoded length under the trained tokenizer, the number a
+    packing/budgeting pipeline consumes."""
+    docs = table(spark, sf_dir, 'documents')
+    toks = docs.select(
+        'doc_id',
+        F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok'),
+    )
+    tf = toks.groupBy('tok').agg(F.count(F.lit(1)).alias('c'))
+    v = tf.select(
+        'tok',
+        F.concat(
+            F.lit(BPE_SEP),
+            F.regexp_replace('tok', '(.)', '$1' + BPE_SEP),
+        ).alias('w'),
+        'c',
+    ).persist()
+
+    for step in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            v.select(
+                F.split(
+                    F.expr(f"trim(BOTH '{BPE_SEP}' FROM w)"), BPE_SEP, -1
+                ).alias('s'),
+                'c',
+            )
+            .filter(F.size('s') >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        'transform(sequence(0, size(s) - 2), '
+                        'i -> struct(s[i] AS lhs, s[i + 1] AS rhs))'
+                    )
+                ).alias('p'),
+                'c',
+            )
+            .select('p.lhs', 'p.rhs', 'c')
+        )
+        m = (
+            pairs.groupBy('lhs', 'rhs')
+            .agg(F.sum('c').cast('bigint').alias('n'))
+            .orderBy(F.col('n').desc(), 'lhs', 'rhs')
+            .limit(1)
+            .select('lhs', 'rhs')
+        )
+        nxt = v.crossJoin(F.broadcast(m)).select(
+            'tok',
+            F.replace(
+                F.col('w'),
+                F.concat(
+                    F.lit(BPE_SEP),
+                    F.col('lhs'),
+                    F.lit(BPE_SEP),
+                    F.col('rhs'),
+                    F.lit(BPE_SEP),
+                ),
+                F.concat(
+                    F.lit(BPE_SEP), F.col('lhs'), F.col('rhs'), F.lit(BPE_SEP)
+                ),
+            ).alias('w'),
+            'c',
+        )
+        v = nxt.persist() if step < BPE_ROUNDS else nxt
+
+    vocab = v.select(
+        'tok',
+        F.size(
+            F.split(F.expr(f"trim(BOTH '{BPE_SEP}' FROM w)"), BPE_SEP, -1)
+        ).alias('n_sym'),
+    )
+    return (
+        toks.join(F.broadcast(vocab), 'tok')
+        .groupBy('doc_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_tokens'),
+            F.sum('n_sym').cast('bigint').alias('n_symbols'),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statistical-LM fluency filter (the CCNet/KenLM recipe, in-engine): train a
 # bigram model over the corpus, then score every document by how predictable
 # its token sequence is under that model. Low-likelihood documents are the

@@ -98,6 +98,130 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic OUT-OF-ORDER replay of the events table, for the
+    late-data accounting gate: three parquet files whose mtimes order them
+
+    1. on-time bulk — everything except the first AND last wall-clock hour
+       (carries event times spanning the rest of the month, so processing
+       it advances the watermark far past the first hour);
+    2. advancer — the last hour's events (the stream "keeps flowing");
+    3. stragglers — the FIRST hour's events, replayed months late.
+
+    With ``maxFilesPerTrigger=1`` each file is one micro-batch. Spark's
+    late-record filter for batch N uses the watermark REPORTED for batch
+    N-1 (i.e. max event time through batch N-2, minus the delay — measured
+    on this engine: a one-batch gap drops nothing, a two-batch gap drops
+    everything), so by batch 3 the filter watermark sits at ~month-end and
+    every straggler is months past it — no boundary sensitivity at any SF
+    (requires only that the table spans > 2 hours; the testdata spans a
+    month at every SF).
+
+    The partition rule is pure SQL over the table (first hour / last hour
+    by min/max ts), so a DuckDB oracle can restate exactly which rows the
+    watermark must drop. All three subsets are written in-plan (broadcast
+    bounds join, no driver collect); the landing dir lives under the
+    ownership-verified per-uid scratch parent.
+    """
+    import glob
+    import os
+    import shutil
+
+    from ..scratch import scratch_dir
+    from ..tables import table
+
+    ev = table(spark, sf_dir, 'events').select(
+        'user_id', 'event_id', 'event_type', 'ts', 'value'
+    )
+    bounds = ev.agg(
+        F.min('ts').alias('t0'), F.max('ts').alias('t1')
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    first_hour = F.col('ts') < F.col('t0') + F.expr("INTERVAL '1' HOUR")
+    last_hour = F.col('ts') >= F.col('t1') - F.expr("INTERVAL '1' HOUR")
+    subsets = (
+        ('b1_bulk', ~first_hour & ~last_hour),
+        ('b2_advancer', last_hour & ~first_hour),
+        ('b3_stragglers', first_hour),
+    )
+    land = scratch_dir('cb_late_replay', sf_dir, wipe=True)
+    for i, (name, pred) in enumerate(subsets):
+        tmp = scratch_dir('cb_late_replay_tmp', f'{sf_dir}/{name}', create=False)
+        (
+            tagged.filter(pred)
+            .drop('t0', 't1')
+            .coalesce(1)
+            .write.mode('overwrite')
+            .parquet(tmp)
+        )
+        part = glob.glob(f'{tmp}/part-*.parquet')[0]
+        dst = f'{land}/{name}.parquet'
+        shutil.copy(part, dst)
+        mtime = 1_000_000 + i * 1_000  # file order = replay order
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return land
+
+
+def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data ACCOUNTING: run the out-of-order replay through
+    a watermarked admission operator and surface, as a one-row audit
+    frame, (input_rows, dropped_late_rows, admitted_rows) — input counted
+    by ``observe()`` on the pre-state stream, drops read from the
+    StreamingQueryProgress state-operator metrics. This is the production
+    observability twin of the state-eviction proofs in
+    tests/test_streaming.py: the numbers a pipeline operator alarms on.
+
+    The admission operator groups by (hour window, event_id): event_id is
+    unique, so every group is a singleton and ``numRowsDroppedByWatermark``
+    (which counts post-partial-aggregation rows) equals the DROPPED INPUT
+    ROW count exactly — the property that makes the metric oracle-checkable
+    instead of merely >= 1.
+    """
+    import json
+
+    src = late_replay_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    # watermarks reject NTZ; with the session pinned to UTC the instant
+    # cast is a wall-clock no-op (same contract as events_stream)
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(src)
+        .withColumn('ts', F.col('ts').cast('timestamp'))
+    )
+    admitted = (
+        stream.withWatermark('ts', '30 minutes')
+        .observe('late_audit', F.count(F.lit(1)).alias('input_rows'))
+        .groupBy(F.window('ts', '1 hour'), 'event_id')
+        .agg(F.count(F.lit(1)).alias('n'))
+    )
+    name = f'cb_late_audit_{next(_SINK_IDS)}'
+    query = (
+        admitted.writeStream.format('noop')
+        .queryName(name)
+        .outputMode('append')
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    progress = [json.loads(p.json) for p in query.recentProgress]
+    input_rows = sum(
+        int(p.get('observedMetrics', {}).get('late_audit', {}).get('input_rows', 0))
+        for p in progress
+    )
+    dropped = sum(
+        int(op.get('numRowsDroppedByWatermark', 0))
+        for p in progress
+        for op in p.get('stateOperators', [])
+    )
+    return spark.createDataFrame(
+        [(input_rows, dropped, input_rows - dropped)],
+        'input_rows long, dropped_late_rows long, admitted_rows long',
+    )
+
+
 def run_to_memory(result: DataFrame, *, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion; return the result table.
 

@@ -245,3 +245,51 @@ def test_vad_energy_separation(spark):
             (seg.reshape(-1, _VAD_FRAME) ** 2).mean(axis=1)
         )
         assert (rms > 0.4).all()
+
+def test_ahash_jitter_diameter_has_margin_on_gate_corpus(spark):
+    """Tail-excursion early warning (ADVICE r7): the phash verify radius
+    (6) is exact only against the MEASURED jitter diameter (max hamming 4
+    observed at sf1). Assert the max variant-pair hamming on the gate
+    corpus stays <= radius - 2, so a creeping jitter tail is diagnosed
+    here as 'diameter grew' BEFORE it silently crosses the radius and
+    flips the oracle gate red."""
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.multimodal.media import (
+        ahash64_images,
+        with_fake_photo_variants,
+    )
+    from cyclebane_spark.queries.multimodal_q import _PHASH_RADIUS
+    from cyclebane_spark.tables import table
+
+    docs = table(spark, '/root/testdata/sf0.001', 'documents')
+    pre = F.array_join(
+        F.slice(F.split(F.lower(F.trim('text')), r'\s+'), 1, 4), ' '
+    )
+    seeded = docs.withColumn('base', F.xxhash64(pre))
+    # ahash64_images emits only (doc_id, phash); join base back for the
+    # ground-truth variant grouping
+    ph = ahash64_images(with_fake_photo_variants(seeded, 'base')).join(
+        seeded.select('doc_id', 'base'), 'doc_id'
+    )
+    a, b = ph.alias('a'), ph.alias('b')
+    max_ham = (
+        a.join(
+            b,
+            (F.col('a.base') == F.col('b.base'))
+            & (F.col('a.doc_id') < F.col('b.doc_id')),
+        )
+        .select(
+            F.bit_count(
+                F.col('a.phash').bitwiseXOR(F.col('b.phash'))
+            ).alias('h')
+        )
+        .agg(F.max('h'))
+        .collect()[0][0]
+    )
+    assert max_ham is not None  # variant groups exist on the gate corpus
+    assert max_ham <= _PHASH_RADIUS - 2, (
+        f'variant jitter diameter {max_ham} ate the radius margin '
+        f'(radius {_PHASH_RADIUS}) — re-measure the tail before the '
+        'oracle gate goes red'
+    )

@@ -810,3 +810,82 @@ def test_corpus_build_is_one_scan_two_shuffles(spark):
     assert raw.count('Exchange hashpartitioning') == 2
     assert 'WindowGroupLimit' in raw  # partial top-1 before the shuffle
     assert 'CartesianProduct' not in raw and 'Join' not in raw
+
+
+def test_branch_graft_sweep_scans_only_the_replacement(spark):
+    """__setitem__ surgery at pipeline scale (graph_branch_graft_sweep):
+    the compiled plan must scan ONE parquet source — the grafted
+    replacement family (the original branch's source drops out of the
+    plan) — with the untouched wide columns pruned, broadcast the 3-row
+    sweep dim, and run the two chained reduces as partial+final pairs
+    (two exchanges total, no sort-merge join, no corpus-sized cross)."""
+    raw = raw_plan_of(spark, 'graph_branch_graft_sweep')
+    assert raw.count('FileScan parquet') == 1
+    # the replacement's inputs only: the graft needs tax; orderkey is
+    # reduced away in stage 1 and pruned from the scan entirely
+    m = re.search(r'FileScan parquet \[([^\]]*)\]', raw)
+    cols = m.group(1)
+    assert 'l_tax' in cols and 'l_extendedprice' in cols
+    assert 'l_orderkey' not in cols and 'l_partkey' not in cols
+    assert raw.count('Exchange hashpartitioning') == 2
+    assert 'BroadcastNestedLoopJoin BuildRight, Cross' in raw
+    assert 'SortMergeJoin' not in raw
+
+
+def test_branch_graft_sweep_equals_direct_graph(spark):
+    """Surgery identity: grafting the replacement branch onto the mapped
+    graph must compile to the same result as building the graph directly
+    from the replacement source (no surgery) — __setitem__ is pure plan
+    rewriting, never a semantic change."""
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.plan.graph import Graph
+    from cyclebane_spark.queries.graph_algebra import _lineitem_with_id
+    from cyclebane_spark.sources.arrays import SparkColumn
+
+    li = _lineitem_with_id(spark, SF_DIR)
+    taxed = li.withColumn(
+        'taxed_price', F.col('disc_price') * (1 + F.col('l_tax'))
+    )
+    g = Graph([('item', 'adjusted'), ('adjusted', 'swept'), ('rate', 'swept')])
+    g = g.map(
+        {
+            'item': SparkColumn(
+                taxed, index=['l_orderkey', 'l_linenumber'], values='taxed_price'
+            )
+        }
+    )
+    g = g.map({'rate': [0.00, 0.25, 0.50]})
+    g = g.reduce('swept', index='l_orderkey', name='per_order')
+    g = g.reduce('per_order', index='l_linenumber', name='per_rate')
+    impls = {
+        'swept': lambda adjusted, rate: adjusted.cast('decimal(28,6)')
+        * (1 - rate).cast('decimal(3,2)'),
+        'per_order': lambda c: F.sum(c),
+        'per_rate': lambda c: F.sum(c).cast('decimal(38,8)').cast('string'),
+    }
+    direct = sorted(
+        map(tuple, g.compile(spark, impls=impls).frame('per_rate').collect())
+    )
+    grafted = sorted(
+        map(
+            tuple,
+            queries()['graph_branch_graft_sweep'](spark, SF_DIR).collect(),
+        )
+    )
+    assert grafted == direct
+
+
+def test_bpe_apply_codec_broadcasts(spark):
+    """text_bpe_apply: the trained (token -> n_symbols) codec must reach
+    the corpus token stream as a BROADCAST join (vocab is bounded in
+    production; shipping the corpus to the vocab would be the 100 TB
+    anti-shape), the per-doc aggregate must keep map-side partials, and
+    nothing may sort-merge or cartesian over corpus-sized inputs (the
+    3-row merge crossJoins are broadcast by construction)."""
+    raw = raw_plan_of(spark, 'text_bpe_apply')
+    assert 'SortMergeJoin' not in raw and 'CartesianProduct' not in raw
+    assert 'BroadcastHashJoin' in raw
+    # the final aggregate pair: partial on the map side of the doc_id
+    # exchange, final after it
+    assert 'partial_count' in raw or 'partial_sum' in raw

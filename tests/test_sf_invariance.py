@@ -66,6 +66,9 @@ QUERIES = (
     # round-7 additions
     'ann_ivf_merge',                # pairing ties + weighted floors at density
     'pipeline_corpus_build',        # quality-gate 0.5 compare + bin cumsum
+    # round-8 additions
+    'graph_branch_graft_sweep',     # decimal sweep multiply at denser items
+    'text_bpe_apply',               # merge-argmax ties shift with density
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

@@ -1070,3 +1070,31 @@ def test_near_dup_out_of_order_divergence_is_exactly_the_late_partner_set(
     # and the SAME batch all occur, and the late set is non-trivial
     assert late == {2, 10, 20, 21}
     assert oracle_admitted == {1, 3, 5, 23, 31}
+
+
+# -- late-data ACCOUNTING (the registered observability query) ---------------
+
+
+def test_late_data_audit_counts_are_internally_consistent(spark):
+    """The audit's three counters must reconcile with the batch table and
+    with each other: input == table row count (observe() saw every row),
+    admitted + dropped == input, and dropped == the first-hour straggler
+    count the replay construction guarantees (the same number the DuckDB
+    oracle computes — pinned here without an oracle engine so a Spark
+    watermark-propagation change is caught by pytest alone)."""
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.streaming.windows import late_data_audit
+    from cyclebane_spark.tables import table
+
+    row = late_data_audit(spark, SF_DIR).collect()[0]
+    ev = table(spark, SF_DIR, 'events')
+    total = ev.count()
+    t0 = ev.agg(F.min('ts')).collect()[0][0]
+    late = ev.filter(
+        F.col('ts') < F.lit(t0) + F.expr("INTERVAL '1' HOUR")
+    ).count()
+    assert row.input_rows == total
+    assert row.admitted_rows + row.dropped_late_rows == row.input_rows
+    assert row.dropped_late_rows == late
+    assert 0 < late < total  # the replay actually exercises both paths

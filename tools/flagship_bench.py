@@ -35,7 +35,14 @@ def main() -> None:
         .config('spark.sql.adaptive.enabled', 'true')
         .config('spark.sql.session.timeZone', 'UTC')
         .config('spark.driver.memory', '16g')
-        .config('spark.sql.autoBroadcastJoinThreshold', str(64 * 1024 * 1024))
+        # Spark's default 10MB threshold, pinned: the round-1 64MB override
+        # made Catalyst broadcast multi-million-row FILTERED FACT sides at
+        # sf1 (q3 built a hash table from the shipdate-filtered lineitem) —
+        # measured 2.5-4x slower than the shuffle join it displaced, and
+        # every headliner improved or tied at sf0.1 under 10MB (SCALE.md,
+        # round 8). Dimension broadcasts are explicit F.broadcast calls
+        # and unaffected.
+        .config('spark.sql.autoBroadcastJoinThreshold', str(10 * 1024 * 1024))
         .appName('cyclebane-spark-flagship-bench')
         .getOrCreate()
     )

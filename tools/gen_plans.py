@@ -276,6 +276,23 @@ NOTES['ann_ivf_merge'] = [
     'in decimal(38,0) — O(K^2 x DIM) total, corpus-size-independent',
 ]
 
+NOTES['graph_branch_graft_sweep'] = [
+    'branch surgery compiled away: ONE parquet scan — the grafted',
+    'replacement family only (l_tax/l_extendedprice/l_discount/',
+    'l_linenumber; the original branch source AND the reduced-away',
+    'l_orderkey are gone) — the 3-row sweep dim rides a broadcast NLJ,',
+    'then two chained partial+final aggregate pairs (two exchanges);',
+    'the sweep multiply runs in decimal so the digit-string output is',
+    'bit-exact at every SF',
+]
+
+NOTES['text_bpe_apply'] = [
+    'train->apply in one plan: merge rounds touch |V|-row vocab subtrees',
+    '(3-row argmax sides broadcast); the (token -> n_symbols) codec',
+    'BROADCASTS against the corpus token stream — corpus never shuffles',
+    'until the final per-doc aggregate (partial+final, keyed on doc_id)',
+]
+
 NOTES['pipeline_corpus_build'] = [
     'four pipeline stages, ONE plan: a single column-pruned documents',
     'scan (doc_id, text only) feeds dedup window -> quality filter ->',
@@ -365,6 +382,9 @@ EXTRA = (
     # round-7 additions
     'pipeline_corpus_build',
     'ann_ivf_merge',
+    # round-8 additions
+    'graph_branch_graft_sweep',
+    'text_bpe_apply',
 )
 
 
