@@ -72,11 +72,15 @@ _WINDOW_ROUND = 8
 # edits). The rotation contract (tests/test_priority_window.py) requires
 # every one of these to hold a window slot, after any driver-red rows.
 # Round 8: ann_ivf_merge's body moved into merge_from_summaries so the
-# marginal-cost bench (tools/marginal_bench.py) can time the merge alone.
+# marginal-cost bench (tools/marginal_bench.py) can time the merge alone;
+# stream_late_data_audit's replay helper (late_replay_dir) gained the
+# straggler_extra/variant parameters for the backfill query (default
+# behavior identical, but a shared-helper edit counts). The new round-8
+# registrations are tier-3 never-seen rather than changed.
 # (The bench-config broadcast-threshold change is harness-only — query
 # code paths and oracle semantics untouched; driver correctness sessions
 # are the driver's own.)
-_CHANGED_THIS_ROUND = ('ann_ivf_merge',)
+_CHANGED_THIS_ROUND = ('ann_ivf_merge', 'stream_late_data_audit')
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
@@ -86,19 +90,22 @@ _CHANGED_THIS_ROUND = ('ann_ivf_merge',)
 # The contract is on window MEMBERSHIP, not position: tiers 1-3 must hold a
 # slot somewhere in the first 50; tier-4 backfill must be stalest-first.
 # Round-8 rotation: no driver-red rows (r7 was 50/50 green); slot 1 holds
-# the one changed query (ann_ivf_merge), slots 2-4 the three never-seen
-# round-8 registrations; the rest is the ENTIRE 41-query round-3-green
-# staleness tail (the oldest signal left after r7 retired the r2 tail)
-# plus the 5 alphabetically-first round-4-green rows. Everything below
-# position 50 is driver-green in r4-r7 and unchanged since.
+# the changed ann_ivf_merge, slots 2-5 the four never-seen round-8
+# registrations (one of which, stream_late_data_audit, is also changed);
+# the rest is the ENTIRE 41-query round-3-green staleness tail (the
+# oldest signal left after r7 retired the r2 tail) plus the 4
+# alphabetically-first round-4-green rows. Everything below position 50
+# is driver-green in r4-r7 and unchanged since.
 _PRIORITY = (
     # 1: changed in round 8
     'ann_ivf_merge',
-    # 2-4: never-seen (new in round 8)
+    # 2-5: never-seen (new in round 8; stream_late_data_audit is also in
+    # the changed tier via its replay-helper edit)
     'graph_branch_graft_sweep',
     'stream_late_data_audit',
+    'stream_late_backfill_merge',
     'text_bpe_apply',
-    # 5-45: the full round-3-green staleness tail (alphabetical)
+    # 6-46: the full round-3-green staleness tail (alphabetical)
     'approx_percentile_bounds',
     'dedup_connected_components',
     'dedup_minhash_lsh',
@@ -140,12 +147,11 @@ _PRIORITY = (
     'text_span_dedup',
     'text_tfidf_top_terms',
     'text_typo_candidates',
-    # 46-50: oldest round-4-green backfill (alphabetical; rest next round)
+    # 47-50: oldest round-4-green backfill (alphabetical; rest next round)
     'ann_filtered_topk',
     'ann_ivfpq_topk',
     'ann_rp_lsh_multiprobe',
     'basket_brand_rules',
-    'dedup_cluster_representatives',
 )
 
 

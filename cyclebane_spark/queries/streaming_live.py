@@ -6,6 +6,8 @@ oracles instead of rows-only checks.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from ..streaming.windows import (
     dedup_stream,
     events_stream,
@@ -344,6 +346,114 @@ def stream_late_data_audit(spark, sf_dir):
     from ..streaming.windows import late_data_audit
 
     return late_data_audit(spark, sf_dir)
+
+
+@register(
+    'stream_late_backfill_merge',
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_late_backfill_merge(spark, sf_dir):
+    """Lambda reconciliation: the batch-backfill REPAIR for the late data
+    the watermark dropped — stream_late_data_audit counts the loss, this
+    closes it. The replay holds back only the EVEN-event_id half of the
+    first hour, so the first-hour windows FINALIZE WITH STALE COUNTS (the
+    hard case: a correction must overwrite emitted partitions, not just
+    fill holes).
+
+    Recipe (the production dynamic-partition-overwrite pattern, stated as
+    an anti-join + union so it stays one lazy plan):
+
+    1. ledger — the streaming watermarked hourly aggregate in append mode
+       over the out-of-order replay (stale first-hour rows, missing
+       unfinalized-tail windows);
+    2. touched — every hour window containing a held-back row, plus every
+       window absent from the ledger (both window-count-sized, broadcast);
+    3. merged — ledger rows for untouched windows + a batch recompute of
+       the touched windows from the raw table.
+
+    The oracle is the plain batch hourly rollup: the merge must equal the
+    batch truth EXACTLY, for any drop/finalization boundary behavior —
+    every window a late row touches is recomputed, so the reconciliation
+    never depends on which side of the watermark boundary Spark dropped a
+    row (the audit query pins that separately). Untouched ledger windows
+    saw all their rows on time, and the decimal window sums make them
+    bit-equal to the batch recompute.
+    """
+    from ..streaming.windows import late_replay_dir, run_to_memory
+    from ..tables import table
+    from ._helpers import dsum
+
+    src = late_replay_dir(
+        spark,
+        sf_dir,
+        straggler_extra=F.col('event_id') % 2 == 0,
+        variant='#backfill',
+    )
+    schema = spark.read.parquet(src).schema
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(src)
+        .withColumn('ts', F.col('ts').cast('timestamp'))
+    )
+    ledger = run_to_memory(
+        stream.withWatermark('ts', '30 minutes')
+        .groupBy(F.window('ts', '1 hour'), 'event_type')
+        .agg(
+            F.count(F.lit(1)).alias('n_events'),
+            F.sum(F.col('value').cast('decimal(28,6)'))
+            .cast('double')
+            .alias('total_value'),
+        )
+        .select(
+            F.col('window.start').cast('timestamp_ntz').alias('hour_start'),
+            'event_type',
+            'n_events',
+            'total_value',
+        ),
+        output_mode='append',
+    )
+
+    ev = table(spark, sf_dir, 'events')
+    tt = ev.schema['ts'].dataType
+    hour = F.date_trunc('hour', 'ts').cast(tt)
+    bounds = ev.agg(F.min('ts').alias('t0'))
+    held_back = (
+        F.col('ts') < F.col('t0') + F.expr("INTERVAL '1' HOUR")
+    ) & (F.col('event_id') % 2 == 0)
+    late_hours = (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(held_back)
+        .select(hour.alias('hour_start'))
+        .distinct()
+    )
+    missing_hours = (
+        ev.select(hour.alias('hour_start'))
+        .distinct()
+        .join(ledger.select('hour_start').distinct(), 'hour_start', 'left_anti')
+    )
+    touched = late_hours.unionByName(missing_hours).distinct()
+
+    recomputed = (
+        ev.withColumn('hour_start', hour)
+        .join(F.broadcast(touched), 'hour_start')
+        .groupBy('hour_start', 'event_type')
+        .agg(
+            F.count(F.lit(1)).alias('n_events'),
+            dsum('value').alias('total_value'),
+        )
+    )
+    kept = ledger.join(F.broadcast(touched), 'hour_start', 'left_anti')
+    return kept.unionByName(recomputed).select(
+        'hour_start', 'event_type', 'n_events', 'total_value'
+    )
 
 
 def _near_dup_stream_oracle() -> str:

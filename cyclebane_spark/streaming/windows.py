@@ -98,7 +98,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+def late_replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    straggler_extra: 'F.Column | None' = None,
+    variant: str = '',
+) -> str:
     """Deterministic OUT-OF-ORDER replay of the events table, for the
     late-data accounting gate: three parquet files whose mtimes order them
 
@@ -122,6 +127,12 @@ def late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     watermark must drop. All three subsets are written in-plan (broadcast
     bounds join, no driver collect); the landing dir lives under the
     ownership-verified per-uid scratch parent.
+
+    ``straggler_extra`` narrows the straggler set WITHIN the first hour
+    (the non-straggler remainder of the first hour then arrives on time,
+    so its windows finalize with stale counts — the partition-overwrite
+    case the backfill query exercises); pass a distinct ``variant`` with
+    it so the two replays get separate scratch dirs.
     """
     import glob
     import os
@@ -139,14 +150,19 @@ def late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     tagged = ev.crossJoin(F.broadcast(bounds))
     first_hour = F.col('ts') < F.col('t0') + F.expr("INTERVAL '1' HOUR")
     last_hour = F.col('ts') >= F.col('t1') - F.expr("INTERVAL '1' HOUR")
+    straggler = first_hour
+    if straggler_extra is not None:
+        straggler = first_hour & straggler_extra
     subsets = (
-        ('b1_bulk', ~first_hour & ~last_hour),
-        ('b2_advancer', last_hour & ~first_hour),
-        ('b3_stragglers', first_hour),
+        ('b1_bulk', ~straggler & ~last_hour),
+        ('b2_advancer', last_hour & ~straggler),
+        ('b3_stragglers', straggler),
     )
-    land = scratch_dir('cb_late_replay', sf_dir, wipe=True)
+    land = scratch_dir('cb_late_replay', sf_dir + variant, wipe=True)
     for i, (name, pred) in enumerate(subsets):
-        tmp = scratch_dir('cb_late_replay_tmp', f'{sf_dir}/{name}', create=False)
+        tmp = scratch_dir(
+            'cb_late_replay_tmp', f'{sf_dir}{variant}/{name}', create=False
+        )
         (
             tagged.filter(pred)
             .drop('t0', 't1')

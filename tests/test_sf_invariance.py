@@ -69,6 +69,7 @@ QUERIES = (
     # round-8 additions
     'graph_branch_graft_sweep',     # decimal sweep multiply at denser items
     'text_bpe_apply',               # merge-argmax ties shift with density
+    'stream_late_backfill_merge',   # reconciliation across denser windows
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

@@ -1098,3 +1098,78 @@ def test_late_data_audit_counts_are_internally_consistent(spark):
     assert row.admitted_rows + row.dropped_late_rows == row.input_rows
     assert row.dropped_late_rows == late
     assert 0 < late < total  # the replay actually exercises both paths
+
+
+def test_backfill_replay_finalizes_stale_first_hour_windows(spark):
+    """The backfill merge must exercise the HARD case: at least one
+    first-hour window FINALIZES in the ledger with stale (undercounted)
+    contents — so the reconciliation genuinely overwrites an emitted
+    partition rather than only filling never-emitted holes. Reconstruct
+    the ledger exactly as stream_late_backfill_merge does and compare its
+    first-hour rows against the batch truth."""
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.streaming.windows import (
+        late_replay_dir,
+        run_to_memory,
+    )
+    from cyclebane_spark.tables import table
+
+    src = late_replay_dir(
+        spark,
+        SF_DIR,
+        straggler_extra=F.col('event_id') % 2 == 0,
+        variant='#backfill-test',
+    )
+    schema = spark.read.parquet(src).schema
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(src)
+        .withColumn('ts', F.col('ts').cast('timestamp'))
+    )
+    ledger = run_to_memory(
+        stream.withWatermark('ts', '30 minutes')
+        .groupBy(F.window('ts', '1 hour'), 'event_type')
+        .agg(F.count(F.lit(1)).alias('n_events'))
+        .select(
+            F.col('window.start').cast('timestamp_ntz').alias('hour_start'),
+            'event_type',
+            'n_events',
+        ),
+        output_mode='append',
+    )
+    ev = table(spark, SF_DIR, 'events')
+    tt = ev.schema['ts'].dataType
+    t0 = ev.agg(F.min('ts')).collect()[0][0]
+    first_hours = {
+        r.hour_start
+        for r in ev.filter(
+            F.col('ts') < F.lit(t0) + F.expr("INTERVAL '1' HOUR")
+        )
+        .select(F.date_trunc('hour', 'ts').cast(tt).alias('hour_start'))
+        .distinct()
+        .collect()
+    }
+    batch = {
+        r.hour_start: r.n_events
+        for r in ev.withColumn(
+            'hour_start', F.date_trunc('hour', 'ts').cast(tt)
+        )
+        .groupBy('hour_start')
+        .agg(F.count(F.lit(1)).alias('n_events'))
+        .collect()
+    }
+    per_window: dict = {}
+    for r in ledger.collect():
+        if r.hour_start in first_hours:
+            per_window[r.hour_start] = (
+                per_window.get(r.hour_start, 0) + r.n_events
+            )
+    # the first-hour windows DID finalize (the odd half arrived on time)...
+    assert per_window
+    # ...and at least one window is stale: its even rows were dropped as
+    # late after it was emitted (at tiny SFs a dropped row may be a whole
+    # (hour, type) CELL, so staleness is asserted per WINDOW)
+    assert any(n < batch[h] for h, n in per_window.items())
