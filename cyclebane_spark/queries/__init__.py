@@ -90,22 +90,23 @@ _CHANGED_THIS_ROUND = ('ann_ivf_merge', 'stream_late_data_audit')
 # The contract is on window MEMBERSHIP, not position: tiers 1-3 must hold a
 # slot somewhere in the first 50; tier-4 backfill must be stalest-first.
 # Round-8 rotation: no driver-red rows (r7 was 50/50 green); slot 1 holds
-# the changed ann_ivf_merge, slots 2-5 the four never-seen round-8
+# the changed ann_ivf_merge, slots 2-6 the five never-seen round-8
 # registrations (one of which, stream_late_data_audit, is also changed);
 # the rest is the ENTIRE 41-query round-3-green staleness tail (the
-# oldest signal left after r7 retired the r2 tail) plus the 4
+# oldest signal left after r7 retired the r2 tail) plus the 3
 # alphabetically-first round-4-green rows. Everything below position 50
 # is driver-green in r4-r7 and unchanged since.
 _PRIORITY = (
     # 1: changed in round 8
     'ann_ivf_merge',
-    # 2-5: never-seen (new in round 8; stream_late_data_audit is also in
+    # 2-6: never-seen (new in round 8; stream_late_data_audit is also in
     # the changed tier via its replay-helper edit)
     'graph_branch_graft_sweep',
     'stream_late_data_audit',
     'stream_late_backfill_merge',
     'text_bpe_apply',
-    # 6-46: the full round-3-green staleness tail (alphabetical)
+    'ann_ivf_persisted_topk',
+    # 7-47: the full round-3-green staleness tail (alphabetical)
     'approx_percentile_bounds',
     'dedup_connected_components',
     'dedup_minhash_lsh',
@@ -147,11 +148,10 @@ _PRIORITY = (
     'text_span_dedup',
     'text_tfidf_top_terms',
     'text_typo_candidates',
-    # 47-50: oldest round-4-green backfill (alphabetical; rest next round)
+    # 48-50: oldest round-4-green backfill (alphabetical; rest next round)
     'ann_filtered_topk',
     'ann_ivfpq_topk',
     'ann_rp_lsh_multiprobe',
-    'basket_brand_rules',
 )
 
 

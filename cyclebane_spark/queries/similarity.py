@@ -536,6 +536,71 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     return _kmeans_search(spark, sf_dir, nprobe=1)
 
 
+@register('ann_ivf_persisted_topk', oracle=_sql_kmeans_search(1))
+def ann_ivf_persisted_topk(spark, sf_dir):
+    """IVF index lifecycle step 4: PERSIST + SERVE. The trained inverted
+    lists are written as cell-PARTITIONED parquet (partitionBy('cl') —
+    the on-disk layout of a production vector index: one directory per
+    coarse cell) and the search runs against the standing files: the
+    probe joins the partitioned index on the partition column with the
+    small query-assignment side broadcast, so Spark's dynamic partition
+    pruning restricts the scan to the PROBED CELLS' directories — at
+    100 TB the serving path reads nprobe/K of the index bytes, enforced
+    by the storage layout rather than a post-scan filter (plan pinned:
+    dynamicpruningexpression on the index scan). Results are identical
+    to the in-memory ``ann_ivf_kmeans_topk`` (same quantizer, same
+    integer distances), so it shares that oracle.
+
+    Training is self-contained for oracle parity, as with the other
+    lifecycle queries; in production the write happens once and serving
+    amortizes it (the drift gate schedules the rewrite).
+    """
+    from ..scratch import scratch_dir
+
+    e, cent, final_assigned, assign = _kmeans_train(spark, sf_dir)
+    cent = cent.localCheckpoint(eager=True)  # Lloyd runs once; probe reuses
+
+    idx_dir = scratch_dir('cb_ivf_index', sf_dir, wipe=True, create=False)
+    (
+        final_assigned.select('vec_id', 'cl')
+        .join(e.filter(F.col('vec_id') >= N_QUERIES), 'vec_id')
+        .select(
+            F.col('vec_id').alias('neighbor_id'),
+            'pos',
+            F.col('q').alias('qc'),
+            'cl',
+        )
+        .write.partitionBy('cl')
+        .mode('overwrite')
+        .parquet(idx_dir)
+    )
+    index = spark.read.parquet(idx_dir)
+
+    queries_e = e.filter(F.col('vec_id') < N_QUERIES)
+    qa = assign(queries_e, cent, n=1).select(
+        F.col('vec_id').alias('query_id'), 'cl'
+    )
+    qcomp = queries_e.select(
+        F.col('vec_id').alias('query_id'), 'pos', F.col('q').alias('qq')
+    )
+    cand = (
+        index.join(F.broadcast(qa), 'cl')
+        .join(F.broadcast(qcomp), ['query_id', 'pos'])
+        .groupBy('query_id', 'neighbor_id')
+        .agg(
+            F.sum(
+                (F.col('qq') - F.col('qc')) * (F.col('qq') - F.col('qc'))
+            ).alias('dist2')
+        )
+    )
+    w = Window.partitionBy('query_id').orderBy('dist2', 'neighbor_id')
+    return (
+        cand.withColumn('rk', F.row_number().over(w).cast('long'))
+        .filter(F.col('rk') <= KM_TOPK)
+        .select('query_id', 'neighbor_id', 'dist2', 'rk')
+    )
+
+
 @register('ann_ivf_kmeans_nprobe2', oracle=_sql_kmeans_search(2))
 def ann_ivf_kmeans_nprobe2(spark, sf_dir):
     """Trained IVF probing the 2 nearest cells per query — the standard

@@ -889,3 +889,28 @@ def test_bpe_apply_codec_broadcasts(spark):
     # the final aggregate pair: partial on the map side of the doc_id
     # exchange, final after it
     assert 'partial_count' in raw or 'partial_sum' in raw
+
+
+def test_persisted_ivf_serving_prunes_partitions(spark):
+    """ann_ivf_persisted_topk: the standing index is cell-partitioned
+    parquet and the serving scan must carry a DYNAMIC partition-pruning
+    subquery on the partition column (the probed-cells broadcast) — at
+    100 TB the probe reads nprobe/K of the index bytes by layout, never
+    a post-scan filter. The probe and query-component joins broadcast
+    (no sort-merge join anywhere in the serving subtree)."""
+    raw = raw_plan_of(spark, 'ann_ivf_persisted_topk')
+    assert 'dynamicpruning' in raw
+    assert 'SortMergeJoin' not in raw
+
+
+def test_persisted_ivf_results_equal_in_memory_search(spark):
+    """Persist+serve is pure plumbing: byte-identical results to the
+    in-memory ann_ivf_kmeans_topk (same quantizer, same integer
+    distances, same ranking)."""
+    mem = sorted(
+        map(tuple, queries()['ann_ivf_kmeans_topk'](spark, SF_DIR).collect())
+    )
+    disk = sorted(
+        map(tuple, queries()['ann_ivf_persisted_topk'](spark, SF_DIR).collect())
+    )
+    assert mem == disk

@@ -70,6 +70,7 @@ QUERIES = (
     'graph_branch_graft_sweep',     # decimal sweep multiply at denser items
     'text_bpe_apply',               # merge-argmax ties shift with density
     'stream_late_backfill_merge',   # reconciliation across denser windows
+    'ann_ivf_persisted_topk',       # cell sizes / DPP probe at density
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

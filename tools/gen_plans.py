@@ -293,6 +293,15 @@ NOTES['text_bpe_apply'] = [
     'until the final per-doc aggregate (partial+final, keyed on doc_id)',
 ]
 
+NOTES['ann_ivf_persisted_topk'] = [
+    'the serving scan reads the CELL-PARTITIONED standing index with a',
+    'dynamic partition-pruning subquery on cl (the broadcast probed-cell',
+    'set): nprobe/K of the index bytes by layout, never a post-scan',
+    'filter; probe + query-component joins broadcast — no SMJ in the',
+    'serving subtree (training subtree above is the oracle-parity cost,',
+    'as with the other lifecycle queries)',
+]
+
 NOTES['pipeline_corpus_build'] = [
     'four pipeline stages, ONE plan: a single column-pruned documents',
     'scan (doc_id, text only) feeds dedup window -> quality filter ->',
@@ -385,6 +394,7 @@ EXTRA = (
     # round-8 additions
     'graph_branch_graft_sweep',
     'text_bpe_apply',
+    'ann_ivf_persisted_topk',
 )
 
 
