@@ -29,6 +29,7 @@ __all__ = [
     'minhash_signature',
     'zorder_interleave',
     'checksum_consume',
+    'bench_session',
 ]
 
 DEFAULT_STOPWORDS = ('the', 'a', 'and', 'of', 'to')
@@ -210,6 +211,39 @@ def _contains_map(dt) -> bool:
     if isinstance(dt, StructType):
         return any(_contains_map(f.dataType) for f in dt.fields)
     return False
+
+
+def bench_session(app_name: str):
+    """The ONE bench SparkSession builder shared by bench.py,
+    tools/flagship_bench.py and tools/marginal_bench.py, so the three
+    harnesses can never time under different join strategies.
+
+    Pinned to Spark's DEFAULT 10MB autoBroadcastJoinThreshold: the
+    round-1 64MB override made Catalyst broadcast multi-million-row
+    FILTERED FACT sides at sf1 (q3 built a hash table from the
+    shipdate-filtered lineitem) — measured 2.5-4x slower than the shuffle
+    joins it displaced, while every headliner improved or tied at sf0.1
+    under the default (SCALE.md round-8 plan note). Dimension broadcasts
+    are explicit F.broadcast calls and unaffected.
+
+    Env: SPARK_GRAFT_CPUS (default 32)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get('SPARK_GRAFT_CPUS', '32')
+    return (
+        SparkSession.builder.master(f'local[{cpus}]')
+        .config('spark.sql.shuffle.partitions', cpus)
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.session.timeZone', 'UTC')
+        .config('spark.driver.memory', '16g')
+        .config(
+            'spark.sql.autoBroadcastJoinThreshold', str(10 * 1024 * 1024)
+        )
+        .appName(app_name)
+        .getOrCreate()
+    )
 
 
 def checksum_consume(df) -> None:

@@ -75,12 +75,19 @@ _WINDOW_ROUND = 8
 # marginal-cost bench (tools/marginal_bench.py) can time the merge alone;
 # stream_late_data_audit's replay helper (late_replay_dir) gained the
 # straggler_extra/variant parameters for the backfill query (default
-# behavior identical, but a shared-helper edit counts). The new round-8
-# registrations are tier-3 never-seen rather than changed.
+# behavior identical, but a shared-helper edit counts);
+# text_bpe_train_iterative's merge loop moved into the shared
+# _bpe_merge_rounds helper (now also the apply codec's implementation).
+# The new round-8 registrations are tier-3 never-seen rather than
+# changed.
 # (The bench-config broadcast-threshold change is harness-only — query
 # code paths and oracle semantics untouched; driver correctness sessions
 # are the driver's own.)
-_CHANGED_THIS_ROUND = ('ann_ivf_merge', 'stream_late_data_audit')
+_CHANGED_THIS_ROUND = (
+    'ann_ivf_merge',
+    'stream_late_data_audit',
+    'text_bpe_train_iterative',
+)
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
@@ -89,24 +96,26 @@ _CHANGED_THIS_ROUND = ('ann_ivf_merge', 'stream_late_data_audit')
 # then changed-since-green, then never-seen, then oldest-green backfill.
 # The contract is on window MEMBERSHIP, not position: tiers 1-3 must hold a
 # slot somewhere in the first 50; tier-4 backfill must be stalest-first.
-# Round-8 rotation: no driver-red rows (r7 was 50/50 green); slot 1 holds
-# the changed ann_ivf_merge, slots 2-6 the five never-seen round-8
-# registrations (one of which, stream_late_data_audit, is also changed);
+# Round-8 rotation: no driver-red rows (r7 was 50/50 green); slots 1-2
+# hold the changed ann_ivf_merge and text_bpe_train_iterative, slots 3-7
+# the five never-seen round-8 registrations (one of which,
+# stream_late_data_audit, is also changed);
 # the rest is the ENTIRE 41-query round-3-green staleness tail (the
-# oldest signal left after r7 retired the r2 tail) plus the 3
+# oldest signal left after r7 retired the r2 tail) plus the 2
 # alphabetically-first round-4-green rows. Everything below position 50
 # is driver-green in r4-r7 and unchanged since.
 _PRIORITY = (
-    # 1: changed in round 8
+    # 1-2: changed in round 8 (not also never-seen)
     'ann_ivf_merge',
-    # 2-6: never-seen (new in round 8; stream_late_data_audit is also in
+    'text_bpe_train_iterative',
+    # 3-7: never-seen (new in round 8; stream_late_data_audit is also in
     # the changed tier via its replay-helper edit)
     'graph_branch_graft_sweep',
     'stream_late_data_audit',
     'stream_late_backfill_merge',
     'text_bpe_apply',
     'ann_ivf_persisted_topk',
-    # 7-47: the full round-3-green staleness tail (alphabetical)
+    # 8-48: the full round-3-green staleness tail (alphabetical)
     'approx_percentile_bounds',
     'dedup_connected_components',
     'dedup_minhash_lsh',
@@ -148,10 +157,9 @@ _PRIORITY = (
     'text_span_dedup',
     'text_tfidf_top_terms',
     'text_typo_candidates',
-    # 48-50: oldest round-4-green backfill (alphabetical; rest next round)
+    # 49-50: oldest round-4-green backfill (alphabetical; rest next round)
     'ann_filtered_topk',
     'ann_ivfpq_topk',
-    'ann_rp_lsh_multiprobe',
 )
 
 

@@ -2126,7 +2126,11 @@ def text_bpe_merge_candidates(spark, sf_dir):
 BPE_SEP = '·'  # absent from the corpus (lowercase ASCII + spaces)
 
 
-def _bpe_sql_round(i: int) -> str:
+def _bpe_sql_round(i: int, carry: str = '') -> str:
+    """One greedy merge round as SQL CTEs. ``carry`` prefixes extra
+    columns (e.g. ``'tok, '``) threaded through the vocabulary — the
+    apply oracle keys its codec by token; the train oracle carries none
+    (``carry=''`` emits byte-identical text to the round-7 form)."""
     prev = f'v{i - 1}'
     return f"""p{i} AS (
         SELECT s[i] AS lhs, s[i + 1] AS rhs, c
@@ -2140,7 +2144,7 @@ def _bpe_sql_round(i: int) -> str:
         FROM p{i} GROUP BY lhs, rhs ORDER BY n DESC, lhs, rhs LIMIT 1
     ),
     v{i} AS (
-        SELECT replace(w, '{BPE_SEP}' || m{i}.lhs || '{BPE_SEP}' || m{i}.rhs
+        SELECT {carry}replace(w, '{BPE_SEP}' || m{i}.lhs || '{BPE_SEP}' || m{i}.rhs
                           || '{BPE_SEP}',
                        '{BPE_SEP}' || m{i}.lhs || m{i}.rhs || '{BPE_SEP}') AS w,
                c
@@ -2173,11 +2177,11 @@ def _bpe_train_oracle(rounds: int) -> str:
 BPE_ROUNDS = 3
 
 
-@register('text_bpe_train_iterative', oracle=_bpe_train_oracle(BPE_ROUNDS))
-def text_bpe_train_iterative(spark, sf_dir):
-    """Three greedy BPE merge rounds over the collapsed vocabulary
-    (module note above). Returns one row per round: (step, lhs, rhs, n)."""
-    docs = table(spark, sf_dir, 'documents')
+def _bpe_collapsed_vocab(docs, keep_token: bool = False):
+    """Token frequencies collapsed to the separator-joined symbol
+    vocabulary (columns [tok?, w, c]); the shared front end of the BPE
+    trainer and the apply codec. ``keep_token`` threads the token key
+    through (the codec joins the corpus back on it)."""
     tf = (
         docs.select(
             F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok')
@@ -2185,18 +2189,27 @@ def text_bpe_train_iterative(spark, sf_dir):
         .groupBy('tok')
         .agg(F.count(F.lit(1)).alias('c'))
     )
-    v = tf.select(
+    return tf.select(
+        *(['tok'] if keep_token else []),
         F.concat(
             F.lit(BPE_SEP),
             F.regexp_replace('tok', '(.)', '$1' + BPE_SEP),
         ).alias('w'),
         'c',
     )
-    # The vocabulary is re-derived by every round's pair count AND the
-    # merge projection; persist the collapsed table once (it is |V|-sized,
-    # tiny next to the corpus scan that produced it).
-    v = v.persist()
 
+
+def _bpe_merge_rounds(v, carry=()):
+    """Run BPE_ROUNDS greedy merge rounds over the collapsed vocabulary
+    ``v`` (columns [*carry, w, c]); returns (final vocabulary, merge list
+    — one 1-row (step, lhs, rhs, n) DataFrame per round). The ONE
+    implementation of the merge semantics, shared by the trainer and the
+    apply codec so a tie-break fix can never diverge them.
+
+    The vocabulary is re-derived by every round's pair count AND the
+    merge projection; each stage persists (|V|-sized, tiny next to the
+    corpus scan that produced it)."""
+    v = v.persist()
     merges = []
     for step in range(1, BPE_ROUNDS + 1):
         # project the symbol array ONCE — interpreted HOF lambdas get no
@@ -2229,6 +2242,7 @@ def text_bpe_train_iterative(spark, sf_dir):
         )
         merges.append(m.select(F.lit(step).alias('step'), 'lhs', 'rhs', 'n'))
         nxt = v.crossJoin(F.broadcast(m.select('lhs', 'rhs'))).select(
+            *carry,
             F.replace(
                 F.col('w'),
                 F.concat(
@@ -2245,7 +2259,15 @@ def text_bpe_train_iterative(spark, sf_dir):
             'c',
         )
         v = nxt.persist() if step < BPE_ROUNDS else nxt
+    return v, merges
 
+
+@register('text_bpe_train_iterative', oracle=_bpe_train_oracle(BPE_ROUNDS))
+def text_bpe_train_iterative(spark, sf_dir):
+    """Three greedy BPE merge rounds over the collapsed vocabulary
+    (module note above). Returns one row per round: (step, lhs, rhs, n)."""
+    docs = table(spark, sf_dir, 'documents')
+    _v, merges = _bpe_merge_rounds(_bpe_collapsed_vocab(docs))
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -2267,32 +2289,6 @@ def text_bpe_train_iterative(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _bpe_apply_sql_round(i: int) -> str:
-    """One greedy merge round CARRYING the token key (the train oracle's
-    rounds drop it — vocab rows there need only (w, c))."""
-    prev = f'v{i - 1}'
-    return f"""p{i} AS (
-        SELECT s[i] AS lhs, s[i + 1] AS rhs, c
-        FROM (SELECT string_split(trim(w, '{BPE_SEP}'), '{BPE_SEP}') AS s, c
-              FROM {prev}),
-             LATERAL unnest(generate_series(1, len(s) - 1)) AS t(i)
-        WHERE len(s) >= 2
-    ),
-    m{i} AS (
-        SELECT lhs, rhs
-        FROM p{i} GROUP BY lhs, rhs
-        ORDER BY SUM(c) DESC, lhs, rhs LIMIT 1
-    ),
-    v{i} AS (
-        SELECT tok,
-               replace(w, '{BPE_SEP}' || m{i}.lhs || '{BPE_SEP}' || m{i}.rhs
-                          || '{BPE_SEP}',
-                       '{BPE_SEP}' || m{i}.lhs || m{i}.rhs || '{BPE_SEP}') AS w,
-               c
-        FROM v{i - 1} CROSS JOIN m{i}
-    )"""
-
-
 def _bpe_apply_oracle(rounds: int) -> str:
     parts = [
         rf"""tok AS (
@@ -2308,7 +2304,8 @@ def _bpe_apply_oracle(rounds: int) -> str:
         FROM tf
     )"""
     ]
-    parts.extend(_bpe_apply_sql_round(i) for i in range(1, rounds + 1))
+    # the SAME round CTEs as the train oracle, with the token key carried
+    parts.extend(_bpe_sql_round(i, carry='tok, ') for i in range(1, rounds + 1))
     parts.append(
         f"""vocab AS (
         SELECT tok,
@@ -2343,62 +2340,11 @@ def text_bpe_apply(spark, sf_dir):
         'doc_id',
         F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('tok'),
     )
-    tf = toks.groupBy('tok').agg(F.count(F.lit(1)).alias('c'))
-    v = tf.select(
-        'tok',
-        F.concat(
-            F.lit(BPE_SEP),
-            F.regexp_replace('tok', '(.)', '$1' + BPE_SEP),
-        ).alias('w'),
-        'c',
-    ).persist()
-
-    for step in range(1, BPE_ROUNDS + 1):
-        pairs = (
-            v.select(
-                F.split(
-                    F.expr(f"trim(BOTH '{BPE_SEP}' FROM w)"), BPE_SEP, -1
-                ).alias('s'),
-                'c',
-            )
-            .filter(F.size('s') >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        'transform(sequence(0, size(s) - 2), '
-                        'i -> struct(s[i] AS lhs, s[i + 1] AS rhs))'
-                    )
-                ).alias('p'),
-                'c',
-            )
-            .select('p.lhs', 'p.rhs', 'c')
-        )
-        m = (
-            pairs.groupBy('lhs', 'rhs')
-            .agg(F.sum('c').cast('bigint').alias('n'))
-            .orderBy(F.col('n').desc(), 'lhs', 'rhs')
-            .limit(1)
-            .select('lhs', 'rhs')
-        )
-        nxt = v.crossJoin(F.broadcast(m)).select(
-            'tok',
-            F.replace(
-                F.col('w'),
-                F.concat(
-                    F.lit(BPE_SEP),
-                    F.col('lhs'),
-                    F.lit(BPE_SEP),
-                    F.col('rhs'),
-                    F.lit(BPE_SEP),
-                ),
-                F.concat(
-                    F.lit(BPE_SEP), F.col('lhs'), F.col('rhs'), F.lit(BPE_SEP)
-                ),
-            ).alias('w'),
-            'c',
-        )
-        v = nxt.persist() if step < BPE_ROUNDS else nxt
-
+    # the SAME merge implementation as text_bpe_train_iterative, with the
+    # token key carried through — a merge-semantics fix lands in both
+    v, _merges = _bpe_merge_rounds(
+        _bpe_collapsed_vocab(docs, keep_token=True), carry=('tok',)
+    )
     vocab = v.select(
         'tok',
         F.size(

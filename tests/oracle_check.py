@@ -17,8 +17,11 @@ two (n, x) rows crosses the driver, so outputs of any size get VALUE
 evidence — this is how the 24M/48.9M-row sf1 rows are verified
 (docs/SF1_ORACLE.md). Exactness requires every output column to render
 identically via ``cast(col as string)`` in Spark and DuckDB — true for
-int/bigint/string/date/decimal; double formatting differs between the
-engines, so double columns are rejected loudly in this mode.
+int/bigint/string/date/decimal. Double columns are QUANTIZED through
+decimal(38,9) first (1e-9 absolute, matching the full canon's float
+tolerance; sound only for |v| < ~4e6 — see canon_string_sql) and the
+result is reported ``ok~`` rather than ``ok``. Array/map-typed output
+columns are rejected loudly, as in the full-canon path.
 """
 
 from __future__ import annotations
@@ -206,6 +209,22 @@ def main() -> int:
                 continue
             try:
                 df = fn(spark, sf_dir)
+                # same driver-harness compatibility gate as the full-canon
+                # path: nested output columns hard-error in the external
+                # compare, so a checksum pass here must not mask that
+                from pyspark.sql.types import ArrayType, MapType
+
+                nested = [
+                    f.name
+                    for f in df.schema.fields
+                    if isinstance(f.dataType, (ArrayType, MapType))
+                ]
+                if nested:
+                    raise TypeError(
+                        f'array/map-typed output columns {nested} — the '
+                        'driver harness cannot canonicalize these; emit a '
+                        'joined string or exploded rows instead'
+                    )
                 ocols = sorted(df.columns)
                 tcols = sorted(
                     d[0] for d in con.execute(f'SELECT * FROM ({sql}) LIMIT 0').description

@@ -42,8 +42,7 @@ def _best_of(n: int, fn) -> tuple[float, list[float]]:
 
 def main() -> None:
     load_start = os.getloadavg()[0]
-    from pyspark.sql import SparkSession
-
+    from cyclebane_spark.functions import bench_session
     from cyclebane_spark.functions import checksum_consume as consume
     from cyclebane_spark.queries import queries
     from cyclebane_spark.queries.similarity import (
@@ -54,24 +53,9 @@ def main() -> None:
     )
 
     sf_dir = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
-    cpus = os.environ.get('SPARK_GRAFT_CPUS', '32')
-    spark = (
-        SparkSession.builder.master(f'local[{cpus}]')
-        .config('spark.sql.shuffle.partitions', cpus)
-        .config('spark.sql.adaptive.enabled', 'true')
-        .config('spark.sql.session.timeZone', 'UTC')
-        .config('spark.driver.memory', '16g')
-        # Spark's default 10MB threshold, pinned: the round-1 64MB override
-        # made Catalyst broadcast multi-million-row FILTERED FACT sides at
-        # sf1 (q3 built a hash table from the shipdate-filtered lineitem) —
-        # measured 2.5-4x slower than the shuffle join it displaced, and
-        # every headliner improved or tied at sf0.1 under 10MB (SCALE.md,
-        # round 8). Dimension broadcasts are explicit F.broadcast calls
-        # and unaffected.
-        .config('spark.sql.autoBroadcastJoinThreshold', str(10 * 1024 * 1024))
-        .appName('cyclebane-spark-marginal-bench')
-        .getOrCreate()
-    )
+    # session config (incl. the pinned default broadcast threshold and its
+    # rationale) lives in ONE place: cyclebane_spark.functions.bench_session
+    spark = bench_session('cyclebane-spark-marginal-bench')
     spark.sparkContext.setLogLevel('ERROR')
 
     qs = queries()
