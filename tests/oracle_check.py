@@ -101,7 +101,12 @@ def canon_string_sql(cols, double_cols=()) -> str:
     Every fragment here parses and evaluates identically in Spark SQL and
     DuckDB: ``cast(x as string)`` (STRING aliases VARCHAR in DuckDB),
     ``coalesce``, ``chr``, ``concat_ws``. chr(1) marks NULL cells, chr(2)
-    separates cells — neither occurs in the data.
+    separates cells. Soundness caveat: the encoding is unambiguous only
+    while the data itself contains neither control character — true for
+    every registry output (printable corpus text, numerics, dates); a
+    dataset that embedded \\x01/\\x02 in string cells could alias two
+    different row multisets. The full Python canon has no such caveat, so
+    checksum mode stays an explicit opt-in for oversized outputs.
 
     Doubles render differently across engines (Java Double.toString uses
     scientific notation from 1e7; DuckDB much later), so double columns

@@ -1173,3 +1173,83 @@ def test_backfill_replay_finalizes_stale_first_hour_windows(spark):
     # late after it was emitted (at tiny SFs a dropped row may be a whole
     # (hour, type) CELL, so staleness is asserted per WINDOW)
     assert any(n < batch[h] for h, n in per_window.items())
+
+
+def test_backfill_merge_is_holdback_agnostic(spark):
+    """The reconciliation contract: merged == batch truth for ANY
+    straggler choice, not just the registered even-half split. Rebuild
+    the merge with a different holdback (every third first-hour row) and
+    assert the merged rollup still equals the batch rollup exactly —
+    the property that makes the oracle fair."""
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.streaming.windows import (
+        late_replay_dir,
+        run_to_memory,
+    )
+    from cyclebane_spark.tables import table
+
+    src = late_replay_dir(
+        spark,
+        SF_DIR,
+        straggler_extra=F.col('event_id') % 3 == 0,
+        variant='#backfill-prop',
+    )
+    schema = spark.read.parquet(src).schema
+    spark.conf.set('spark.sql.session.timeZone', 'UTC')
+    stream = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(src)
+        .withColumn('ts', F.col('ts').cast('timestamp'))
+    )
+    ledger = run_to_memory(
+        stream.withWatermark('ts', '30 minutes')
+        .groupBy(F.window('ts', '1 hour'), 'event_type')
+        .agg(F.count(F.lit(1)).alias('n_events'))
+        .select(
+            F.col('window.start').cast('timestamp_ntz').alias('hour_start'),
+            'event_type',
+            'n_events',
+        ),
+        output_mode='append',
+    )
+    ev = table(spark, SF_DIR, 'events')
+    tt = ev.schema['ts'].dataType
+    hour = F.date_trunc('hour', 'ts').cast(tt)
+    bounds = ev.agg(F.min('ts').alias('t0'))
+    held_back = (
+        F.col('ts') < F.col('t0') + F.expr("INTERVAL '1' HOUR")
+    ) & (F.col('event_id') % 3 == 0)
+    late_hours = (
+        ev.crossJoin(F.broadcast(bounds))
+        .filter(held_back)
+        .select(hour.alias('hour_start'))
+        .distinct()
+    )
+    missing_hours = (
+        ev.select(hour.alias('hour_start'))
+        .distinct()
+        .join(ledger.select('hour_start').distinct(), 'hour_start', 'left_anti')
+    )
+    touched = late_hours.unionByName(missing_hours).distinct()
+    recomputed = (
+        ev.withColumn('hour_start', hour)
+        .join(F.broadcast(touched), 'hour_start')
+        .groupBy('hour_start', 'event_type')
+        .agg(F.count(F.lit(1)).alias('n_events'))
+    )
+    kept = ledger.join(F.broadcast(touched), 'hour_start', 'left_anti')
+    merged = sorted(
+        map(tuple, kept.unionByName(recomputed).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            ev.withColumn('hour_start', hour)
+            .groupBy('hour_start', 'event_type')
+            .agg(F.count(F.lit(1)).alias('n_events'))
+            .collect(),
+        )
+    )
+    assert merged == batch
