@@ -66,28 +66,15 @@ _MODULES = (
 # < _WINDOW_ROUND only, so the driver committing round N's results can
 # never redden a window that was (correctly) built before they existed.
 # Bump this together with every rotation.
-_WINDOW_ROUND = 8
+_WINDOW_ROUND = 9
 
 # Queries whose CODE PATH changed this round (including via shared-helper
 # edits). The rotation contract (tests/test_priority_window.py) requires
 # every one of these to hold a window slot, after any driver-red rows.
-# Round 8: ann_ivf_merge's body moved into merge_from_summaries so the
-# marginal-cost bench (tools/marginal_bench.py) can time the merge alone;
-# stream_late_data_audit's replay helper (late_replay_dir) gained the
-# straggler_extra/variant parameters for the backfill query (default
-# behavior identical, but a shared-helper edit counts);
-# text_bpe_train_iterative's merge loop moved into the shared
-# _bpe_merge_rounds helper (now also the apply codec's implementation).
-# The new round-8 registrations are tier-3 never-seen rather than
-# changed.
-# (The bench-config broadcast-threshold change is harness-only — query
-# code paths and oracle semantics untouched; driver correctness sessions
-# are the driver's own.)
-_CHANGED_THIS_ROUND = (
-    'ann_ivf_merge',
-    'stream_late_data_audit',
-    'text_bpe_train_iterative',
-)
+# Round 9: no query code paths changed at rotation time (the round-9 asks
+# are new registrations, test-harness checksum hardening, and bench
+# tooling); entries are added here the moment a shared helper is edited.
+_CHANGED_THIS_ROUND = ()
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
@@ -96,70 +83,67 @@ _CHANGED_THIS_ROUND = (
 # then changed-since-green, then never-seen, then oldest-green backfill.
 # The contract is on window MEMBERSHIP, not position: tiers 1-3 must hold a
 # slot somewhere in the first 50; tier-4 backfill must be stalest-first.
-# Round-8 rotation: no driver-red rows (r7 was 50/50 green); slots 1-2
-# hold the changed ann_ivf_merge and text_bpe_train_iterative, slots 3-7
-# the five never-seen round-8 registrations (one of which,
-# stream_late_data_audit, is also changed);
-# the rest is the ENTIRE 41-query round-3-green staleness tail (the
-# oldest signal left after r7 retired the r2 tail) plus the 2
-# alphabetically-first round-4-green rows. Everything below position 50
-# is driver-green in r4-r7 and unchanged since.
+# Round-9 rotation: no driver-red rows (r8 was 50/50 green) and no
+# changed rows at rotation time; slots 1-44 are the ENTIRE 44-query
+# round-4-green staleness tail (the oldest signal left after r8 retired
+# the r3 tail), slots 45-50 the alphabetically-first round-5-green
+# backfill. New round-9 registrations displace backfill slots (freshest
+# last) as they land. Everything below position 50 is driver-green in
+# r5-r8 and unchanged since.
 _PRIORITY = (
-    # 1-2: changed in round 8 (not also never-seen)
-    'ann_ivf_merge',
-    'text_bpe_train_iterative',
-    # 3-7: never-seen (new in round 8; stream_late_data_audit is also in
-    # the changed tier via its replay-helper edit)
-    'graph_branch_graft_sweep',
-    'stream_late_data_audit',
-    'stream_late_backfill_merge',
-    'text_bpe_apply',
-    'ann_ivf_persisted_topk',
-    # 8-48: the full round-3-green staleness tail (alphabetical)
-    'approx_percentile_bounds',
-    'dedup_connected_components',
-    'dedup_minhash_lsh',
-    'dedup_minhash_lsh_salted',
-    'events_anomaly_robust_z',
-    'events_cdc_compaction',
-    'events_variant_extract',
-    'graph_branch_projection',
-    'graph_branch_pruning',
-    'graph_branch_replacement',
-    'graph_groupby_reduce',
-    'graph_map_reduce_all',
-    'graph_map_reduce_partial',
-    'graph_pagerank_neardup',
-    'graph_pandas_udaf_median',
-    'graph_param_sweep_broadcast',
-    'graph_slice_loc',
-    'graph_triangles_neardup',
-    'multimodal_audio_features',
-    'multimodal_frame_sample',
-    'multimodal_resize_pixels',
-    'pipeline_clean_corpus',
-    'pipeline_embedding_clusters',
-    'pipeline_rag_retrieval',
-    'q11_important_parts',
-    'q15_top_supplier',
-    'q16_supplier_part_counts',
-    'q20_dominant_part_suppliers',
-    'q21_sole_returning_supplier',
-    'q2_min_cost_supplier',
-    'sketch_merge_hll',
-    'sql_lateral_topk_nations',
-    'stats_exact_moments',
-    'text_decontamination',
-    'text_gopher_repetition',
-    'text_importance_sampling',
-    'text_packing_two_level',
-    'text_pii_redaction',
-    'text_span_dedup',
-    'text_tfidf_top_terms',
-    'text_typo_candidates',
-    # 49-50: oldest round-4-green backfill (alphabetical; rest next round)
-    'ann_filtered_topk',
-    'ann_ivfpq_topk',
+    # 1-44: the full round-4-green staleness tail (alphabetical)
+    'ann_rp_lsh_multiprobe',
+    'basket_brand_rules',
+    'dedup_cluster_representatives',
+    'dedup_incremental_exact',
+    'dedup_incremental_minhash',
+    'dedup_jaccard_prefix_filter',
+    'dedup_minhash_estimator',
+    'dedup_minhash_lsh_adaptive',
+    'dedup_semantic_kmeans',
+    'embeddings_quantized_norm_arrow',
+    'events_ab_test_lift',
+    'events_bitmap_distinct_users',
+    'events_cdc_asof_snapshot',
+    'events_cdc_tombstones',
+    'events_cogroup_asof_pandas',
+    'events_concurrent_sessions',
+    'events_dau_wau_stickiness',
+    'events_feature_lags',
+    'events_interarrival_stats',
+    'events_scd2_dimension',
+    'events_snapshot_diff',
+    'events_transition_matrix',
+    'events_udtf_longest_run',
+    'events_value_histogram',
+    'multimodal_clip_filter',
+    'pipeline_leakage_safe_split',
+    'pipeline_rag_rerank',
+    'pipeline_seeded_shuffle',
+    'pipeline_weighted_upsampling',
+    'profile_lineitem_columns',
+    'q10_returned_items',
+    'q12_priority_by_category',
+    'q17_small_quantity_revenue',
+    'q4_order_priority',
+    'quality_constraint_report',
+    'rfm_customer_segments',
+    'sample_fixed_k',
+    'text_bpe_merge_candidates',
+    'text_hashed_features',
+    'text_langid_confusion',
+    'text_lexical_gini',
+    'text_pmi_cooccurrence',
+    'text_quality_classifier',
+    'text_vocab_coverage',
+    # 45-50: oldest round-5-green backfill (alphabetical; displaced by new
+    # round-9 registrations as they land)
+    'ann_hard_negatives',
+    'ann_ivf_incremental_assign',
+    'ann_ivf_matryoshka_topk',
+    'ann_matryoshka_rerank',
+    'dedup_bcubed_eval',
+    'dedup_cc_incremental',
 )
 
 
