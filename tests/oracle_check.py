@@ -11,10 +11,12 @@ Usage: python tests/oracle_check.py [--checksum] [sf_dir] [query_name ...]
 
 ``--checksum`` replaces the Python-side value canon with an
 order-independent checksum computed INSIDE each engine over the same
-canonical row string: ``bit_xor`` of a 60-bit slice of ``md5`` over the
-sorted-column ``concat_ws`` rendering (plus ``count(*)``). Nothing but
-two (n, x) rows crosses the driver, so outputs of any size get VALUE
-evidence — this is how the 24M/48.9M-row sf1 rows are verified
+canonical row string: ``count(*)``, the exact ``sum``, and ``bit_xor``
+of a 60-bit slice of ``md5`` over the sorted-column ``concat_ws``
+rendering (the sum makes the fold multiplicity-sensitive — xor alone
+cancels even-multiplicity differences; see the fold comment below).
+Nothing but one (n, s, x) row per engine crosses the driver, so outputs
+of any size get VALUE evidence — this is how the 24M/48.9M-row sf1 rows are verified
 (docs/SF1_ORACLE.md). Exactness requires every output column to render
 identically via ``cast(col as string)`` in Spark and DuckDB — true for
 int/bigint/string/date/decimal. Double columns are QUANTIZED through
@@ -119,7 +121,13 @@ def canon_string_sql(cols, double_cols=()) -> str:
     past that magnitude the 9th decimal digit exposes the difference
     (measured: q1's 2.8e8-scale sums render ...557027000 vs ...557026976).
     Larger doubles false-FAIL (the safe direction); use the full canon's
-    relative tolerance for those.
+    relative tolerance for those. Residual caveat even INSIDE the |v| <
+    ~4e6 bound: Spark rounds the shortest decimal repr (BigDecimal
+    .valueOf) while DuckDB rounds the exact binary expansion, so a value
+    lying within half an ulp of a 9th-decimal halfway point can have the
+    two HALF_UP roundings straddle it — a rare flaky false FAIL. If one
+    ever appears, fall back to the full canon's relative tolerance for
+    that query rather than chasing the bound.
     """
     double_cols = set(double_cols)
     parts = ', '.join(
@@ -131,13 +139,26 @@ def canon_string_sql(cols, double_cols=()) -> str:
     return f'concat_ws(chr(2), {parts})'
 
 
-# 60-bit md5 slice: fits a signed bigint in both engines; bit_xor of it is
-# order-independent, and agreement on (count, xor) over the SAME canonical
-# string is a collision-resistant proxy for multiset equality.
+# 60-bit md5 slice: fits a signed bigint in both engines. The fold is
+# (count, exact SUM, bit_xor) of the slice — all order-independent. xor
+# alone is NOT a sound multiset proxy: any row-set difference with even
+# per-row multiplicity cancels ({r1,r1,r2} and {r2,r3,r3} share
+# (count, xor), verified). The SUM closes that: it is multiplicity-
+# sensitive, and with 60-bit terms it stays exact in both engines
+# (Spark decimal(38,0) holds sums to ~1e38 ≈ 2^126; DuckDB sum(bigint)
+# promotes to hugeint), so no wraparound modulus is even needed below
+# ~2^66 rows. Residual risk is md5 collision / algebraic coincidence on
+# BOTH sum and xor simultaneously — a heuristic proxy, strictly weaker
+# than the full Python canon, which is why checksum mode stays an
+# explicit opt-in for oversized outputs.
 SPARK_XOR = (
     'bit_xor(cast(conv(substring(md5({c}),1,15),16,10) as bigint))'
 )
 DUCK_XOR = "bit_xor(('0x' || substr(md5({c}),1,15))::bigint)"
+SPARK_SUM = (
+    'sum(cast(conv(substring(md5({c}),1,15),16,10) as decimal(38,0)))'
+)
+DUCK_SUM = "sum(('0x' || substr(md5({c}),1,15))::bigint)"
 
 
 def double_columns(df):
@@ -149,22 +170,34 @@ def double_columns(df):
 
 
 def spark_checksum(df):
-    """(count, xor) computed inside Spark — see canon_string_sql."""
+    """(count, sum, xor) computed inside Spark — see canon_string_sql."""
     c = canon_string_sql(df.columns, double_columns(df))
     row = df.selectExpr(
-        'count(1) as n', SPARK_XOR.format(c=c) + ' as x'
+        'count(1) as n',
+        SPARK_SUM.format(c=c) + ' as s',
+        SPARK_XOR.format(c=c) + ' as x',
     ).collect()[0]
-    return int(row.n), None if row.x is None else int(row.x)
+    return (
+        int(row.n),
+        None if row.s is None else int(row.s),
+        None if row.x is None else int(row.x),
+    )
 
 
 def duckdb_checksum(con, sql: str, cols, double_cols=()):
     c = canon_string_sql(cols, double_cols)
     q = (
-        f"SELECT count(*) AS n, {DUCK_XOR.format(c='_row_canon')} AS x "
+        f'SELECT count(*) AS n, '
+        f"{DUCK_SUM.format(c='_row_canon')} AS s, "
+        f"{DUCK_XOR.format(c='_row_canon')} AS x "
         f'FROM (SELECT {c} AS _row_canon FROM ({sql}) _q) _t'
     )
-    n, x = con.execute(q).fetchone()
-    return int(n), None if x is None else int(x)
+    n, s, x = con.execute(q).fetchone()
+    return (
+        int(n),
+        None if s is None else int(s),
+        None if x is None else int(x),
+    )
 
 
 def main() -> int:
@@ -237,15 +270,19 @@ def main() -> int:
                 if ocols != tcols:
                     raise ValueError(f'schema {ocols} != {tcols}')
                 dbl = double_columns(df)
-                on, ox = spark_checksum(df)
-                tn, tx = duckdb_checksum(con, sql, ocols, dbl)
+                on, os_, ox = spark_checksum(df)
+                tn, ts, tx = duckdb_checksum(con, sql, ocols, dbl)
             except Exception as exc:  # noqa: BLE001
                 failures.append((name, f'checksum error: {exc}'))
                 print(f'FAIL {name}: checksum error: {exc}')
                 continue
-            if (on, ox) != (tn, tx):
-                failures.append((name, f'checksum ({on},{ox}) != ({tn},{tx})'))
-                print(f'FAIL {name}: checksum ({on},{ox}) != ({tn},{tx})')
+            if (on, os_, ox) != (tn, ts, tx):
+                failures.append(
+                    (name, f'checksum ({on},{os_},{ox}) != ({tn},{ts},{tx})')
+                )
+                print(
+                    f'FAIL {name}: checksum ({on},{os_},{ox}) != ({tn},{ts},{tx})'
+                )
             elif dbl:
                 exact_misses.append(name)
                 print(

@@ -1,15 +1,20 @@
 """Cross-engine checksum mode (tests/oracle_check.py --checksum).
 
-The checksum replaces Python-side value canon with (count, bit_xor of a
-60-bit md5 slice) computed INSIDE each engine over an identical canonical
-row string — the value-evidence path for outputs too large to canonicalize
-driver-side (24M/48.9M rows at sf1, docs/SF1_ORACLE.md). These tests pin:
+The checksum replaces Python-side value canon with (count, exact sum,
+bit_xor) of a 60-bit md5 slice computed INSIDE each engine over an
+identical canonical row string — the value-evidence path for outputs too
+large to canonicalize driver-side (24M/48.9M rows at sf1,
+docs/SF1_ORACLE.md). These tests pin:
 
-- the md5-slice arithmetic agrees bit-for-bit between Spark and DuckDB;
+- the md5-slice arithmetic (xor AND sum folds) agrees bit-for-bit
+  between Spark and DuckDB;
 - the two sf1-upgraded queries are checksum-exact at the gate SF;
 - a one-cell difference, a NULL-vs-string difference, and a row-count
   difference each flip the checksum (the sentinel/separator scheme is not
   ambiguous);
+- the known xor weakness — equal-count multisets whose differences have
+  even per-row multiplicity cancel under xor — is CAUGHT by the sum fold
+  (the reason the fold is a triple, ADVICE r8);
 - double columns go through the decimal(38,9) quantization path.
 """
 
@@ -21,7 +26,9 @@ import duckdb
 import pytest
 
 from oracle_check import (
+    DUCK_SUM,
     DUCK_XOR,
+    SPARK_SUM,
     SPARK_XOR,
     canon_string_sql,
     duckdb_checksum,
@@ -43,14 +50,16 @@ def duck(sf_dir):
     return con
 
 
-def test_md5_slice_xor_agrees_across_engines(spark, duck):
+def test_md5_slice_folds_agree_across_engines(spark, duck):
     df = spark.createDataFrame([(s,) for s in ('a', 'b', 'xyz', '')], ['s'])
-    ours = df.selectExpr(SPARK_XOR.format(c='s') + ' as x').collect()[0].x
+    ours = df.selectExpr(
+        SPARK_SUM.format(c='s') + ' as s', SPARK_XOR.format(c='s') + ' as x'
+    ).collect()[0]
     theirs = duck.execute(
-        f"SELECT {DUCK_XOR.format(c='s')} AS x FROM "
-        "(VALUES ('a'),('b'),('xyz'),('')) t(s)"
-    ).fetchone()[0]
-    assert ours == theirs
+        f"SELECT {DUCK_SUM.format(c='s')} AS s, {DUCK_XOR.format(c='s')} AS x "
+        "FROM (VALUES ('a'),('b'),('xyz'),('')) t(s)"
+    ).fetchone()
+    assert (int(ours.s), int(ours.x)) == (int(theirs[0]), int(theirs[1]))
 
 
 @pytest.mark.parametrize(
@@ -71,25 +80,37 @@ def test_sf1_upgraded_queries_checksum_exact(spark, duck, sf_dir, name):
 
 def test_checksum_distinguishes_value_null_and_count(duck):
     base = "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) t(k, v)"
-    n0, x0 = duckdb_checksum(duck, base, ['k', 'v'])
+    n0, s0, x0 = duckdb_checksum(duck, base, ['k', 'v'])
     assert n0 == 2
     # one changed cell
-    _, x1 = duckdb_checksum(
+    _, s1, x1 = duckdb_checksum(
         duck, "SELECT * FROM (VALUES (1, 'a'), (2, 'c')) t(k, v)", ['k', 'v']
     )
-    assert x1 != x0
+    assert (s1, x1) != (s0, x0)
     # NULL is not the string chr(1), nor the empty string
-    _, x2 = duckdb_checksum(
+    _, s2, x2 = duckdb_checksum(
         duck, "SELECT * FROM (VALUES (1, 'a'), (2, NULL)) t(k, v)", ['k', 'v']
     )
-    _, x3 = duckdb_checksum(
+    _, s3, x3 = duckdb_checksum(
         duck, "SELECT * FROM (VALUES (1, 'a'), (2, '')) t(k, v)", ['k', 'v']
     )
-    assert len({x0, x2, x3}) == 3
-    # dropping a row changes count (xor alone would also change here, but
-    # count is the load-bearing guard for xor-cancelling duplicate pairs)
-    n4, _ = duckdb_checksum(duck, base + ' WHERE k = 1', ['k', 'v'])
+    assert len({(s0, x0), (s2, x2), (s3, x3)}) == 3
+    # dropping a row changes count
+    n4, _, _ = duckdb_checksum(duck, base + ' WHERE k = 1', ['k', 'v'])
     assert n4 == 1
+
+
+def test_sum_fold_catches_xor_cancelling_multisets(duck):
+    # {r1, r1, r2} vs {r2, r3, r3}: same count, and every per-row
+    # multiplicity difference is even (r1: +2, r3: -2), so the xor fold
+    # cancels — the two multisets are xor-indistinguishable. This is the
+    # ADVICE-r8 soundness hole; the exact-sum fold must separate them.
+    a = "SELECT * FROM (VALUES (1,'a'), (1,'a'), (2,'b')) t(k, v)"
+    b = "SELECT * FROM (VALUES (2,'b'), (3,'c'), (3,'c')) t(k, v)"
+    na, sa, xa = duckdb_checksum(duck, a, ['k', 'v'])
+    nb, sb, xb = duckdb_checksum(duck, b, ['k', 'v'])
+    assert (na, xa) == (nb, xb), 'premise: the xor-cancelling pair really cancels'
+    assert sa != sb, 'sum fold must be multiplicity-sensitive'
 
 
 def test_double_quantization_is_engine_portable(spark, duck):
