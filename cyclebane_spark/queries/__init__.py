@@ -71,10 +71,11 @@ _WINDOW_ROUND = 9
 # Queries whose CODE PATH changed this round (including via shared-helper
 # edits). The rotation contract (tests/test_priority_window.py) requires
 # every one of these to hold a window slot, after any driver-red rows.
-# Round 9: no query code paths changed at rotation time (the round-9 asks
-# are new registrations, test-harness checksum hardening, and bench
-# tooling); entries are added here the moment a shared helper is edited.
-_CHANGED_THIS_ROUND = ()
+# Round 9: late_data_audit (streaming/windows.py) gained the
+# replay-ordering diagnostic guard (ADVICE r8) — stream_late_data_audit's
+# code path changed (the guard raises only when engine batching behavior
+# shifts; green-path semantics identical).
+_CHANGED_THIS_ROUND = ('stream_late_data_audit',)
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
@@ -136,14 +137,15 @@ _PRIORITY = (
     'text_pmi_cooccurrence',
     'text_quality_classifier',
     'text_vocab_coverage',
-    # 45-50: oldest round-5-green backfill (alphabetical; displaced by new
+    # 45: changed this round (late_data_audit replay-ordering guard)
+    'stream_late_data_audit',
+    # 46-50: oldest round-5-green backfill (alphabetical; displaced by new
     # round-9 registrations as they land)
     'ann_hard_negatives',
     'ann_ivf_incremental_assign',
     'ann_ivf_matryoshka_topk',
     'ann_matryoshka_rerank',
     'dedup_bcubed_eval',
-    'dedup_cc_incremental',
 )
 
 

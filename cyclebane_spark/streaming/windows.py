@@ -223,6 +223,23 @@ def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     progress = [json.loads(p.json) for p in query.recentProgress]
+    # The exact-drop oracle rests on two engine behaviors measured on THIS
+    # Spark version: FileStreamSource honoring the hand-set mtime order,
+    # and the two-batch watermark propagation lag (batch N filters with
+    # the watermark reported for batch N-1). Both failure modes are safe
+    # (the gate goes red), but they would surface as a confusing oracle
+    # mismatch — so diagnose an engine-behavior change AS such: the replay
+    # must have run as exactly 3 single-file data batches (plus at most
+    # one empty availableNow finalizer).
+    data_batches = [p for p in progress if int(p.get('numInputRows', 0)) > 0]
+    if len(data_batches) != 3 or len(progress) > 4:
+        raise RuntimeError(
+            'replay ordering assumption broken: expected 3 single-file '
+            f'micro-batches (+<=1 finalizer), saw {len(data_batches)} data '
+            f'batches in {len(progress)} total — the FileStreamSource '
+            'mtime ordering or maxFilesPerTrigger batching changed on '
+            'this engine version'
+        )
     input_rows = sum(
         int(p.get('observedMetrics', {}).get('late_audit', {}).get('input_rows', 0))
         for p in progress
