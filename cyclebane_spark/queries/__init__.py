@@ -139,13 +139,14 @@ _PRIORITY = (
     'text_vocab_coverage',
     # 45: changed this round (late_data_audit replay-ordering guard)
     'stream_late_data_audit',
-    # 46-50: oldest round-5-green backfill (alphabetical; displaced by new
+    # 46: never-seen (new in round 9)
+    'stream_ivf_ingest',
+    # 47-50: oldest round-5-green backfill (alphabetical; displaced by new
     # round-9 registrations as they land)
     'ann_hard_negatives',
     'ann_ivf_incremental_assign',
     'ann_ivf_matryoshka_topk',
     'ann_matryoshka_rerank',
-    'dedup_bcubed_eval',
 )
 
 

@@ -2320,3 +2320,280 @@ def merge_from_summaries(cent_a, n_a, cent_b, n_b):
             'n_merged',
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index maintenance, step 5: STREAMING INGEST into the persisted index.
+# ann_ivf_persisted_topk writes the cell-partitioned on-disk layout once;
+# at 100 TB vectors arrive continuously, and rebuilding the index per batch
+# is the one thing the layout exists to avoid. The streaming edge: a file
+# stream of raw vectors runs through foreachBatch; each micro-batch is
+# (a) quantized and ASSIGNED to the standing centroids (broadcast K x DIM
+# rows — batch-proportional, the ann_ivf_incremental_assign math), (b)
+# APPENDED into the matching cl= directories as a per-batch subpartition
+# (partitionBy('cl', 'ingest_batch') + dynamic partition overwrite: a
+# replayed batch OVERWRITES exactly its own subpartitions — the same
+# overwrite-by-batch-id replay-idempotence discipline as the near-dup
+# filter's LSM state, streaming/windows.py), and (c) drift-checked against
+# the training-time occupancy (integer-TVD, the ann_ivf_drift_gate
+# decision) with the verdict appended to a retrain ledger. The post-ingest
+# serve is the SAME dynamically-pruned probe join as the persisted query,
+# and its result is exactly the index built in one batch — assignment is
+# per-vector, so standing ∪ ingested assignments = full-corpus assignment
+# against the standing quantizer. That identity is the oracle: train on
+# the standing corpus (holdout), assign ALL corpus vectors, search.
+#
+# Reference tie-in (cyclebane graph.py:367-424): to_networkx-style
+# materialization kept incremental — the compact plan never re-expands;
+# only the delta pays.
+# ---------------------------------------------------------------------------
+
+IVF_INGEST_FILES = 3  # incoming batch replays as 3 single-file micro-batches
+
+
+def _ivf_ingest_landing(spark, sf_dir: str) -> str:
+    """Write the incoming vector batch (vec_id % 10 == 9) as
+    ``IVF_INGEST_FILES`` parquet files of RAW embedding rows whose mtimes
+    order them — with maxFilesPerTrigger=1 each file is one micro-batch
+    (the late_replay_dir idiom). The file split is deterministic
+    ((vec_id // 10) % 3), so replays see identical batches."""
+    import glob
+    import os
+    import shutil
+
+    from ..scratch import scratch_dir
+
+    emb = table(spark, sf_dir, 'embeddings').select('vec_id', 'embedding')
+    incoming = emb.filter(
+        (F.col('vec_id') >= N_QUERIES)
+        & (F.col('vec_id') % ANN_INCR_MOD == ANN_INCR_MOD - 1)
+    )
+    land = scratch_dir('cb_ivf_ingest_land', sf_dir, wipe=True)
+    for i in range(IVF_INGEST_FILES):
+        tmp = scratch_dir(
+            'cb_ivf_ingest_tmp', f'{sf_dir}/b{i}', create=False
+        )
+        (
+            incoming.filter(
+                (F.col('vec_id') / ANN_INCR_MOD).cast('bigint')
+                % IVF_INGEST_FILES
+                == i
+            )
+            .coalesce(1)
+            .write.mode('overwrite')
+            .parquet(tmp)
+        )
+        part = glob.glob(f'{tmp}/part-*.parquet')[0]
+        dst = f'{land}/b{i}.parquet'
+        shutil.copy(part, dst)
+        mtime = 1_000_000 + i * 1_000
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return land
+
+
+def _quantize_components(emb_rows):
+    """(vec_id, embedding) -> the quantized component rows (vec_id, pos, q)
+    — the same integer quantization as _kmeans_train's corpus explode."""
+    return emb_rows.select(
+        'vec_id', F.posexplode('embedding').alias('pos', 'v')
+    ).select(
+        'vec_id',
+        'pos',
+        F.round(F.col('v').cast('double') * KM_SCALE, 0)
+        .cast('bigint')
+        .alias('q'),
+    )
+
+
+def ivf_ingest_run(spark, sf_dir: str, replay: bool = False):
+    """Run the streaming ingest to completion; returns (index_dir,
+    ledger_dir). ``replay=True`` keeps the standing index/landing files
+    from a prior run and re-processes the SAME stream from a fresh
+    checkpoint — the idempotence scenario (a recovered job re-reading its
+    source): per-batch dynamic partition overwrite makes it a no-op."""
+    from ..scratch import scratch_dir
+
+    holdout = F.col('vec_id') % ANN_INCR_MOD != ANN_INCR_MOD - 1
+    e, cent, final_assigned, assign = _kmeans_train(
+        spark, sf_dir, extra_filter=holdout
+    )
+    cent = cent.localCheckpoint(eager=True)  # K x DIM rows; Lloyd runs once
+    corp_occ = (
+        final_assigned.groupBy('cl')
+        .agg(F.count(F.lit(1)).alias('corpus_n'))
+        .localCheckpoint(eager=True)  # K rows
+    )
+
+    idx_dir = scratch_dir(
+        'cb_ivf_ingest_idx', sf_dir, wipe=not replay, create=False
+    )
+    ledger = scratch_dir('cb_ivf_ingest_ledger', sf_dir, wipe=not replay)
+    if not replay:
+        # standing index: the persisted-topk layout plus the per-batch
+        # subpartition level (base rows are "batch -1")
+        (
+            final_assigned.select('vec_id', 'cl')
+            .join(e.filter(F.col('vec_id') >= N_QUERIES), 'vec_id')
+            .select(
+                F.col('vec_id').alias('neighbor_id'),
+                'pos',
+                F.col('q').alias('qc'),
+                'cl',
+                F.lit(-1).alias('ingest_batch'),
+            )
+            .write.partitionBy('cl', 'ingest_batch')
+            .mode('overwrite')
+            .parquet(idx_dir)
+        )
+        _ivf_ingest_landing(spark, sf_dir)
+    land = scratch_dir('cb_ivf_ingest_land', sf_dir)
+
+    def ingest(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        bq = _quantize_components(batch_df)
+        assigned = assign(bq, cent, n=1).select('vec_id', 'cl')
+        rows = (
+            assigned.join(bq, 'vec_id')
+            .select(
+                F.col('vec_id').alias('neighbor_id'),
+                'pos',
+                F.col('q').alias('qc'),
+                'cl',
+                F.lit(batch_id).cast('int').alias('ingest_batch'),
+            )
+        )
+        prev = sp.conf.get('spark.sql.sources.partitionOverwriteMode')
+        sp.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
+        try:
+            # dynamic overwrite touches only the (cl, ingest_batch=N)
+            # leaves this batch produced: replaying batch N replaces its
+            # own rows and nothing else
+            (
+                rows.write.partitionBy('cl', 'ingest_batch')
+                .mode('overwrite')
+                .parquet(idx_dir)
+            )
+        finally:
+            sp.conf.set('spark.sql.sources.partitionOverwriteMode', prev)
+        # drift verdict for this batch against training-time occupancy
+        batch_occ = assigned.groupBy('cl').agg(
+            F.count(F.lit(1)).alias('batch_n')
+        )
+        (
+            _occupancy_drift(corp_occ, batch_occ)
+            .withColumn('ingest_batch', F.lit(batch_id).cast('int'))
+            .coalesce(1)
+            .write.mode('overwrite')
+            .parquet(f'{ledger}/b{batch_id}')
+        )
+
+    schema = spark.read.parquet(land).schema
+    ckpt = scratch_dir('cb_ivf_ingest_ckpt', sf_dir, wipe=True)
+    query = (
+        spark.readStream.schema(schema)
+        .option('maxFilesPerTrigger', 1)
+        .parquet(land)
+        .writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option('checkpointLocation', ckpt)
+        .start()
+    )
+    query.awaitTermination()
+    return idx_dir, ledger
+
+
+def ivf_persisted_serve(spark, sf_dir: str, idx_dir: str):
+    """The dynamically-pruned probe join against a standing on-disk
+    cell-partitioned index — the serve subtree shared by
+    ann_ivf_persisted_topk's layout and the post-ingest search (and timed
+    alone by tools/marginal_bench.py). Queries assign against the
+    STANDING-corpus quantizer, exactly as the index was built."""
+    holdout = F.col('vec_id') % ANN_INCR_MOD != ANN_INCR_MOD - 1
+    e, cent, _fa, assign = _kmeans_train(spark, sf_dir, extra_filter=holdout)
+    cent = cent.localCheckpoint(eager=True)
+    index = spark.read.parquet(idx_dir).drop('ingest_batch')
+    queries_e = e.filter(F.col('vec_id') < N_QUERIES)
+    qa = assign(queries_e, cent, n=1).select(
+        F.col('vec_id').alias('query_id'), 'cl'
+    )
+    qcomp = queries_e.select(
+        F.col('vec_id').alias('query_id'), 'pos', F.col('q').alias('qq')
+    )
+    cand = (
+        index.join(F.broadcast(qa), 'cl')
+        .join(F.broadcast(qcomp), ['query_id', 'pos'])
+        .groupBy('query_id', 'neighbor_id')
+        .agg(
+            F.sum(
+                (F.col('qq') - F.col('qc')) * (F.col('qq') - F.col('qc'))
+            ).alias('dist2')
+        )
+    )
+    w = Window.partitionBy('query_id').orderBy('dist2', 'neighbor_id')
+    return (
+        cand.withColumn('rk', F.row_number().over(w).cast('long'))
+        .filter(F.col('rk') <= KM_TOPK)
+        .select('query_id', 'neighbor_id', 'dist2', 'rk')
+    )
+
+
+_INGEST_SEARCH_TAIL = f"""
+    afall AS (
+        SELECT vec_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
+                   ) AS rk
+            FROM e JOIN c{KM_ITERS} c ON e.pos = c.pos
+            WHERE e.vec_id >= {N_QUERIES}
+            GROUP BY e.vec_id, c.cl
+        ) WHERE rk = 1
+    ),
+    qa AS (
+        SELECT vec_id AS query_id, cl FROM (
+            SELECT e.vec_id, c.cl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
+                   ) AS rk
+            FROM e JOIN c{KM_ITERS} c ON e.pos = c.pos
+            WHERE e.vec_id < {N_QUERIES}
+            GROUP BY e.vec_id, c.cl
+        ) WHERE rk = 1
+    ),
+    cand AS (
+        SELECT qa.query_id, a.vec_id AS neighbor_id,
+               SUM((eq.q - ec.q) * (eq.q - ec.q)) AS dist2
+        FROM qa
+        JOIN afall a ON a.cl = qa.cl
+        JOIN e eq ON eq.vec_id = qa.query_id
+        JOIN e ec ON ec.vec_id = a.vec_id AND ec.pos = eq.pos
+        GROUP BY qa.query_id, a.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2, rk FROM (
+        SELECT query_id, neighbor_id, dist2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY dist2, neighbor_id
+               ) AS rk
+        FROM cand
+    ) WHERE rk <= {KM_TOPK}
+    """
+
+
+@register(
+    'stream_ivf_ingest',
+    oracle=f'{_sql_kmeans_ctes(_INCR_HOLDOUT)},{_INGEST_SEARCH_TAIL}',
+)
+def stream_ivf_ingest(spark, sf_dir):
+    """IVF lifecycle step 5: streaming foreachBatch ingest into the
+    persisted cell-partitioned index, then serve (see the module note).
+    The gate's exactness claim: the post-ingest on-disk search equals the
+    index built in ONE batch from the full corpus against the standing
+    quantizer — the oracle trains on the standing corpus (holdout), then
+    assigns and searches ALL corpus vectors. Batching, replay, and the
+    drift ledger cannot move the result; the replay-idempotence and
+    drift-ledger properties are pinned in tests/test_streaming.py."""
+    idx_dir, _ledger = ivf_ingest_run(spark, sf_dir)
+    return ivf_persisted_serve(spark, sf_dir, idx_dir)

@@ -914,3 +914,14 @@ def test_persisted_ivf_results_equal_in_memory_search(spark):
         map(tuple, queries()['ann_ivf_persisted_topk'](spark, SF_DIR).collect())
     )
     assert mem == disk
+
+
+def test_stream_ivf_ingest_serve_prunes_partitions(spark):
+    """stream_ivf_ingest: the post-ingest serve runs against the standing
+    cell-partitioned index (base + per-batch subpartitions) and must keep
+    the persisted-topk plan shape — dynamic partition pruning on the
+    probed cells, broadcast probe/query joins, no sort-merge join — so
+    ingest never degrades the serving read path."""
+    raw = raw_plan_of(spark, 'stream_ivf_ingest')
+    assert 'dynamicpruning' in raw
+    assert 'SortMergeJoin' not in raw

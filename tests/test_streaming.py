@@ -1253,3 +1253,52 @@ def test_backfill_merge_is_holdback_agnostic(spark):
         )
     )
     assert merged == batch
+
+
+def test_ivf_ingest_replay_is_idempotent_and_ledger_deterministic(spark):
+    """stream_ivf_ingest: re-processing the SAME landing files from a
+    fresh checkpoint (the recovered-job scenario) must leave the on-disk
+    index byte-equal in content — per-batch dynamic partition overwrite
+    replaces exactly each replayed batch's own (cl, ingest_batch)
+    subpartitions — and must reproduce the identical drift ledger. Also
+    pins the ledger shape: one integer-TVD verdict per micro-batch."""
+    from cyclebane_spark.queries.similarity import (
+        IVF_INGEST_FILES,
+        ivf_ingest_run,
+        ivf_persisted_serve,
+    )
+
+    def index_rows(d):
+        return sorted(
+            (r.neighbor_id, r.pos, r.qc, int(r.cl), int(r.ingest_batch))
+            for r in spark.read.parquet(d).collect()
+        )
+
+    def ledger_rows(d):
+        return sorted(
+            (
+                int(r.ingest_batch),
+                int(r.corpus_total),
+                int(r.batch_total),
+                r.drift_num,
+                int(r.retrain),
+            )
+            for r in spark.read.parquet(f'{d}/b*').collect()
+        )
+
+    idx1, led1 = ivf_ingest_run(spark, SF_DIR)
+    rows1, ledger1 = index_rows(idx1), ledger_rows(led1)
+    serve1 = sorted(map(tuple, ivf_persisted_serve(spark, SF_DIR, idx1).collect()))
+
+    # every micro-batch produced a drift verdict, and batches partition
+    # the incoming vector set (no vector lost or double-ingested)
+    assert [b for b, *_ in ledger1] == list(range(IVF_INGEST_FILES))
+    ingested = [r for r in rows1 if r[4] >= 0]
+    assert len({(r[0], r[1]) for r in ingested}) == len(ingested)
+
+    idx2, led2 = ivf_ingest_run(spark, SF_DIR, replay=True)
+    assert idx2 == idx1 and led2 == led1  # same standing paths
+    assert index_rows(idx2) == rows1
+    assert ledger_rows(led2) == ledger1
+    serve2 = sorted(map(tuple, ivf_persisted_serve(spark, SF_DIR, idx2).collect()))
+    assert serve2 == serve1

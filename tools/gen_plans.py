@@ -302,6 +302,15 @@ NOTES['ann_ivf_persisted_topk'] = [
     'as with the other lifecycle queries)',
 ]
 
+NOTES['stream_ivf_ingest'] = [
+    'streaming foreachBatch ingest into the persisted cell-partitioned',
+    'index: each micro-batch assigns against BROADCAST standing centroids',
+    '(batch-proportional) and dynamic-partition-OVERWRITES only its own',
+    '(cl, ingest_batch) subpartitions — replay-idempotent by layout; the',
+    'pinned plan is the post-ingest serve: DPP on cl, broadcast probe and',
+    'query joins, no SMJ (identical shape to ann_ivf_persisted_topk)',
+]
+
 NOTES['pipeline_corpus_build'] = [
     'four pipeline stages, ONE plan: a single column-pruned documents',
     'scan (doc_id, text only) feeds dedup window -> quality filter ->',
@@ -395,6 +404,8 @@ EXTRA = (
     'graph_branch_graft_sweep',
     'text_bpe_apply',
     'ann_ivf_persisted_topk',
+    # round-9 additions
+    'stream_ivf_ingest',
 )
 
 
