@@ -74,8 +74,11 @@ _WINDOW_ROUND = 9
 # Round 9: late_data_audit (streaming/windows.py) gained the
 # replay-ordering diagnostic guard (ADVICE r8) — stream_late_data_audit's
 # code path changed (the guard raises only when engine batching behavior
-# shifts; green-path semantics identical).
-_CHANGED_THIS_ROUND = ('stream_late_data_audit',)
+# shifts; green-path semantics identical). ann_ivf_persisted_topk's body
+# split into ivf_standing_index + ivf_serve so tools/marginal_bench.py
+# can time the serve alone (the merge_from_summaries pattern; semantics
+# identical).
+_CHANGED_THIS_ROUND = ('stream_late_data_audit', 'ann_ivf_persisted_topk')
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
@@ -141,12 +144,13 @@ _PRIORITY = (
     'stream_late_data_audit',
     # 46: never-seen (new in round 9)
     'stream_ivf_ingest',
-    # 47-50: oldest round-5-green backfill (alphabetical; displaced by new
+    # 47: changed this round (standing-index/serve split for the bench)
+    'ann_ivf_persisted_topk',
+    # 48-50: oldest round-5-green backfill (alphabetical; displaced by new
     # round-9 registrations as they land)
     'ann_hard_negatives',
     'ann_ivf_incremental_assign',
     'ann_ivf_matryoshka_topk',
-    'ann_matryoshka_rerank',
 )
 
 

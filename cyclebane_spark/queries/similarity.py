@@ -553,13 +553,27 @@ def ann_ivf_persisted_topk(spark, sf_dir):
 
     Training is self-contained for oracle parity, as with the other
     lifecycle queries; in production the write happens once and serving
-    amortizes it (the drift gate schedules the rewrite).
+    amortizes it (the drift gate schedules the rewrite). The build and
+    the serve are split into :func:`ivf_standing_index` /
+    :func:`ivf_serve` so tools/marginal_bench.py can time the serve
+    alone against a standing on-disk index (the merge_from_summaries
+    pattern).
     """
+    idx_dir, e, cent, assign = ivf_standing_index(spark, sf_dir)
+    return ivf_serve(spark, idx_dir, e, cent, assign)
+
+
+def ivf_standing_index(spark, sf_dir, extra_filter=None):
+    """Train the quantizer and write the cell-partitioned inverted lists
+    ONCE; returns the standing serve state (idx_dir, e, cent, assign).
+    In production these are the persisted index artifacts — the marginal
+    bench pays the build here, untimed."""
     from ..scratch import scratch_dir
 
-    e, cent, final_assigned, assign = _kmeans_train(spark, sf_dir)
+    e, cent, final_assigned, assign = _kmeans_train(
+        spark, sf_dir, extra_filter=extra_filter
+    )
     cent = cent.localCheckpoint(eager=True)  # Lloyd runs once; probe reuses
-
     idx_dir = scratch_dir('cb_ivf_index', sf_dir, wipe=True, create=False)
     (
         final_assigned.select('vec_id', 'cl')
@@ -574,8 +588,19 @@ def ann_ivf_persisted_topk(spark, sf_dir):
         .mode('overwrite')
         .parquet(idx_dir)
     )
-    index = spark.read.parquet(idx_dir)
+    return idx_dir, e, cent, assign
 
+
+def ivf_serve(spark, idx_dir, e, cent, assign):
+    """The dynamically-pruned probe join against a standing on-disk
+    cell-partitioned index — everything the serving path pays per query
+    batch: assign the queries to the broadcast centroids, then the DPP
+    probe join + per-(query, neighbor) integer distance fold + top-k.
+    Timed alone by tools/marginal_bench.py; tolerates the ingest
+    layout's extra per-batch subpartition column."""
+    index = spark.read.parquet(idx_dir)
+    if 'ingest_batch' in index.columns:
+        index = index.drop('ingest_batch')
     queries_e = e.filter(F.col('vec_id') < N_QUERIES)
     qa = assign(queries_e, cent, n=1).select(
         F.col('vec_id').alias('query_id'), 'cl'
@@ -2504,38 +2529,13 @@ def ivf_ingest_run(spark, sf_dir: str, replay: bool = False):
 
 
 def ivf_persisted_serve(spark, sf_dir: str, idx_dir: str):
-    """The dynamically-pruned probe join against a standing on-disk
-    cell-partitioned index — the serve subtree shared by
-    ann_ivf_persisted_topk's layout and the post-ingest search (and timed
-    alone by tools/marginal_bench.py). Queries assign against the
-    STANDING-corpus quantizer, exactly as the index was built."""
+    """Serve a standing ingest-layout index: re-derive the STANDING-corpus
+    quantizer (holdout training, exactly as the index was built) and run
+    the shared :func:`ivf_serve` probe against the on-disk files."""
     holdout = F.col('vec_id') % ANN_INCR_MOD != ANN_INCR_MOD - 1
     e, cent, _fa, assign = _kmeans_train(spark, sf_dir, extra_filter=holdout)
     cent = cent.localCheckpoint(eager=True)
-    index = spark.read.parquet(idx_dir).drop('ingest_batch')
-    queries_e = e.filter(F.col('vec_id') < N_QUERIES)
-    qa = assign(queries_e, cent, n=1).select(
-        F.col('vec_id').alias('query_id'), 'cl'
-    )
-    qcomp = queries_e.select(
-        F.col('vec_id').alias('query_id'), 'pos', F.col('q').alias('qq')
-    )
-    cand = (
-        index.join(F.broadcast(qa), 'cl')
-        .join(F.broadcast(qcomp), ['query_id', 'pos'])
-        .groupBy('query_id', 'neighbor_id')
-        .agg(
-            F.sum(
-                (F.col('qq') - F.col('qc')) * (F.col('qq') - F.col('qc'))
-            ).alias('dist2')
-        )
-    )
-    w = Window.partitionBy('query_id').orderBy('dist2', 'neighbor_id')
-    return (
-        cand.withColumn('rk', F.row_number().over(w).cast('long'))
-        .filter(F.col('rk') <= KM_TOPK)
-        .select('query_id', 'neighbor_id', 'dist2', 'rk')
-    )
+    return ivf_serve(spark, idx_dir, e, cent, assign)
 
 
 _INGEST_SEARCH_TAIL = f"""

@@ -1,20 +1,23 @@
 #!/usr/bin/env python
 """Registered vs MARGINAL wall time for the index-lifecycle operators.
 
-The two most expensive flagships — ``ann_ivf_merge`` and
-``ann_ivf_drift_gate`` — are registered SELF-CONTAINED: each re-trains its
-quantizer(s) inline so the DuckDB oracle can reproduce the result from the
-raw tables. That is the right correctness contract but the wrong cost
-model: in production the index is a standing artifact and only the
-monitor / merge runs per batch. This tool measures both numbers in one
-process:
+The expensive lifecycle flagships — ``ann_ivf_merge``,
+``ann_ivf_drift_gate``, and ``ann_ivf_persisted_topk`` — are registered
+SELF-CONTAINED: each re-trains its quantizer(s) (and, for the persisted
+query, rewrites the partitioned index) inline so the DuckDB oracle can
+reproduce the result from the raw tables. That is the right correctness
+contract but the wrong cost model: in production the index is a standing
+artifact and only the monitor / merge / serve runs per batch. This tool
+measures both numbers in one process:
 
 - ``registered``: the registry query exactly as SCALE.md times it
   (training included), best-of-5 after warmup, checksum-consumed;
-- ``marginal``: the standing state (centroids + occupancies, eagerly
-  localCheckpoint'ed) is built ONCE untimed, then only the monitor /
-  merge path is timed — batch assignment + two K-row aggs for the drift
-  gate, the O(K^2 x DIM) pair-and-fold for the merge.
+- ``marginal``: the standing state (centroids + occupancies + the
+  on-disk cell-partitioned index, eagerly localCheckpoint'ed / written)
+  is built ONCE untimed, then only the monitor / merge / serve path is
+  timed — batch assignment + two K-row aggs for the drift gate, the
+  O(K^2 x DIM) pair-and-fold for the merge, the query assignment +
+  dynamically-pruned probe join for the persisted serve.
 
 Usage: python tools/marginal_bench.py   (env: SPARK_GRAFT_SF_DIR,
 SPARK_GRAFT_CPUS). Prints ONE JSON line; tools/gen_scale.py runs it per
@@ -49,6 +52,8 @@ def main() -> None:
         _ivf_partial_summary,
         drift_monitor,
         drift_standing_index,
+        ivf_serve,
+        ivf_standing_index,
         merge_from_summaries,
     )
 
@@ -87,6 +92,21 @@ def main() -> None:
     consume(qs['ann_ivf_merge'](spark, sf_dir))  # warmup
     timings['ann_ivf_merge'], runs['ann_ivf_merge'] = _best_of(
         5, lambda: consume(qs['ann_ivf_merge'](spark, sf_dir))
+    )
+
+    # -- persisted serve ----------------------------------------------
+    # standing state: index written + quantizer trained ONCE, untimed;
+    # timed = the per-query-batch serve (query assignment against the
+    # broadcast centroids + the dynamically-pruned probe join + top-k)
+    idx_dir, e_idx, cent_idx, assign_idx = ivf_standing_index(spark, sf_dir)
+    serve = lambda: consume(ivf_serve(spark, idx_dir, e_idx, cent_idx, assign_idx))  # noqa: E731
+    serve()  # warmup
+    timings['ann_ivf_persisted_serve_marginal'], runs['ann_ivf_persisted_serve_marginal'] = _best_of(
+        5, serve
+    )
+    consume(qs['ann_ivf_persisted_topk'](spark, sf_dir))  # warmup
+    timings['ann_ivf_persisted_topk'], runs['ann_ivf_persisted_topk'] = _best_of(
+        5, lambda: consume(qs['ann_ivf_persisted_topk'](spark, sf_dir))
     )
 
     print(
