@@ -3120,3 +3120,213 @@ def pipeline_corpus_build(spark, sf_dir):
         F.count(F.lit(1)).alias('n_docs'),
         F.sum('n_tokens').alias('total_tokens'),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML / boilerplate extraction — the step every web-scale corpus runs
+# BEFORE the quality gates above (CCNet / trafilatura class): strip markup,
+# split the page into blocks, and keep only content blocks, where
+# "boilerplate" is detected by LINK DENSITY (chars inside anchors vs text
+# chars — navs and link farms approach 1.0) and a minimum text length.
+# The corpus is deterministic synthetic HTML derived from each document's
+# own words (the multimodal_scene_cuts doc-derived-geometry trick), so a
+# DuckDB oracle can re-run the IDENTICAL generation + extraction and the
+# gate compares exact integers and the exact extracted main text:
+# - nav: five one-word links (link density 1.0 -> dropped);
+# - 2-4 paragraphs of 12 words (npara = 2 + doc_id % 3): most carry one
+#   inline link (1/13 link mass -> kept); every (doc_id + i) % 4 == 0
+#   paragraph is LINK-STUFFED — every word wrapped in an anchor ->
+#   dropped by density, not by a tag heuristic;
+# - footer: two words (dropped by the 10-word length floor).
+# The density decision is the integer compare 2 * link_chars <= text_chars
+# (<=> density <= 0.5) — no float anywhere, bit-equal across engines.
+#
+# Scale: one column-pruned documents scan, narrow per-doc generation
+# (unrolled — no shuffle), block explode is x~6 rows, every regex/string
+# op is a JVM codegen built-in, and the single exchange is the doc_id-
+# keyed final aggregate. At 100 TB this is a map-mostly pipeline.
+# ---------------------------------------------------------------------------
+
+HTML_MIN_WORDS = 60  # generation needs word 11 + 12*4 - 1 = 58
+_HTML_BLOCK_RE = '<(p|nav|footer)>(.*?)</(p|nav|footer)>'
+_HTML_ANCHOR_RE = '<a href="#">(.*?)</a>'
+
+
+def _html_anchor(col):
+    return F.concat(F.lit('<a href="#">'), col, F.lit('</a>'))
+
+
+def _html_corpus(docs):
+    """Deterministic synthetic HTML per document (>= 60 words), built from
+    the doc's own words — see the section note for the block layout."""
+    w = F.split('text', ' ')
+    nav = F.concat_ws(
+        ' ', *[_html_anchor(F.element_at(w, i)) for i in range(1, 6)]
+    )
+    paras = []
+    for i in range(4):
+        start = 11 + 12 * i
+        pw = F.slice(w, start, 12)
+        stuffed = F.array_join(
+            F.transform(pw, lambda x: _html_anchor(x)), ' '
+        )
+        plain = F.concat(
+            F.array_join(pw, ' '),
+            F.lit(' '),
+            _html_anchor(F.element_at(w, start)),
+        )
+        body = F.when((F.col('doc_id') + i) % 4 == 0, stuffed).otherwise(plain)
+        paras.append(
+            F.when(
+                F.lit(i) < 2 + F.col('doc_id') % 3,
+                F.concat(F.lit('<p>'), body, F.lit('</p>')),
+            ).otherwise(F.lit(''))
+        )
+    html = F.concat(
+        F.lit('<html><body><nav>'),
+        nav,
+        F.lit('</nav>'),
+        *paras,
+        F.lit('<footer>Copyright '),
+        F.element_at(w, 2),
+        F.lit('</footer></body></html>'),
+    )
+    return docs.filter(F.size(w) >= HTML_MIN_WORDS).select(
+        'doc_id', html.alias('html')
+    )
+
+
+def _sql_html_gen() -> str:
+    """DuckDB twin of :func:`_html_corpus` (same unrolled generation)."""
+    nav = " || ' ' || ".join(
+        f"'<a href=\"#\">' || w[{i}] || '</a>'" for i in range(1, 6)
+    )
+    paras = []
+    for i in range(4):
+        start = 11 + 12 * i
+        stuffed = (
+            "array_to_string(list_transform("
+            f"list_slice(w, {start}, {start + 11}), "
+            "x -> '<a href=\"#\">' || x || '</a>'), ' ')"
+        )
+        plain = (
+            f"array_to_string(list_slice(w, {start}, {start + 11}), ' ') || "
+            f"' <a href=\"#\">' || w[{start}] || '</a>'"
+        )
+        paras.append(
+            f"CASE WHEN {i} < 2 + doc_id % 3 THEN '<p>' || "
+            f"CASE WHEN (doc_id + {i}) % 4 = 0 THEN {stuffed} "
+            f"ELSE {plain} END || '</p>' ELSE '' END"
+        )
+    return f"""
+    docs AS (
+        SELECT doc_id, str_split(text, ' ') AS w FROM documents
+        WHERE len(str_split(text, ' ')) >= {HTML_MIN_WORDS}
+    ),
+    gen AS (
+        SELECT doc_id,
+               '<html><body><nav>' || {nav} || '</nav>' ||
+               {' || '.join(paras)} ||
+               '<footer>Copyright ' || w[2] || '</footer></body></html>'
+                   AS html
+        FROM docs
+    )"""
+
+
+@register(
+    'text_html_extract',
+    oracle=f"""WITH {_sql_html_gen()},
+    blocks AS (
+        SELECT doc_id,
+               generate_subscripts(
+                   regexp_extract_all(html, '{_HTML_BLOCK_RE}', 2), 1
+               ) - 1 AS pos,
+               unnest(regexp_extract_all(html, '{_HTML_BLOCK_RE}', 2)) AS body
+        FROM gen
+    ),
+    scored AS (
+        SELECT doc_id, pos, clean,
+               COALESCE(list_sum(list_transform(
+                   regexp_extract_all(body, '{_HTML_ANCHOR_RE}', 1),
+                   x -> length(x))), 0) AS link_chars,
+               length(replace(clean, ' ', '')) AS text_chars,
+               len(str_split(clean, ' ')) AS n_words
+        FROM (
+            SELECT doc_id, pos, body,
+                   regexp_replace(trim(regexp_replace(
+                       body, '<[^>]*>', ' ', 'g')), ' +', ' ', 'g') AS clean
+            FROM blocks
+        )
+    ),
+    kept AS (
+        SELECT *, (2 * link_chars <= text_chars AND n_words >= 10) AS keep
+        FROM scored
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT)
+               AS kept_words,
+           CAST(SUM(CASE WHEN keep THEN text_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars,
+           COALESCE(
+               string_agg(CASE WHEN keep THEN clean END, ' ' ORDER BY pos),
+               '') AS main_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """HTML boilerplate extraction (see the section note): block split by
+    tag, tag-strip, integer link-density + length filter, and ordered
+    reassembly of the surviving main text. Generation is synthetic and
+    unrolled; the EXTRACTION side is generic — it assumes nothing about
+    block count or order, so the same plan serves arbitrary pages."""
+    docs = table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    blocks = _html_corpus(docs).select(
+        'doc_id',
+        F.posexplode(
+            F.regexp_extract_all('html', F.lit(_HTML_BLOCK_RE), F.lit(2))
+        ).alias('pos', 'body'),
+    )
+    clean = F.regexp_replace(
+        F.trim(F.regexp_replace('body', '<[^>]*>', ' ')), ' +', ' '
+    )
+    link_chars = F.aggregate(
+        F.regexp_extract_all('body', F.lit(_HTML_ANCHOR_RE), F.lit(1)),
+        F.lit(0).cast('long'),
+        lambda acc, x: acc + F.length(x),
+    )
+    scored = blocks.select(
+        'doc_id',
+        'pos',
+        clean.alias('clean'),
+        link_chars.alias('link_chars'),
+        F.length(F.replace(clean, F.lit(' '), F.lit(''))).alias('text_chars'),
+        F.size(F.split(clean, ' ')).alias('n_words'),
+    )
+    kept = scored.withColumn(
+        'keep',
+        (2 * F.col('link_chars') <= F.col('text_chars'))
+        & (F.col('n_words') >= 10),
+    )
+    return kept.groupBy('doc_id').agg(
+        F.count(F.lit(1)).alias('n_blocks'),
+        F.sum(F.col('keep').cast('long')).alias('n_kept'),
+        F.sum(F.when(F.col('keep'), F.col('n_words')).otherwise(0))
+        .cast('bigint')
+        .alias('kept_words'),
+        F.sum(F.when(F.col('keep'), F.col('text_chars')).otherwise(0))
+        .cast('bigint')
+        .alias('kept_chars'),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col('keep'), F.struct('pos', 'clean'))
+                    )
+                ),
+                lambda s: s.getField('clean'),
+            ),
+            ' ',
+        ).alias('main_text'),
+    )

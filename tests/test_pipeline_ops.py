@@ -832,3 +832,76 @@ def test_corpus_build_composes_its_stages_conservatively(spark):
     # straddle the split; spot-check the stronger claim directly
     n_fp = expected.select('fp').distinct().count()
     assert n_fp == exp.n
+
+
+def test_html_extract_matches_pure_python(spark):
+    """Re-run the synthetic-HTML generation AND the boilerplate extraction
+    in pure Python (re + str ops — same block split, tag strip, integer
+    link-density and length rules) and require identical rows, main text
+    included. Also pins the designed block behavior: navs and footers are
+    always dropped, link-stuffed paragraphs are dropped by DENSITY, and
+    every kept block is a plain paragraph."""
+    import re
+
+    import pandas as pd
+
+    from cyclebane_spark.queries.text import (
+        _HTML_ANCHOR_RE,
+        _HTML_BLOCK_RE,
+        HTML_MIN_WORDS,
+    )
+
+    def anchor(word):
+        return f'<a href="#">{word}</a>'
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    expected = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        w = text.split(' ')
+        if len(w) < HTML_MIN_WORDS:
+            continue
+        nav = ' '.join(anchor(x) for x in w[:5])
+        paras = []
+        npara = 2 + doc_id % 3
+        for i in range(4):
+            if i >= npara:
+                continue
+            pw = w[10 + 12 * i : 22 + 12 * i]
+            if (doc_id + i) % 4 == 0:
+                body = ' '.join(anchor(x) for x in pw)
+            else:
+                body = ' '.join(pw) + ' ' + anchor(pw[0])
+            paras.append(f'<p>{body}</p>')
+        html = (
+            f'<html><body><nav>{nav}</nav>' + ''.join(paras)
+            + f'<footer>Copyright {w[1]}</footer></body></html>'
+        )
+        kept, stats = [], [0, 0, 0, 0]
+        blocks = re.findall(_HTML_BLOCK_RE, html, flags=re.DOTALL)
+        for tag, body, _ in blocks:
+            clean = re.sub(' +', ' ', re.sub('<[^>]*>', ' ', body).strip())
+            link_chars = sum(
+                len(m) for m in re.findall(_HTML_ANCHOR_RE, body)
+            )
+            text_chars = len(clean.replace(' ', ''))
+            n_words = len(clean.split(' '))
+            keep = 2 * link_chars <= text_chars and n_words >= 10
+            stats[0] += 1
+            if keep:
+                assert tag == 'p', 'only plain paragraphs may survive'
+                stats[1] += 1
+                stats[2] += n_words
+                stats[3] += text_chars
+                kept.append(clean)
+            elif tag == 'p':
+                # a dropped paragraph must be a link-stuffed one
+                assert 2 * link_chars > text_chars
+        expected[int(doc_id)] = (*stats, ' '.join(kept))
+    rows = queries()['text_html_extract'](spark, SF_DIR).collect()
+    got = {
+        int(r.doc_id): (
+            r.n_blocks, r.n_kept, r.kept_words, r.kept_chars, r.main_text
+        )
+        for r in rows
+    }
+    assert got == expected

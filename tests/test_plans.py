@@ -925,3 +925,15 @@ def test_stream_ivf_ingest_serve_prunes_partitions(spark):
     raw = raw_plan_of(spark, 'stream_ivf_ingest')
     assert 'dynamicpruning' in raw
     assert 'SortMergeJoin' not in raw
+
+
+def test_html_extract_is_map_mostly_single_exchange(spark):
+    """text_html_extract: generation is unrolled per-doc projection (no
+    shuffle), the block explode is narrow, and the only exchange in the
+    plan is the doc_id-keyed final aggregate (partial+final) — a
+    map-mostly pipeline at 100 TB. Scan must prune to (doc_id, text)."""
+    raw = raw_plan_of(spark, 'text_html_extract')
+    assert raw.count('Exchange') == 1
+    assert 'SortMergeJoin' not in raw and 'CartesianProduct' not in raw
+    plan = plan_of(spark, 'text_html_extract')
+    assert 'ReadSchema: struct<doc_id:bigint,text:string>' in plan

@@ -71,8 +71,9 @@ QUERIES = (
     'text_bpe_apply',               # merge-argmax ties shift with density
     'stream_late_backfill_merge',   # reconciliation across denser windows
     'ann_ivf_persisted_topk',       # cell sizes / DPP probe at density
-    # round-9 addition
+    # round-9 additions
     'stream_ivf_ingest',            # batch split / cell assignment at density
+    'text_html_extract',            # density/length cutoffs at longer docs
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

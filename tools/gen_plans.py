@@ -311,6 +311,13 @@ NOTES['stream_ivf_ingest'] = [
     'query joins, no SMJ (identical shape to ann_ivf_persisted_topk)',
 ]
 
+NOTES['text_html_extract'] = [
+    'map-mostly boilerplate extraction: unrolled per-doc HTML generation',
+    '(no shuffle), narrow block explode, JVM-codegen regex/string ops,',
+    'integer link-density decision; the ONE exchange is the doc_id-keyed',
+    'final aggregate — scan pruned to (doc_id, text)',
+]
+
 NOTES['pipeline_corpus_build'] = [
     'four pipeline stages, ONE plan: a single column-pruned documents',
     'scan (doc_id, text only) feeds dedup window -> quality filter ->',
@@ -406,6 +413,7 @@ EXTRA = (
     'ann_ivf_persisted_topk',
     # round-9 additions
     'stream_ivf_ingest',
+    'text_html_extract',
 )
 
 
