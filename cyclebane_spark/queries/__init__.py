@@ -142,15 +142,15 @@ _PRIORITY = (
     'text_vocab_coverage',
     # 45: changed this round (late_data_audit replay-ordering guard)
     'stream_late_data_audit',
-    # 46-47: never-seen (new in round 9)
+    # 46-48: never-seen (new in round 9)
     'stream_ivf_ingest',
     'text_html_extract',
-    # 48: changed this round (standing-index/serve split for the bench)
+    'text_wordpiece_apply',
+    # 49: changed this round (standing-index/serve split for the bench)
     'ann_ivf_persisted_topk',
-    # 49-50: oldest round-5-green backfill (alphabetical; displaced by new
+    # 50: oldest round-5-green backfill (alphabetical; displaced by new
     # round-9 registrations as they land)
     'ann_hard_negatives',
-    'ann_ivf_incremental_assign',
 )
 
 

@@ -3330,3 +3330,230 @@ def text_html_extract(spark, sf_dir):
             ' ',
         ).alias('main_text'),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece apply — the OTHER half of production tokenization next to the
+# BPE codec above: greedy leftmost-LONGEST subword matching against a
+# bounded vocabulary of initial pieces and '##' continuation pieces
+# (BERT-style), with whole-word [UNK] fallback for words over the length
+# cap. Relational statement: tokenize the DISTINCT-word table (the
+# dictionary trick — distinct words are millions where the corpus is
+# trillions of tokens), one bounded unrolled round per consumed piece;
+# each round resolves longest-match with LEFT equi-joins against the
+# per-length vocab tables (key = substr(word, off+1, L); a shorter
+# remainder can never equal a longer piece, so the joins are 1:0/1 and
+# COALESCE(L=4,3,2,1) IS the leftmost-longest argmax — no window needed),
+# then the (word -> n_tokens) result BROADCASTS back onto the corpus
+# token stream exactly like text_bpe_apply. Everything is integer/string
+# built-ins — bit-equal across engines.
+#
+# The vocab is derived deterministically from the corpus so the oracle
+# can rebuild it: initial chars of all distinct words + chars at
+# positions 2..cap (progress is guaranteed, so [UNK] only fires on the
+# length cap) + prefixes (len 2-4) and interior pieces (positions 2-5,
+# len 2-3) of the TOP-20 words by frequency.
+# ---------------------------------------------------------------------------
+
+WP_MAX_LEN = 6  # words longer than this are whole-word [UNK] (exercised)
+WP_TOP = 20  # frequent words contributing multi-char pieces
+
+
+def _wp_vocab(spark, sf_dir):
+    """The per-length vocab tables: {('init', L): df, ('cont', L): df},
+    each a DISTINCT one-column (piece) frame, eagerly checkpointed (tiny —
+    every round of the matcher references them)."""
+    docs = table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    tok = docs.select(F.explode(F.split('text', ' ')).alias('word'))
+    wf = tok.groupBy('word').agg(F.count(F.lit(1)).alias('c'))
+    words = wf.select('word')
+    top = wf.orderBy(F.desc('c'), 'word').limit(WP_TOP).select('word')
+    pos = F.explode(F.sequence(F.lit(2), F.lit(WP_MAX_LEN))).alias('i')
+
+    out = {}
+    out[('init', 1)] = words.select(
+        F.substring('word', 1, 1).alias('piece')
+    ).distinct()
+    for L in (2, 3, 4):
+        out[('init', L)] = (
+            top.filter(F.length('word') >= L)
+            .select(F.substring('word', 1, L).alias('piece'))
+            .distinct()
+        )
+    out[('cont', 1)] = (
+        words.select('word', pos)
+        .filter(F.length('word') >= F.col('i'))
+        .select(F.substring('word', F.col('i'), F.lit(1)).alias('piece'))
+        .distinct()
+    )
+    for L in (2, 3):
+        posn = F.explode(F.sequence(F.lit(2), F.lit(5))).alias('i')
+        out[('cont', L)] = (
+            top.select('word', posn)
+            .filter(F.length('word') >= F.col('i') + (L - 1))
+            .select(F.substring('word', F.col('i'), F.lit(L)).alias('piece'))
+            .distinct()
+        )
+    return {k: v.localCheckpoint(eager=True) for k, v in out.items()}, words
+
+
+def wordpiece_word_tokens(spark, sf_dir):
+    """(word, n, toks) for every distinct corpus word — the dictionary the
+    corpus stream joins. Exposed for the pure-Python twin test."""
+    vocab, words = _wp_vocab(spark, sf_dir)
+
+    st = words.filter(F.length('word') <= WP_MAX_LEN).select(
+        'word',
+        F.length('word').alias('wl'),
+        F.lit(0).alias('off'),
+        F.lit('').alias('toks'),
+        F.lit(0).alias('n'),
+    )
+
+    def lookup(st, kind, lengths):
+        """LEFT-join the per-length piece tables on the current suffix and
+        coalesce longest-first — the leftmost-longest argmax."""
+        cols = []
+        for L in lengths:
+            piece = vocab[(kind, L)].select(
+                F.col('piece').alias(f'p{L}')
+            )
+            st = st.join(
+                F.broadcast(piece),
+                F.substring(
+                    F.col('word'), F.col('off') + 1, F.lit(L)
+                )
+                == F.col(f'p{L}'),
+                'left',
+            )
+            cols.append(F.col(f'p{L}'))
+        return st, F.coalesce(*cols)
+
+    # round 0: the initial piece (off == 0 exactly once)
+    st, p = lookup(st, 'init', (4, 3, 2, 1))
+    st = st.select(
+        'word',
+        'wl',
+        (F.col('off') + F.length(p)).alias('off'),
+        p.alias('toks'),
+        F.lit(1).alias('n'),
+    )
+    # rounds 1..cap-1: continuation pieces; char coverage guarantees
+    # progress, so every state terminates by construction
+    for _ in range(1, WP_MAX_LEN):
+        st, p = lookup(st, 'cont', (3, 2, 1))
+        active = F.col('off') < F.col('wl')
+        st = st.select(
+            'word',
+            'wl',
+            F.when(active, F.col('off') + F.length(p))
+            .otherwise(F.col('off'))
+            .alias('off'),
+            F.when(active, F.concat(F.col('toks'), F.lit(' ##'), p))
+            .otherwise(F.col('toks'))
+            .alias('toks'),
+            (F.col('n') + active.cast('int')).alias('n'),
+        )
+    unk = words.filter(F.length('word') > WP_MAX_LEN).select(
+        'word', F.lit(1).alias('n'), F.lit('[UNK]').alias('toks')
+    )
+    return st.select('word', 'n', 'toks').unionByName(unk)
+
+
+def _sql_wordpiece() -> str:
+    rounds = []
+    for k in range(1, WP_MAX_LEN):
+        rounds.append(f"""r{k} AS (
+        SELECT word, wl,
+               CASE WHEN off < wl THEN off + length(p) ELSE off END AS off,
+               CASE WHEN off < wl THEN toks || ' ##' || p ELSE toks END AS toks,
+               n + CASE WHEN off < wl THEN 1 ELSE 0 END AS n
+        FROM (
+            SELECT s.*, COALESCE(c3.piece, c2.piece, c1.piece) AS p
+            FROM r{k - 1} s
+            LEFT JOIN cont3 c3 ON substr(s.word, s.off + 1, 3) = c3.piece
+            LEFT JOIN cont2 c2 ON substr(s.word, s.off + 1, 2) = c2.piece
+            LEFT JOIN cont1 c1 ON substr(s.word, s.off + 1, 1) = c1.piece
+        )
+    )""")
+    return f"""WITH wf AS (
+        SELECT word, COUNT(*) AS c FROM (
+            SELECT unnest(str_split(text, ' ')) AS word FROM documents
+        ) GROUP BY word
+    ),
+    words AS (SELECT word FROM wf),
+    top AS (SELECT word FROM wf ORDER BY c DESC, word LIMIT {WP_TOP}),
+    init1 AS (SELECT DISTINCT substr(word, 1, 1) AS piece FROM words),
+    init2 AS (SELECT DISTINCT substr(word, 1, 2) AS piece FROM top
+              WHERE length(word) >= 2),
+    init3 AS (SELECT DISTINCT substr(word, 1, 3) AS piece FROM top
+              WHERE length(word) >= 3),
+    init4 AS (SELECT DISTINCT substr(word, 1, 4) AS piece FROM top
+              WHERE length(word) >= 4),
+    cont1 AS (SELECT DISTINCT substr(word, i, 1) AS piece
+              FROM words, generate_series(2, {WP_MAX_LEN}) t(i)
+              WHERE length(word) >= i),
+    cont2 AS (SELECT DISTINCT substr(word, i, 2) AS piece
+              FROM top, generate_series(2, 5) t(i)
+              WHERE length(word) >= i + 1),
+    cont3 AS (SELECT DISTINCT substr(word, i, 3) AS piece
+              FROM top, generate_series(2, 5) t(i)
+              WHERE length(word) >= i + 2),
+    r0 AS (
+        SELECT word, wl, length(p) AS off, p AS toks, 1 AS n
+        FROM (
+            SELECT s.word, length(s.word) AS wl,
+                   COALESCE(i4.piece, i3.piece, i2.piece, i1.piece) AS p
+            FROM words s
+            LEFT JOIN init4 i4 ON substr(s.word, 1, 4) = i4.piece
+            LEFT JOIN init3 i3 ON substr(s.word, 1, 3) = i3.piece
+            LEFT JOIN init2 i2 ON substr(s.word, 1, 2) = i2.piece
+            LEFT JOIN init1 i1 ON substr(s.word, 1, 1) = i1.piece
+            WHERE length(s.word) <= {WP_MAX_LEN}
+        )
+    ),
+    {','.join(rounds)},
+    word_tokens AS (
+        SELECT word, n, toks FROM r{WP_MAX_LEN - 1}
+        UNION ALL
+        SELECT word, 1 AS n, '[UNK]' AS toks FROM words
+        WHERE length(word) > {WP_MAX_LEN}
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(wt.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN wt.toks = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unk
+    FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents
+    ) d
+    JOIN word_tokens wt USING (word)
+    GROUP BY d.doc_id
+    """
+
+
+@register('text_wordpiece_apply', oracle=_sql_wordpiece())
+def text_wordpiece_apply(spark, sf_dir):
+    """WordPiece/greedy-longest-match tokenizer apply (see the section
+    note): tokenize the distinct-word dictionary in WP_MAX_LEN unrolled
+    rounds of per-length LEFT equi-joins (COALESCE longest-first = the
+    leftmost-longest argmax), then broadcast the (word -> n_tokens, unk)
+    dictionary onto the corpus token stream for the per-doc rollup — one
+    equi-join + one doc_id-keyed shuffle over the corpus, exactly the
+    text_bpe_apply scale shape."""
+    docs = table(spark, sf_dir, 'documents').select('doc_id', 'text')
+    wt = wordpiece_word_tokens(spark, sf_dir)
+    stream = docs.select(
+        'doc_id', F.explode(F.split('text', ' ')).alias('word')
+    )
+    return (
+        stream.join(F.broadcast(wt), 'word')
+        .groupBy('doc_id')
+        .agg(
+            F.count(F.lit(1)).alias('n_words'),
+            F.sum('n').cast('bigint').alias('n_tokens'),
+            F.sum((F.col('toks') == '[UNK]').cast('int'))
+            .cast('bigint')
+            .alias('n_unk'),
+        )
+    )

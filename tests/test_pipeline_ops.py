@@ -905,3 +905,67 @@ def test_html_extract_matches_pure_python(spark):
         for r in rows
     }
     assert got == expected
+
+
+def test_wordpiece_matches_pure_python(spark):
+    """Re-run the vocab build AND the greedy leftmost-longest matcher in
+    pure Python and require identical per-word tokenizations (piece
+    sequence included, not just counts) — the property that pins the
+    COALESCE-longest-first join cascade as a correct WordPiece matcher.
+    Also asserts the designed behavior: every over-cap word is [UNK],
+    every tokenization reassembles to its word, and at least one word
+    uses a multi-char piece (the matcher is not degenerating to chars)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from cyclebane_spark.queries.text import (
+        WP_MAX_LEN,
+        WP_TOP,
+        wordpiece_word_tokens,
+    )
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    wf = Counter()
+    for text in docs.text:
+        wf.update(text.split(' '))
+    words = sorted(wf)
+    top = [w for w, _ in sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:WP_TOP]]
+
+    init = {w[:1] for w in words}
+    for L in (2, 3, 4):
+        init |= {w[:L] for w in top if len(w) >= L}
+    cont = {w[i : i + 1] for w in words for i in range(1, WP_MAX_LEN)}
+    for L in (2, 3):
+        cont |= {
+            w[i : i + L] for w in top for i in range(1, 5) if len(w) >= i + L
+        }
+
+    def tokenize(w):
+        if len(w) > WP_MAX_LEN:
+            return ['[UNK]']
+        toks, off = [], 0
+        while off < len(w):
+            table = init if off == 0 else cont
+            for L in (4, 3, 2, 1) if off == 0 else (3, 2, 1):
+                p = w[off : off + L]
+                if len(p) == L and p in table:
+                    toks.append(p if off == 0 else '##' + p)
+                    off += L
+                    break
+        return toks
+
+    expected = {w: tokenize(w) for w in words}
+    got = {
+        r.word: r.toks.split(' ')
+        for r in wordpiece_word_tokens(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    multi = 0
+    for w, toks in got.items():
+        if toks == ['[UNK]']:
+            assert len(w) > WP_MAX_LEN
+            continue
+        assert ''.join(t.removeprefix('##') for t in toks) == w
+        multi += any(len(t.removeprefix('##')) > 1 for t in toks)
+    assert multi > 0

@@ -937,3 +937,17 @@ def test_html_extract_is_map_mostly_single_exchange(spark):
     assert 'SortMergeJoin' not in raw and 'CartesianProduct' not in raw
     plan = plan_of(spark, 'text_html_extract')
     assert 'ReadSchema: struct<doc_id:bigint,text:string>' in plan
+
+
+def test_wordpiece_dictionary_broadcasts_onto_corpus(spark):
+    """text_wordpiece_apply: the tokenized distinct-word dictionary must
+    reach the corpus token stream as a BROADCAST join (the dictionary is
+    distinct-words-sized; shipping the corpus to it would be the 100 TB
+    anti-shape); the matcher's per-length piece lookups are broadcast
+    left joins over checkpointed tiny tables; no sort-merge join or
+    cartesian anywhere; the final per-doc aggregate keeps map-side
+    partials."""
+    raw = raw_plan_of(spark, 'text_wordpiece_apply')
+    assert 'SortMergeJoin' not in raw and 'CartesianProduct' not in raw
+    assert 'BroadcastHashJoin' in raw
+    assert 'partial_count' in raw or 'partial_sum' in raw

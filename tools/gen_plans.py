@@ -318,6 +318,15 @@ NOTES['text_html_extract'] = [
     'final aggregate — scan pruned to (doc_id, text)',
 ]
 
+NOTES['text_wordpiece_apply'] = [
+    'dictionary-trick tokenization: the matcher runs on DISTINCT words',
+    '(bounded) in unrolled rounds of per-length broadcast LEFT joins',
+    '(COALESCE longest-first = leftmost-longest argmax, no window); the',
+    '(word -> n_tokens) dictionary then BROADCASTS onto the corpus token',
+    'stream — one equi-join + one doc_id-keyed partial-agg shuffle, the',
+    'text_bpe_apply scale shape',
+]
+
 NOTES['pipeline_corpus_build'] = [
     'four pipeline stages, ONE plan: a single column-pruned documents',
     'scan (doc_id, text only) feeds dedup window -> quality filter ->',
@@ -414,6 +423,7 @@ EXTRA = (
     # round-9 additions
     'stream_ivf_ingest',
     'text_html_extract',
+    'text_wordpiece_apply',
 )
 
 
