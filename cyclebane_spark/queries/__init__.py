@@ -77,8 +77,15 @@ _WINDOW_ROUND = 9
 # shifts; green-path semantics identical). ann_ivf_persisted_topk's body
 # split into ivf_standing_index + ivf_serve so tools/marginal_bench.py
 # can time the serve alone (the merge_from_summaries pattern; semantics
-# identical).
-_CHANGED_THIS_ROUND = ('stream_late_data_audit', 'ann_ivf_persisted_topk')
+# identical). The code-review pass then extracted late_replay_dir's
+# single-file landing writer into the shared write_mtime_ordered_file
+# (also used by the IVF ingest landing) — a shared-helper edit that makes
+# stream_late_backfill_merge changed too (output byte-identical).
+_CHANGED_THIS_ROUND = (
+    'stream_late_data_audit',
+    'stream_late_backfill_merge',
+    'ann_ivf_persisted_topk',
+)
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
@@ -148,9 +155,8 @@ _PRIORITY = (
     'text_wordpiece_apply',
     # 49: changed this round (standing-index/serve split for the bench)
     'ann_ivf_persisted_topk',
-    # 50: oldest round-5-green backfill (alphabetical; displaced by new
-    # round-9 registrations as they land)
-    'ann_hard_negatives',
+    # 50: changed this round (shared landing-writer extraction)
+    'stream_late_backfill_merge',
 )
 
 

@@ -368,10 +368,13 @@ def _sql_kmeans_ctes(extra: str = '', prefix: str = '') -> str:
     return 'WITH ' + ',\n    '.join(parts)
 
 
-def _sql_kmeans_search(nprobe: int) -> str:
-    """Shared probe/search tail: assign queries to their ``nprobe`` nearest
-    trained cells, rank candidates from those cells' inverted lists."""
-    return f"""{_sql_kmeans_ctes()},
+def _sql_search_tail(nprobe: int, af: str = 'af') -> str:
+    """The probe/search SQL tail shared by every IVF search oracle: assign
+    queries to their ``nprobe`` nearest trained cells, rank candidates
+    from those cells' inverted lists. ``af``: name of the inverted-list
+    assignment CTE (the ingest oracle searches a full-corpus ``afall``).
+    Defaults render byte-identical to the historical form."""
+    return f"""
     qa AS (
         SELECT vec_id AS query_id, cl FROM (
             SELECT e.vec_id, c.cl,
@@ -388,7 +391,7 @@ def _sql_kmeans_search(nprobe: int) -> str:
         SELECT qa.query_id, a.vec_id AS neighbor_id,
                SUM((eq.q - ec.q) * (eq.q - ec.q)) AS dist2
         FROM qa
-        JOIN af a ON a.cl = qa.cl
+        JOIN {af} a ON a.cl = qa.cl
         JOIN e eq ON eq.vec_id = qa.query_id
         JOIN e ec ON ec.vec_id = a.vec_id AND ec.pos = eq.pos
         GROUP BY qa.query_id, a.vec_id
@@ -401,6 +404,11 @@ def _sql_kmeans_search(nprobe: int) -> str:
         FROM cand
     ) WHERE rk <= {KM_TOPK}
     """
+
+
+def _sql_kmeans_search(nprobe: int) -> str:
+    """Full-corpus-trained IVF search oracle: k-means CTEs + shared tail."""
+    return f'{_sql_kmeans_ctes()},{_sql_search_tail(nprobe)}'
 
 
 def _kmeans_train(spark, sf_dir, extra_filter=None):
@@ -596,11 +604,12 @@ def ivf_serve(spark, idx_dir, e, cent, assign):
     cell-partitioned index — everything the serving path pays per query
     batch: assign the queries to the broadcast centroids, then the DPP
     probe join + per-(query, neighbor) integer distance fold + top-k.
-    Timed alone by tools/marginal_bench.py; tolerates the ingest
-    layout's extra per-batch subpartition column."""
-    index = spark.read.parquet(idx_dir)
-    if 'ingest_batch' in index.columns:
-        index = index.drop('ingest_batch')
+    Timed alone by tools/marginal_bench.py; selects exactly the probe
+    columns, so any partition-layout variant (the ingest layout adds a
+    per-batch subpartition level) serves unchanged."""
+    index = spark.read.parquet(idx_dir).select(
+        'neighbor_id', 'pos', 'qc', 'cl'
+    )
     queries_e = e.filter(F.col('vec_id') < N_QUERIES)
     qa = assign(queries_e, cent, n=1).select(
         F.col('vec_id').alias('query_id'), 'cl'
@@ -2382,11 +2391,8 @@ def _ivf_ingest_landing(spark, sf_dir: str) -> str:
     order them — with maxFilesPerTrigger=1 each file is one micro-batch
     (the late_replay_dir idiom). The file split is deterministic
     ((vec_id // 10) % 3), so replays see identical batches."""
-    import glob
-    import os
-    import shutil
-
     from ..scratch import scratch_dir
+    from ..streaming.windows import write_mtime_ordered_file
 
     emb = table(spark, sf_dir, 'embeddings').select('vec_id', 'embedding')
     incoming = emb.filter(
@@ -2395,25 +2401,16 @@ def _ivf_ingest_landing(spark, sf_dir: str) -> str:
     )
     land = scratch_dir('cb_ivf_ingest_land', sf_dir, wipe=True)
     for i in range(IVF_INGEST_FILES):
-        tmp = scratch_dir(
-            'cb_ivf_ingest_tmp', f'{sf_dir}/b{i}', create=False
-        )
-        (
+        write_mtime_ordered_file(
             incoming.filter(
                 (F.col('vec_id') / ANN_INCR_MOD).cast('bigint')
                 % IVF_INGEST_FILES
                 == i
-            )
-            .coalesce(1)
-            .write.mode('overwrite')
-            .parquet(tmp)
+            ),
+            land,
+            f'b{i}',
+            i,
         )
-        part = glob.glob(f'{tmp}/part-*.parquet')[0]
-        dst = f'{land}/b{i}.parquet'
-        shutil.copy(part, dst)
-        mtime = 1_000_000 + i * 1_000
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
     return land
 
 
@@ -2525,7 +2522,7 @@ def ivf_ingest_run(spark, sf_dir: str, replay: bool = False):
         .start()
     )
     query.awaitTermination()
-    return idx_dir, ledger
+    return idx_dir, ledger, (e, cent, assign)
 
 
 def ivf_persisted_serve(spark, sf_dir: str, idx_dir: str):
@@ -2538,7 +2535,7 @@ def ivf_persisted_serve(spark, sf_dir: str, idx_dir: str):
     return ivf_serve(spark, idx_dir, e, cent, assign)
 
 
-_INGEST_SEARCH_TAIL = f"""
+_INGEST_AFALL = f"""
     afall AS (
         SELECT vec_id, cl FROM (
             SELECT e.vec_id, c.cl,
@@ -2550,41 +2547,15 @@ _INGEST_SEARCH_TAIL = f"""
             WHERE e.vec_id >= {N_QUERIES}
             GROUP BY e.vec_id, c.cl
         ) WHERE rk = 1
-    ),
-    qa AS (
-        SELECT vec_id AS query_id, cl FROM (
-            SELECT e.vec_id, c.cl,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY SUM((e.q - c.c) * (e.q - c.c)), c.cl
-                   ) AS rk
-            FROM e JOIN c{KM_ITERS} c ON e.pos = c.pos
-            WHERE e.vec_id < {N_QUERIES}
-            GROUP BY e.vec_id, c.cl
-        ) WHERE rk = 1
-    ),
-    cand AS (
-        SELECT qa.query_id, a.vec_id AS neighbor_id,
-               SUM((eq.q - ec.q) * (eq.q - ec.q)) AS dist2
-        FROM qa
-        JOIN afall a ON a.cl = qa.cl
-        JOIN e eq ON eq.vec_id = qa.query_id
-        JOIN e ec ON ec.vec_id = a.vec_id AND ec.pos = eq.pos
-        GROUP BY qa.query_id, a.vec_id
-    )
-    SELECT query_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2, rk FROM (
-        SELECT query_id, neighbor_id, dist2,
-               ROW_NUMBER() OVER (
-                   PARTITION BY query_id ORDER BY dist2, neighbor_id
-               ) AS rk
-        FROM cand
-    ) WHERE rk <= {KM_TOPK}
-    """
+    )"""
 
 
 @register(
     'stream_ivf_ingest',
-    oracle=f'{_sql_kmeans_ctes(_INCR_HOLDOUT)},{_INGEST_SEARCH_TAIL}',
+    oracle=(
+        f'{_sql_kmeans_ctes(_INCR_HOLDOUT)},{_INGEST_AFALL},'
+        + _sql_search_tail(1, af='afall')
+    ),
 )
 def stream_ivf_ingest(spark, sf_dir):
     """IVF lifecycle step 5: streaming foreachBatch ingest into the
@@ -2594,6 +2565,9 @@ def stream_ivf_ingest(spark, sf_dir):
     quantizer — the oracle trains on the standing corpus (holdout), then
     assigns and searches ALL corpus vectors. Batching, replay, and the
     drift ledger cannot move the result; the replay-idempotence and
-    drift-ledger properties are pinned in tests/test_streaming.py."""
-    idx_dir, _ledger = ivf_ingest_run(spark, sf_dir)
-    return ivf_persisted_serve(spark, sf_dir, idx_dir)
+    drift-ledger properties are pinned in tests/test_streaming.py. The
+    serve reuses the ingest run's standing quantizer state (training runs
+    ONCE per execution; the test path re-derives it independently via
+    ivf_persisted_serve as a stronger check)."""
+    idx_dir, _ledger, (e, cent, assign) = ivf_ingest_run(spark, sf_dir)
+    return ivf_serve(spark, idx_dir, e, cent, assign)

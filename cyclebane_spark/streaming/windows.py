@@ -98,6 +98,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def write_mtime_ordered_file(df, land: str, name: str, seq: int) -> None:
+    """Write ``df`` as ONE parquet file at ``{land}/{name}.parquet`` whose
+    mtime orders it ``seq``-th — the single-file micro-batch replay idiom
+    shared by the late-data replays and the IVF ingest landing: with
+    ``maxFilesPerTrigger=1`` the FileStreamSource turns each file into one
+    deterministic micro-batch, in mtime order."""
+    import glob
+    import os
+    import shutil
+
+    from ..scratch import scratch_dir
+
+    tmp = scratch_dir('cb_ordered_tmp', f'{land}/{name}', create=False)
+    df.coalesce(1).write.mode('overwrite').parquet(tmp)
+    part = glob.glob(f'{tmp}/part-*.parquet')[0]
+    dst = f'{land}/{name}.parquet'
+    shutil.copy(part, dst)
+    mtime = 1_000_000 + seq * 1_000
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def late_replay_dir(
     spark: SparkSession,
     sf_dir: str,
@@ -134,10 +156,6 @@ def late_replay_dir(
     case the backfill query exercises); pass a distinct ``variant`` with
     it so the two replays get separate scratch dirs.
     """
-    import glob
-    import os
-    import shutil
-
     from ..scratch import scratch_dir
     from ..tables import table
 
@@ -160,22 +178,10 @@ def late_replay_dir(
     )
     land = scratch_dir('cb_late_replay', sf_dir + variant, wipe=True)
     for i, (name, pred) in enumerate(subsets):
-        tmp = scratch_dir(
-            'cb_late_replay_tmp', f'{sf_dir}{variant}/{name}', create=False
+        # file order = replay order
+        write_mtime_ordered_file(
+            tagged.filter(pred).drop('t0', 't1'), land, name, i
         )
-        (
-            tagged.filter(pred)
-            .drop('t0', 't1')
-            .coalesce(1)
-            .write.mode('overwrite')
-            .parquet(tmp)
-        )
-        part = glob.glob(f'{tmp}/part-*.parquet')[0]
-        dst = f'{land}/{name}.parquet'
-        shutil.copy(part, dst)
-        mtime = 1_000_000 + i * 1_000  # file order = replay order
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(tmp, ignore_errors=True)
     return land
 
 

@@ -1286,7 +1286,7 @@ def test_ivf_ingest_replay_is_idempotent_and_ledger_deterministic(spark):
             for r in spark.read.parquet(f'{d}/b*').collect()
         )
 
-    idx1, led1 = ivf_ingest_run(spark, SF_DIR)
+    idx1, led1, _state = ivf_ingest_run(spark, SF_DIR)
     rows1, ledger1 = index_rows(idx1), ledger_rows(led1)
     serve1 = sorted(map(tuple, ivf_persisted_serve(spark, SF_DIR, idx1).collect()))
 
@@ -1296,7 +1296,7 @@ def test_ivf_ingest_replay_is_idempotent_and_ledger_deterministic(spark):
     ingested = [r for r in rows1 if r[4] >= 0]
     assert len({(r[0], r[1]) for r in ingested}) == len(ingested)
 
-    idx2, led2 = ivf_ingest_run(spark, SF_DIR, replay=True)
+    idx2, led2, _state2 = ivf_ingest_run(spark, SF_DIR, replay=True)
     assert idx2 == idx1 and led2 == led1  # same standing paths
     assert index_rows(idx2) == rows1
     assert ledger_rows(led2) == ledger1
