@@ -102,7 +102,10 @@ _CHANGED_THIS_ROUND = (
 # last) as they land. Everything below position 50 is driver-green in
 # r5-r8 and unchanged since.
 _PRIORITY = (
-    # 1-44: the full round-4-green staleness tail (alphabetical)
+    # 1-43: the round-4-green staleness tail (alphabetical; the 44th,
+    # text_vocab_coverage — alphabetically last, i.e. the freshest by the
+    # (round, name) backfill order — is displaced by this round's 7
+    # required changed/never-seen slots and rotates first in round 10)
     'ann_rp_lsh_multiprobe',
     'basket_brand_rules',
     'dedup_cluster_representatives',
@@ -146,17 +149,17 @@ _PRIORITY = (
     'text_lexical_gini',
     'text_pmi_cooccurrence',
     'text_quality_classifier',
-    'text_vocab_coverage',
-    # 45: changed this round (late_data_audit replay-ordering guard)
+    # 44: changed this round (late_data_audit replay-ordering guard)
     'stream_late_data_audit',
-    # 46-48: never-seen (new in round 9)
+    # 45: changed this round (shared landing-writer extraction)
+    'stream_late_backfill_merge',
+    # 46-49: never-seen (new in round 9)
     'stream_ivf_ingest',
     'text_html_extract',
     'text_wordpiece_apply',
-    # 49: changed this round (standing-index/serve split for the bench)
+    'text_unigram_segment',
+    # 50: changed this round (standing-index/serve split for the bench)
     'ann_ivf_persisted_topk',
-    # 50: changed this round (shared landing-writer extraction)
-    'stream_late_backfill_merge',
 )
 
 

@@ -3557,3 +3557,238 @@ def text_wordpiece_apply(spark, sf_dir):
             .alias('n_unk'),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM segmentation (SentencePiece-style Viterbi) — the third
+# production tokenizer next to BPE (train/apply above) and WordPiece:
+# segment each word into the piece sequence MAXIMIZING the product of
+# unigram piece probabilities (argmax Π p(piece_i), p = cnt/D over the
+# piece inventory). Floats would be engine-divergent, so the objective is
+# quantized to exact integers: q(piece) = (SCALE * cnt) DIV D with
+# SCALE = 1e6, and segmentations of different lengths are compared via
+# the length-normalized DP value v = Π q_i * SCALE^(j - n) (= the common-
+# denominator cross-multiplication of Π q_i / SCALE^n, exact because
+# v <= SCALE^6 = 1e36 < 1e38 — decimal(38,0) in Spark, HUGEINT in
+# DuckDB). Since every q < SCALE, longer segmentations pay per piece —
+# the true unigram trade-off between piece frequency and piece count.
+# Ties break on the segmentation string.
+#
+# The Viterbi DP unrolls relationally over the DISTINCT-word dictionary
+# (same trick as WordPiece): dp[j] = argmax over piece length L of
+# dp[j-L] * q(word[j-L+1 .. j]) * SCALE^(L-1), one CTE / DataFrame per
+# position j = 1..cap, candidates from <= 4 broadcast piece lookups,
+# argmax via one tiny window per round. Piece inventory and counts come
+# from the corpus itself (all single chars + every length-2..4 substring
+# above a frequency floor), so the oracle rebuilds them exactly.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_LEN = 6  # words longer than this emit a single [UNK]
+UNIGRAM_PROB_SCALE = 1_000_000  # probability quantization denominator
+UNIGRAM_FLOOR_DIV = 50  # keep multi-char pieces with cnt * 50 >= total words
+
+
+def _unigram_vocab(spark, sf_dir):
+    """(piece, q) table: q = integer-quantized unigram probability
+    (SCALE * cnt) DIV D, where cnt is the corpus-occurrence-weighted
+    count of the piece over every position of every distinct word and
+    D = sum of cnt over the kept inventory. Single chars are always kept
+    (segmentability); length-2..4 pieces need cnt * UNIGRAM_FLOOR_DIV >=
+    total word occurrences."""
+    docs = table(spark, sf_dir, 'documents').select('text')
+    wf = (
+        docs.select(F.explode(F.split('text', ' ')).alias('word'))
+        .groupBy('word')
+        .agg(F.count(F.lit(1)).alias('c'))
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.lit(UNIGRAM_MAX_LEN))).alias('i')
+    ln = F.explode(F.sequence(F.lit(1), F.lit(4))).alias('l')
+    sub = (
+        wf.select('word', 'c', pos)
+        .select('word', 'c', 'i', ln)
+        .filter(F.length('word') >= F.col('i') + F.col('l') - 1)
+        .select(
+            F.substring(F.col('word'), F.col('i'), F.col('l')).alias('piece'),
+            F.col('l'),
+            'c',
+        )
+        .groupBy('piece', 'l')
+        .agg(F.sum('c').alias('cnt'))
+    )
+    tot = wf.agg(F.sum('c').alias('tot'))
+    kept = (
+        sub.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col('l') == 1)
+            | (F.col('cnt') * UNIGRAM_FLOOR_DIV >= F.col('tot'))
+        )
+        .select('piece', 'cnt')
+    )
+    d = kept.agg(F.sum('cnt').alias('d'))
+    vocab = kept.crossJoin(F.broadcast(d)).select(
+        'piece',
+        F.floor(
+            F.col('cnt') * UNIGRAM_PROB_SCALE / F.col('d')
+        ).cast('bigint').alias('q'),
+    )
+    return vocab.localCheckpoint(eager=True), wf
+
+
+def unigram_word_segments(spark, sf_dir, materialize: bool = True):
+    """(word, toks, n_pieces, score_num) for every distinct corpus word —
+    the Viterbi-optimal segmentation. Exposed for the pure-Python twin;
+    ``materialize=False`` keeps the raw composed plan for the plan-shape
+    pin (the _occupancy_drift pattern)."""
+    vocab, wf = _unigram_vocab(spark, sf_dir)
+    words = wf.select('word').withColumn('wl', F.length('word'))
+    dec = 'decimal(38,0)'
+
+    # dp[j] frames: best length-normalized value v = prod(q) * SCALE^(j-n)
+    dp = {
+        0: words.filter(F.col('wl') <= UNIGRAM_MAX_LEN).select(
+            'word',
+            'wl',
+            F.lit(1).cast(dec).alias('v'),
+            F.lit('').alias('toks'),
+            F.lit(0).alias('n'),
+        )
+    }
+    for j in range(1, UNIGRAM_MAX_LEN + 1):
+        cands = []
+        for L in range(1, min(4, j) + 1):
+            piece = F.substring(F.col('word'), j - L + 1, L)
+            prev = dp[j - L].filter(F.col('wl') >= j)
+            norm = UNIGRAM_PROB_SCALE ** (L - 1)
+            cands.append(
+                prev.join(
+                    F.broadcast(vocab), piece == F.col('piece')
+                ).select(
+                    'word',
+                    'wl',
+                    (
+                        F.col('v')
+                        * F.col('q')
+                        * F.lit(norm).cast(dec)
+                    ).alias('v'),
+                    F.when(F.col('toks') == '', F.col('piece'))
+                    .otherwise(F.concat_ws(' ', 'toks', 'piece'))
+                    .alias('toks'),
+                    (F.col('n') + 1).alias('n'),
+                )
+            )
+        allc = cands[0]
+        for c in cands[1:]:
+            allc = allc.unionByName(c)
+        w = Window.partitionBy('word').orderBy(F.desc('v'), 'toks')
+        # each dp frame is consumed by up to 4 later rounds AND the final
+        # union — without materialization Catalyst re-expands the whole
+        # prefix per consumer (measured: 115 joins / 62 windows for what
+        # is 20 joins / 6 argmaxes of dictionary-sized frames). An eager
+        # localCheckpoint per round keeps the plan linear in rounds (the
+        # drift-gate lesson); the frames are distinct-words-sized.
+        dp[j] = (
+            allc.withColumn('rk', F.row_number().over(w))
+            .filter(F.col('rk') == 1)
+            .drop('rk')
+        )
+        if materialize:
+            dp[j] = dp[j].localCheckpoint(eager=True)
+
+    segmented = None
+    for j in range(1, UNIGRAM_MAX_LEN + 1):
+        part = dp[j].filter(F.col('wl') == j)
+        segmented = part if segmented is None else segmented.unionByName(part)
+    unk = words.filter(F.col('wl') > UNIGRAM_MAX_LEN).select(
+        'word',
+        'wl',
+        F.lit(0).cast(dec).alias('v'),
+        F.lit('[UNK]').alias('toks'),
+        F.lit(1).alias('n'),
+    )
+    return segmented.unionByName(unk).select(
+        'word',
+        'toks',
+        F.col('n').cast('bigint').alias('n_pieces'),
+        F.col('v').cast('string').alias('score_num'),
+    )
+
+
+def _sql_unigram() -> str:
+    dps = []
+    for j in range(1, UNIGRAM_MAX_LEN + 1):
+        cands = []
+        for L in range(1, min(4, j) + 1):
+            norm = UNIGRAM_PROB_SCALE ** (L - 1)
+            cands.append(f"""
+            SELECT p.word, p.wl,
+                   p.v * v.q * {norm}::HUGEINT AS v,
+                   CASE WHEN p.toks = '' THEN v.piece
+                        ELSE p.toks || ' ' || v.piece END AS toks,
+                   p.n + 1 AS n
+            FROM dp{j - L} p
+            JOIN vocab v ON substr(p.word, {j - L + 1}, {L}) = v.piece
+            WHERE p.wl >= {j}""")
+        dps.append(f"""dp{j} AS (
+        SELECT word, wl, v, toks, n FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY word ORDER BY v DESC, toks
+            ) AS rk
+            FROM ({' UNION ALL '.join(cands)})
+        ) WHERE rk = 1
+    )""")
+    finals = ' UNION ALL '.join(
+        f'SELECT word, toks, n, v FROM dp{j} WHERE wl = {j}'
+        for j in range(1, UNIGRAM_MAX_LEN + 1)
+    )
+    return f"""WITH wf AS (
+        SELECT word, COUNT(*) AS c FROM (
+            SELECT unnest(str_split(text, ' ')) AS word FROM documents
+        ) GROUP BY word
+    ),
+    sub AS (
+        SELECT substr(word, i, l) AS piece, l, SUM(c) AS cnt
+        FROM wf,
+             generate_series(1, {UNIGRAM_MAX_LEN}) t(i),
+             generate_series(1, 4) u(l)
+        WHERE length(word) >= i + l - 1
+        GROUP BY substr(word, i, l), l
+    ),
+    tot AS (SELECT SUM(c) AS tot FROM wf),
+    kept AS (
+        SELECT piece, cnt FROM sub, tot
+        WHERE l = 1 OR cnt * {UNIGRAM_FLOOR_DIV} >= tot
+    ),
+    d AS (SELECT SUM(cnt) AS d FROM kept),
+    vocab AS (
+        SELECT piece,
+               (cnt * {UNIGRAM_PROB_SCALE}) // d AS q
+        FROM kept, d
+    ),
+    dp0 AS (
+        SELECT word, length(word) AS wl, 1::HUGEINT AS v,
+               '' AS toks, 0 AS n
+        FROM wf WHERE length(word) <= {UNIGRAM_MAX_LEN}
+    ),
+    {','.join(dps)}
+    SELECT word, toks, CAST(n AS BIGINT) AS n_pieces,
+           CAST(v AS VARCHAR) AS score_num
+    FROM ({finals})
+    UNION ALL
+    SELECT word, '[UNK]' AS toks, CAST(1 AS BIGINT) AS n_pieces,
+           '0' AS score_num
+    FROM wf WHERE length(word) > {UNIGRAM_MAX_LEN}
+    """
+
+
+@register('text_unigram_segment', oracle=_sql_unigram())
+def text_unigram_segment(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation of the
+    distinct-word dictionary (see the section note): relational DP —
+    one tiny frame per character position, candidates from broadcast
+    piece lookups, argmax by the EXACT length-normalized integer product
+    of quantized piece probabilities with a string tiebreak. Completes
+    the tokenizer triptych (BPE train/apply, WordPiece greedy, unigram
+    Viterbi); in production the resulting (word -> pieces) dictionary
+    broadcasts onto the corpus stream exactly as in
+    text_wordpiece_apply."""
+    return unigram_word_segments(spark, sf_dir)

@@ -969,3 +969,79 @@ def test_wordpiece_matches_pure_python(spark):
         assert ''.join(t.removeprefix('##') for t in toks) == w
         multi += any(len(t.removeprefix('##')) > 1 for t in toks)
     assert multi > 0
+
+
+def test_unigram_segment_matches_pure_python(spark):
+    """Re-run the quantized-probability derivation AND the Viterbi DP in
+    pure Python (dict DP, exact int products, same SCALE quantization,
+    length normalization and (v DESC, toks ASC) tiebreak) and require
+    identical rows. Also asserts the objective does real work: at least
+    one word segments into a multi-char piece (not all-chars), every
+    non-UNK segmentation reassembles to its word, and every over-cap
+    word is [UNK]."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from cyclebane_spark.queries.text import (
+        UNIGRAM_FLOOR_DIV,
+        UNIGRAM_MAX_LEN,
+        UNIGRAM_PROB_SCALE,
+        unigram_word_segments,
+    )
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    wf = Counter()
+    for text in docs.text:
+        wf.update(text.split(' '))
+    tot = sum(wf.values())
+    cnt = Counter()
+    for w, c in wf.items():
+        for i in range(min(len(w), UNIGRAM_MAX_LEN)):
+            for L in (1, 2, 3, 4):
+                if i + L <= len(w):
+                    cnt[w[i : i + L]] += c
+    kept = {
+        p: n
+        for p, n in cnt.items()
+        if len(p) == 1 or n * UNIGRAM_FLOOR_DIV >= tot
+    }
+    d = sum(kept.values())
+    vocab = {p: (n * UNIGRAM_PROB_SCALE) // d for p, n in kept.items()}
+
+    def viterbi(w):
+        if len(w) > UNIGRAM_MAX_LEN:
+            return ('[UNK]', 1, '0')
+        dp = {0: (1, '', 0)}  # v = prod(q) * SCALE^(j - n)
+        for j in range(1, len(w) + 1):
+            best = None
+            for L in range(1, min(4, j) + 1):
+                p = w[j - L : j]
+                if p in vocab and (j - L) in dp:
+                    v, tk, n = dp[j - L]
+                    cand = (
+                        v * vocab[p] * UNIGRAM_PROB_SCALE ** (L - 1),
+                        (tk + ' ' + p) if tk else p,
+                        n + 1,
+                    )
+                    if best is None or (-cand[0], cand[1]) < (-best[0], best[1]):
+                        best = cand
+            dp[j] = best
+        v, tk, n = dp[len(w)]
+        return (tk, n, str(v))
+
+    expected = {w: viterbi(w) for w in wf}
+    got = {
+        r.word: (r.toks, r.n_pieces, r.score_num)
+        for r in unigram_word_segments(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    nontrivial = sum(
+        1
+        for w, (tk, n, _) in got.items()
+        if tk != '[UNK]' and n < len(w)
+    )
+    assert nontrivial > 0, 'Viterbi degenerated to all-chars everywhere'
+    for w, (tk, n, _) in got.items():
+        if tk != '[UNK]':
+            assert tk.replace(' ', '') == w

@@ -951,3 +951,23 @@ def test_wordpiece_dictionary_broadcasts_onto_corpus(spark):
     assert 'SortMergeJoin' not in raw and 'CartesianProduct' not in raw
     assert 'BroadcastHashJoin' in raw
     assert 'partial_count' in raw or 'partial_sum' in raw
+
+
+def test_unigram_dp_joins_broadcast_and_frames_checkpoint(spark):
+    """text_unigram_segment: every Viterbi DP lookup must reach the
+    dictionary frames as a BROADCAST join of the checkpointed piece
+    table (no sort-merge join, no cartesian) — pinned on the raw
+    composed plan (materialize=False); the registered form additionally
+    localCheckpoints each dp round so the executed plan stays linear in
+    rounds instead of re-expanding every prefix per consumer (pinned by
+    the executed plan collapsing to the checkpoint union)."""
+    from cyclebane_spark.queries.text import unigram_word_segments
+
+    raw_df = unigram_word_segments(spark, SF_DIR, materialize=False)
+    raw = raw_df._jdf.queryExecution().executedPlan().toString()
+    assert 'SortMergeJoin' not in raw and 'CartesianProduct' not in raw
+    assert raw.count('BroadcastHashJoin') >= 20  # 4+4+4+4+3+2+1 lookups, re-expanded
+    reg = queries()['text_unigram_segment'](spark, SF_DIR)
+    reg_raw = reg._jdf.queryExecution().executedPlan().toString()
+    assert 'ExistingRDD' in reg_raw or 'Scan ExistingRDD' in reg_raw
+    assert reg_raw.count('BroadcastHashJoin') == 0

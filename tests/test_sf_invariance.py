@@ -75,6 +75,7 @@ QUERIES = (
     'stream_ivf_ingest',            # batch split / cell assignment at density
     'text_html_extract',            # density/length cutoffs at longer docs
     'text_wordpiece_apply',         # top-20 vocab cutoff ties at density
+    'text_unigram_segment',         # quantized-prob Viterbi ties at density
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

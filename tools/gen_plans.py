@@ -327,6 +327,14 @@ NOTES['text_wordpiece_apply'] = [
     'text_bpe_apply scale shape',
 ]
 
+NOTES['text_unigram_segment'] = [
+    'relational Viterbi: per-position DP frames over the distinct-word',
+    'dictionary, candidates from broadcast piece lookups, argmax by the',
+    'exact length-normalized integer product of quantized probabilities;',
+    'each dp round localCheckpoints (dictionary-sized) so the plan stays',
+    'linear in rounds instead of re-expanding every prefix per consumer',
+]
+
 NOTES['pipeline_corpus_build'] = [
     'four pipeline stages, ONE plan: a single column-pruned documents',
     'scan (doc_id, text only) feeds dedup window -> quality filter ->',
@@ -424,6 +432,7 @@ EXTRA = (
     'stream_ivf_ingest',
     'text_html_extract',
     'text_wordpiece_apply',
+    'text_unigram_segment',
 )
 
 
