@@ -66,25 +66,21 @@ _MODULES = (
 # < _WINDOW_ROUND only, so the driver committing round N's results can
 # never redden a window that was (correctly) built before they existed.
 # Bump this together with every rotation.
-_WINDOW_ROUND = 9
+_WINDOW_ROUND = 10
 
 # Queries whose CODE PATH changed this round (including via shared-helper
 # edits). The rotation contract (tests/test_priority_window.py) requires
 # every one of these to hold a window slot, after any driver-red rows.
-# Round 9: late_data_audit (streaming/windows.py) gained the
-# replay-ordering diagnostic guard (ADVICE r8) — stream_late_data_audit's
-# code path changed (the guard raises only when engine batching behavior
-# shifts; green-path semantics identical). ann_ivf_persisted_topk's body
-# split into ivf_standing_index + ivf_serve so tools/marginal_bench.py
-# can time the serve alone (the merge_from_summaries pattern; semantics
-# identical). The code-review pass then extracted late_replay_dir's
-# single-file landing writer into the shared write_mtime_ordered_file
-# (also used by the IVF ingest landing) — a shared-helper edit that makes
-# stream_late_backfill_merge changed too (output byte-identical).
+# Round 10 (ADVICE r9 fixes): the unigram vocab quantization in
+# text.py moved from double-promoting F.floor(cnt * SCALE / d) to exact
+# integral `div` (affects text_unigram_segment's vocab step; values
+# identical below 2^53, the fix closes the silent divergence above it),
+# and the IVF ingest landing-file split in similarity.py moved from
+# float `/` + cast to integral `div` (stream_ivf_ingest; values
+# identical at gate SFs).
 _CHANGED_THIS_ROUND = (
-    'stream_late_data_audit',
-    'stream_late_backfill_merge',
-    'ann_ivf_persisted_topk',
+    'text_unigram_segment',
+    'stream_ivf_ingest',
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
@@ -94,72 +90,83 @@ _CHANGED_THIS_ROUND = (
 # then changed-since-green, then never-seen, then oldest-green backfill.
 # The contract is on window MEMBERSHIP, not position: tiers 1-3 must hold a
 # slot somewhere in the first 50; tier-4 backfill must be stalest-first.
-# Round-9 rotation: no driver-red rows (r8 was 50/50 green) and no
-# changed rows at rotation time; slots 1-44 are the ENTIRE 44-query
-# round-4-green staleness tail (the oldest signal left after r8 retired
-# the r3 tail), slots 45-50 the alphabetically-first round-5-green
-# backfill. New round-9 registrations displace backfill slots (freshest
+# Round-10 rotation: no driver-red rows (r9 was 50/50 green); slot 1 is
+# text_vocab_coverage (the r4-green straggler displaced by r9's required
+# slots — the stalest signal left), slots 2-45 the ENTIRE 44-query
+# round-5-green staleness tail, then this round's changed rows (ADVICE
+# r9 integral-division fixes), then alphabetically-first round-6-green
+# backfill. New round-10 registrations displace backfill slots (freshest
 # last) as they land. Everything below position 50 is driver-green in
-# r5-r8 and unchanged since.
+# r6-r9 and unchanged since.
+#
+# Window-rotation ENDGAME (standing policy, stated per the r9 verdict):
+# from round 11 the stalest tail is r6's 48 queries and every later tail
+# (r7 49, r8 47, r9 50) also exceeds what one 50-slot window can absorb
+# alongside required slots. The policy stays exactly what this test
+# already enforces — stalest-first ACROSS rounds, alphabetical WITHIN a
+# round, required (red/changed/never-seen) slots displacing backfill from
+# the freshest end — so each round retires a whole alphabetical prefix of
+# the oldest tail and the remainder of that tail stays strictly next in
+# line. No per-round judgment calls: the (round, name) total order makes
+# the window deterministic given the correctness history.
 _PRIORITY = (
-    # 1-43: the round-4-green staleness tail (alphabetical; the 44th,
-    # text_vocab_coverage — alphabetically last, i.e. the freshest by the
-    # (round, name) backfill order — is displaced by this round's 7
-    # required changed/never-seen slots and rotates first in round 10)
-    'ann_rp_lsh_multiprobe',
-    'basket_brand_rules',
-    'dedup_cluster_representatives',
-    'dedup_incremental_exact',
-    'dedup_incremental_minhash',
-    'dedup_jaccard_prefix_filter',
-    'dedup_minhash_estimator',
-    'dedup_minhash_lsh_adaptive',
-    'dedup_semantic_kmeans',
-    'embeddings_quantized_norm_arrow',
-    'events_ab_test_lift',
-    'events_bitmap_distinct_users',
-    'events_cdc_asof_snapshot',
-    'events_cdc_tombstones',
-    'events_cogroup_asof_pandas',
-    'events_concurrent_sessions',
-    'events_dau_wau_stickiness',
-    'events_feature_lags',
-    'events_interarrival_stats',
-    'events_scd2_dimension',
-    'events_snapshot_diff',
-    'events_transition_matrix',
-    'events_udtf_longest_run',
-    'events_value_histogram',
-    'multimodal_clip_filter',
-    'pipeline_leakage_safe_split',
-    'pipeline_rag_rerank',
-    'pipeline_seeded_shuffle',
-    'pipeline_weighted_upsampling',
-    'profile_lineitem_columns',
-    'q10_returned_items',
-    'q12_priority_by_category',
-    'q17_small_quantity_revenue',
-    'q4_order_priority',
-    'quality_constraint_report',
-    'rfm_customer_segments',
-    'sample_fixed_k',
-    'text_bpe_merge_candidates',
-    'text_hashed_features',
-    'text_langid_confusion',
-    'text_lexical_gini',
-    'text_pmi_cooccurrence',
-    'text_quality_classifier',
-    # 44: changed this round (late_data_audit replay-ordering guard)
-    'stream_late_data_audit',
-    # 45: changed this round (shared landing-writer extraction)
-    'stream_late_backfill_merge',
-    # 46-49: never-seen (new in round 9)
-    'stream_ivf_ingest',
-    'text_html_extract',
-    'text_wordpiece_apply',
+    # 1: the round-4-green straggler (displaced from the r9 window by its
+    # 7 required slots) — the stalest signal in the registry, rotates first
+    'text_vocab_coverage',
+    # 2-45: the ENTIRE 44-query round-5-green staleness tail (alphabetical)
+    'ann_hard_negatives',
+    'ann_ivf_incremental_assign',
+    'ann_ivf_matryoshka_topk',
+    'ann_matryoshka_rerank',
+    'dedup_bcubed_eval',
+    'dedup_cc_incremental',
+    'dedup_cc_largestar',
+    'dedup_eval_confusion',
+    'dedup_lsh_band_diagnostics',
+    'dedup_recursive_hops',
+    'dedup_sorted_neighborhood',
+    'dedup_tf_cosine_pairs',
+    'events_cusum_alarm',
+    'events_ewma_fold',
+    'events_sessionization_sweep',
+    'events_skew_profile',
+    'graph_kcore_peel',
+    'graph_label_propagation',
+    'graph_slice_positional',
+    'join_bloom_prefilter',
+    'join_interval_bucketed',
+    'join_null_safe_eq',
+    'multimodal_scene_cuts',
+    'multimodal_voice_activity',
+    'pipeline_cluster_balanced_sample',
+    'pipeline_dataset_card',
+    'pipeline_entity_resolution',
+    'pipeline_mix_weights',
+    'pipeline_quantile_bins',
+    'pipeline_rrf_fusion',
+    'pipeline_target_encoding',
+    'pipeline_tokenize_to_ids',
+    'q14_promo_revenue',
+    'q1_pricing_summary',
+    'quality_kanonymity_audit',
+    'quality_source_overlap',
+    'quality_source_overlap_hll',
+    'sample_stratified_exact_k',
+    'sketch_cms_frequency',
+    'text_bigram_lm_score',
+    'text_extractive_summary',
+    'text_keyword_tagging',
+    'text_length_curriculum',
+    'window_topk_per_group',
+    # 46-47: changed this round (ADVICE r9 exact-integral-division fixes)
     'text_unigram_segment',
-    # 50: changed this round (standing-index/serve split for the bench)
-    'ann_ivf_persisted_topk',
+    'stream_ivf_ingest',
+    # 48-50: alphabetically-first round-6-green backfill. This round's
+    # new registrations displace these from the END (freshest
+    # (round, name) first) as they land.
+    'ann_bruteforce_topk',
+    'ann_ivf_blocked_topk',
+    'ann_rp_lsh_topk',
 )
 
 

@@ -2402,10 +2402,11 @@ def _ivf_ingest_landing(spark, sf_dir: str) -> str:
     land = scratch_dir('cb_ivf_ingest_land', sf_dir, wipe=True)
     for i in range(IVF_INGEST_FILES):
         write_mtime_ordered_file(
+            # integral `div` (ADVICE r9): float `/` + cast matches the
+            # documented (vec_id // 10) % 3 only below 2^53 and breaks the
+            # no-float determinism discipline for batch membership
             incoming.filter(
-                (F.col('vec_id') / ANN_INCR_MOD).cast('bigint')
-                % IVF_INGEST_FILES
-                == i
+                F.expr(f'vec_id div {ANN_INCR_MOD}') % IVF_INGEST_FILES == i
             ),
             land,
             f'b{i}',

@@ -3625,10 +3625,16 @@ def _unigram_vocab(spark, sf_dir):
         .select('piece', 'cnt')
     )
     d = kept.agg(F.sum('cnt').alias('d'))
+    # Exact integral division (ADVICE r9): `floor(cnt * SCALE / d)` promotes
+    # the bigints to double, which silently disagrees with the oracle's
+    # integer `//` once cnt * SCALE exceeds 2^53 (~1e9 word occurrences —
+    # exactly the scale this section targets). decimal(38,0) `div` keeps
+    # the quotient exact up to 38 digits, the same overflow bound the
+    # k-means centroid divide documents.
     vocab = kept.crossJoin(F.broadcast(d)).select(
         'piece',
-        F.floor(
-            F.col('cnt') * UNIGRAM_PROB_SCALE / F.col('d')
+        F.expr(
+            f'cast(cnt as decimal(38,0)) * {UNIGRAM_PROB_SCALE} div d'
         ).cast('bigint').alias('q'),
     )
     return vocab.localCheckpoint(eager=True), wf

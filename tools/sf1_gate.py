@@ -41,6 +41,12 @@ ORACLE_EXCLUDED = ('dedup_semantic_kmeans', 'dedup_tf_cosine_pairs')
 TOLERANCE_OK = ('q1_pricing_summary', 'graph_param_sweep_broadcast')
 
 
+class GateRunError(RuntimeError):
+    """The oracle subprocess crashed or under-reported — NOT a per-query
+    verdict. Treated as a hard gate failure (ADVICE r9: a run that dies
+    before printing per-query lines must never read as green)."""
+
+
 def _run(sf1_dir: str, names: list[str], checksum: bool) -> tuple[set, str]:
     cmd = [sys.executable, os.path.join(ROOT, 'tests', 'oracle_check.py')]
     if checksum:
@@ -50,6 +56,35 @@ def _run(sf1_dir: str, names: list[str], checksum: bool) -> tuple[set, str]:
     out = subprocess.run(cmd, capture_output=True, text=True, env=env)
     text = out.stdout + out.stderr
     fails = set(re.findall(r'FAIL ([a-z0-9_]+)', text))
+    # Hard-failure detection (ADVICE r9). A crash before the per-query
+    # loop prints no FAIL lines at all; without these checks the gate
+    # would exit 0 on a Spark OOM / import error — a false green in a
+    # correctness gate. Three independent tripwires:
+    # 1. exit status: oracle_check returns 0/1 for checked/failed, so any
+    #    OTHER code — or 1 with zero parsed FAILs — is a crash;
+    if out.returncode not in (0, 1) or (out.returncode == 1 and not fails):
+        raise GateRunError(
+            f'oracle_check exited {out.returncode} with '
+            f'{len(fails)} FAIL lines — crashed, not a verdict:\n'
+            + text[-2000:]
+        )
+    # 2. the final summary line must exist;
+    if not re.search(r'\d+ matched \(\d+ tolerance-only\), \d+ failed', text):
+        raise GateRunError(
+            'oracle_check produced no summary line — output truncated:\n'
+            + text[-2000:]
+        )
+    # 3. every requested query must have produced a verdict line
+    #    (ok / ok~ / FAIL / ---- rows-only).
+    seen = set(
+        re.findall(r'^(?:ok~? +|FAIL |---- )([a-z0-9_]+)', text, re.M)
+    )
+    unreported = set(names) - seen
+    if unreported:
+        raise GateRunError(
+            f'{len(unreported)} in-scope queries produced no verdict line: '
+            f'{sorted(unreported)[:10]}...'
+        )
     return fails, text
 
 
@@ -75,19 +110,23 @@ def main() -> int:
 
     print(f'sf1 gate: {len(scope)} queries in scope '
           f'({"full registry" if full else "window + changed"})')
-    fails, _ = _run(sf1_dir, checksum_scope, checksum=True)
-    print(f'checksum phase: {len(checksum_scope) - len(fails)} green, '
-          f'{len(fails)} to canon-retry: {sorted(fails)}')
+    try:
+        fails, _ = _run(sf1_dir, checksum_scope, checksum=True)
+        print(f'checksum phase: {len(checksum_scope) - len(fails)} green, '
+              f'{len(fails)} to canon-retry: {sorted(fails)}')
 
-    retry = sorted(fails) + tol
-    hard_fail: set = set()
-    if retry:
-        fails2, text2 = _run(sf1_dir, retry, checksum=False)
-        # tolerance-only is green for the documented pair, red otherwise
-        tol_only = set(re.findall(r'ok~ +([a-z0-9_]+)', text2))
-        hard_fail = fails2 | {n for n in tol_only if n not in TOLERANCE_OK}
-        print(f'canon phase: {len(retry) - len(hard_fail)} green, '
-              f'{len(hard_fail)} FAILED: {sorted(hard_fail)}')
+        retry = sorted(fails) + tol
+        hard_fail: set = set()
+        if retry:
+            fails2, text2 = _run(sf1_dir, retry, checksum=False)
+            # tolerance-only is green for the documented pair, red otherwise
+            tol_only = set(re.findall(r'ok~ +([a-z0-9_]+)', text2))
+            hard_fail = fails2 | {n for n in tol_only if n not in TOLERANCE_OK}
+            print(f'canon phase: {len(retry) - len(hard_fail)} green, '
+                  f'{len(hard_fail)} FAILED: {sorted(hard_fail)}')
+    except GateRunError as exc:
+        print(f'sf1 gate: RED (oracle run crashed/under-reported)\n{exc}')
+        return 3
     if hard_fail:
         print('sf1 gate: RED')
         return 1
