@@ -2429,12 +2429,13 @@ def _quantize_components(emb_rows):
     )
 
 
-def ivf_ingest_run(spark, sf_dir: str, replay: bool = False):
-    """Run the streaming ingest to completion; returns (index_dir,
-    ledger_dir). ``replay=True`` keeps the standing index/landing files
-    from a prior run and re-processes the SAME stream from a fresh
-    checkpoint — the idempotence scenario (a recovered job re-reading its
-    source): per-batch dynamic partition overwrite makes it a no-op."""
+def ivf_ingest_standing(spark, sf_dir: str, replay: bool = False):
+    """Build the ingest's STANDING state — trained quantizer, training-time
+    occupancy, on-disk base index, landing files — without processing any
+    batch. Returns ``(idx_dir, ledger, land, cent, corp_occ, e, assign)``.
+    Shared by :func:`ivf_ingest_run` (the full stream) and
+    ``tools/marginal_bench.py`` (which times ONE batch against this state,
+    training excluded — the production per-batch cost)."""
     from ..scratch import scratch_dir
 
     holdout = F.col('vec_id') % ANN_INCR_MOD != ANN_INCR_MOD - 1
@@ -2471,44 +2472,71 @@ def ivf_ingest_run(spark, sf_dir: str, replay: bool = False):
         )
         _ivf_ingest_landing(spark, sf_dir)
     land = scratch_dir('cb_ivf_ingest_land', sf_dir)
+    return idx_dir, ledger, land, cent, corp_occ, e, assign
+
+
+def ivf_ingest_batch(
+    idx_dir: str, ledger: str, cent, corp_occ, assign, batch_df, batch_id: int
+) -> None:
+    """ONE micro-batch of the ingest: assign against the broadcast standing
+    centroids, dynamic-partition-overwrite exactly this batch's
+    ``(cl, ingest_batch)`` leaves, append the drift verdict to the ledger.
+    This is the entire per-batch marginal — batch-proportional work plus
+    two K-row aggs; no training, no standing-corpus scan."""
+    sp = batch_df.sparkSession
+    bq = _quantize_components(batch_df)
+    assigned = assign(bq, cent, n=1).select('vec_id', 'cl')
+    rows = (
+        assigned.join(bq, 'vec_id')
+        .select(
+            F.col('vec_id').alias('neighbor_id'),
+            'pos',
+            F.col('q').alias('qc'),
+            'cl',
+            F.lit(batch_id).cast('int').alias('ingest_batch'),
+        )
+    )
+    prev = sp.conf.get('spark.sql.sources.partitionOverwriteMode')
+    sp.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
+    try:
+        # dynamic overwrite touches only the (cl, ingest_batch=N)
+        # leaves this batch produced: replaying batch N replaces its
+        # own rows and nothing else
+        (
+            rows.write.partitionBy('cl', 'ingest_batch')
+            .mode('overwrite')
+            .parquet(idx_dir)
+        )
+    finally:
+        sp.conf.set('spark.sql.sources.partitionOverwriteMode', prev)
+    # drift verdict for this batch against training-time occupancy
+    batch_occ = assigned.groupBy('cl').agg(
+        F.count(F.lit(1)).alias('batch_n')
+    )
+    (
+        _occupancy_drift(corp_occ, batch_occ)
+        .withColumn('ingest_batch', F.lit(batch_id).cast('int'))
+        .coalesce(1)
+        .write.mode('overwrite')
+        .parquet(f'{ledger}/b{batch_id}')
+    )
+
+
+def ivf_ingest_run(spark, sf_dir: str, replay: bool = False):
+    """Run the streaming ingest to completion; returns (index_dir,
+    ledger_dir). ``replay=True`` keeps the standing index/landing files
+    from a prior run and re-processes the SAME stream from a fresh
+    checkpoint — the idempotence scenario (a recovered job re-reading its
+    source): per-batch dynamic partition overwrite makes it a no-op."""
+    from ..scratch import scratch_dir
+
+    idx_dir, ledger, land, cent, corp_occ, e, assign = ivf_ingest_standing(
+        spark, sf_dir, replay=replay
+    )
 
     def ingest(batch_df, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        bq = _quantize_components(batch_df)
-        assigned = assign(bq, cent, n=1).select('vec_id', 'cl')
-        rows = (
-            assigned.join(bq, 'vec_id')
-            .select(
-                F.col('vec_id').alias('neighbor_id'),
-                'pos',
-                F.col('q').alias('qc'),
-                'cl',
-                F.lit(batch_id).cast('int').alias('ingest_batch'),
-            )
-        )
-        prev = sp.conf.get('spark.sql.sources.partitionOverwriteMode')
-        sp.conf.set('spark.sql.sources.partitionOverwriteMode', 'dynamic')
-        try:
-            # dynamic overwrite touches only the (cl, ingest_batch=N)
-            # leaves this batch produced: replaying batch N replaces its
-            # own rows and nothing else
-            (
-                rows.write.partitionBy('cl', 'ingest_batch')
-                .mode('overwrite')
-                .parquet(idx_dir)
-            )
-        finally:
-            sp.conf.set('spark.sql.sources.partitionOverwriteMode', prev)
-        # drift verdict for this batch against training-time occupancy
-        batch_occ = assigned.groupBy('cl').agg(
-            F.count(F.lit(1)).alias('batch_n')
-        )
-        (
-            _occupancy_drift(corp_occ, batch_occ)
-            .withColumn('ingest_batch', F.lit(batch_id).cast('int'))
-            .coalesce(1)
-            .write.mode('overwrite')
-            .parquet(f'{ledger}/b{batch_id}')
+        ivf_ingest_batch(
+            idx_dir, ledger, cent, corp_occ, assign, batch_df, batch_id
         )
 
     schema = spark.read.parquet(land).schema

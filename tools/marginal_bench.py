@@ -52,6 +52,8 @@ def main() -> None:
         _ivf_partial_summary,
         drift_monitor,
         drift_standing_index,
+        ivf_ingest_batch,
+        ivf_ingest_standing,
         ivf_serve,
         ivf_standing_index,
         merge_from_summaries,
@@ -105,8 +107,31 @@ def main() -> None:
         5, serve
     )
     consume(qs['ann_ivf_persisted_topk'](spark, sf_dir))  # warmup
-    timings['ann_ivf_persisted_topk'], runs['ann_ivf_persisted_topk'] = _best_of(
-        5, lambda: consume(qs['ann_ivf_persisted_topk'](spark, sf_dir))
+    timings['ann_ivf_persisted_topk'], runs['ann_ivf_persisted_topk'] = (
+        _best_of(5, lambda: consume(qs['ann_ivf_persisted_topk'](spark, sf_dir)))
+    )
+
+    # -- streaming ingest, per-batch ------------------------------------
+    # standing state (trained quantizer + occupancy + on-disk base index +
+    # landing files) built ONCE, untimed; timed = ONE foreachBatch body —
+    # batch assignment against the broadcast centroids + dynamic partition
+    # overwrite of this batch's (cl, ingest_batch) leaves + the K-row
+    # drift-ledger append. Re-running batch 0 overwrites exactly its own
+    # leaves (replay idempotence), so every repetition does identical work.
+    idx_i, led_i, land_i, cent_i, occ_i, _e_i, assign_i = ivf_ingest_standing(
+        spark, sf_dir
+    )
+    batch0 = spark.read.parquet(f'{land_i}/b0.parquet')
+    one_batch = lambda: ivf_ingest_batch(  # noqa: E731
+        idx_i, led_i, cent_i, occ_i, assign_i, batch0, 0
+    )
+    one_batch()  # warmup
+    timings['stream_ivf_ingest_batch_marginal'], runs[
+        'stream_ivf_ingest_batch_marginal'
+    ] = _best_of(5, one_batch)
+    consume(qs['stream_ivf_ingest'](spark, sf_dir))  # warmup
+    timings['stream_ivf_ingest'], runs['stream_ivf_ingest'] = _best_of(
+        5, lambda: consume(qs['stream_ivf_ingest'](spark, sf_dir))
     )
 
     print(
