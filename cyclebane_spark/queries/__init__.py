@@ -161,12 +161,13 @@ _PRIORITY = (
     # 46-47: changed this round (ADVICE r9 exact-integral-division fixes)
     'text_unigram_segment',
     'stream_ivf_ingest',
-    # 48-50: alphabetically-first round-6-green backfill. This round's
+    # 48-49: never-seen (new in round 10)
+    'dedup_exact_substr',
+    'text_unigram_train_step',
+    # 50: alphabetically-first round-6-green backfill. This round's
     # new registrations displace these from the END (freshest
     # (round, name) first) as they land.
     'ann_bruteforce_topk',
-    'ann_ivf_blocked_topk',
-    'ann_rp_lsh_topk',
 )
 
 

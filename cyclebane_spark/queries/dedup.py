@@ -2603,3 +2603,122 @@ def pipeline_cluster_balanced_sample(spark, sf_dir):
         .join(sizes, 'cluster_id')
         .select('doc_id', 'cluster_id', 'n_cluster', 'sample_rank')
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (ExactSubstr, Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better"): emit every MAXIMAL token
+# run of length >= EXSUB_L shared verbatim between two documents — the
+# published dedup family `text_span_dedup` (fixed-width spans) does not
+# cover. The paper builds a corpus suffix array; the relational statement
+# is the k-mer ANCHOR JOIN + DIAGONAL RUN-MERGE equivalent:
+#
+#   1. every L-token window of every doc is a gram (the suffix array's
+#      depth-L cut: two suffixes share a depth-L prefix iff their grams
+#      are equal);
+#   2. the self-join on gram yields all aligned window pairs across docs
+#      (doc_a < doc_b orients the pair);
+#   3. within one (doc_a, doc_b, diagonal = pos_b - pos_a) group, a
+#      shared substring of length M >= L appears as exactly M - L + 1
+#      CONSECUTIVE gram matches; the islands trick (pos minus
+#      row_number over the diagonal — the sorted-neighborhood rank
+#      machinery) merges each run in ONE window pass, and
+#      match_len = run_size + L - 1.
+#
+# Maximality proof sketch: if token pos_a-1 also matched on the diagonal,
+# the window at pos_a-1 would equal the window at pos_b-1 (its last L-1
+# tokens lie inside the already-matched region), so the gram pair at
+# pos_a-1 would exist and run-merge would have absorbed it — hence every
+# emitted run is left-maximal, and symmetrically right-maximal. The
+# pure-Python twin (tests/test_pipeline_ops.py) re-derives the same rows
+# by explicit left/right EXTENSION from anchor hits — a different
+# mechanism, so the equality is evidence, not restatement.
+#
+# Scale: the gram join is inverted-index shaped — shuffle keys on the
+# gram, never on a document; cost is sum over grams of df^2, and an
+# L-token verbatim window is exponentially rarer than a token (at sf1
+# this corpus has 1.06e4 matched window pairs from 1.5e6 windows). A
+# pathological boilerplate gram (df in the millions) lands on the same
+# salting/AQE-skew machinery as the LSH band joins (SCALE.md); the
+# paper's remedy is identical (they drop >1000-occurrence grams from
+# anchoring). Run-merge shuffles once on (doc_a, doc_b, diag) — pair-
+# bounded, far smaller than the corpus.
+# ---------------------------------------------------------------------------
+
+EXSUB_L = 8  # minimum shared-run length in tokens (the paper: 50 BPE toks)
+
+
+@register(
+    'dedup_exact_substr',
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks) - {EXSUB_L} + 2)) AS p
+        FROM t
+    ),
+    gr AS (
+        SELECT doc_id, p,
+               array_to_string(toks[p : p + {EXSUB_L} - 1], ' ') AS gram
+        FROM pos
+    ),
+    m AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+        FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT da, db, pb - pa AS diag, pa,
+               pa - ROW_NUMBER() OVER (
+                   PARTITION BY da, db, pb - pa ORDER BY pa
+               ) AS grp
+        FROM m
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(MIN(pa) AS BIGINT) AS a_start,
+           CAST(MIN(pa) + diag AS BIGINT) AS b_start,
+           CAST(COUNT(*) + {EXSUB_L} - 1 AS BIGINT) AS match_len
+    FROM runs GROUP BY da, db, diag, grp
+    """,
+)
+def dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr dedup: maximal >= EXSUB_L-token verbatim runs shared
+    across document pairs (module note above). Output: one row per
+    maximal run — (doc_a, doc_b, a_start, b_start, match_len), positions
+    1-based in token space."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, 'documents')
+    grams = docs.select(
+        'doc_id',
+        F.posexplode(_CF.word_ngrams('text', EXSUB_L)).alias('p0', 'gram'),
+    ).select('doc_id', (F.col('p0') + 1).alias('p'), 'gram')
+
+    a = grams.select(
+        F.col('doc_id').alias('da'), F.col('p').alias('pa'), 'gram'
+    )
+    b = grams.select(
+        F.col('doc_id').alias('db'), F.col('p').alias('pb'), 'gram'
+    )
+    m = (
+        a.join(b, 'gram')
+        .filter(F.col('da') < F.col('db'))
+        .select('da', 'db', 'pa', 'pb', (F.col('pb') - F.col('pa')).alias('diag'))
+    )
+    w = Window.partitionBy('da', 'db', 'diag').orderBy('pa')
+    runs = m.withColumn('grp', F.col('pa') - F.row_number().over(w))
+    return (
+        runs.groupBy('da', 'db', 'diag', 'grp')
+        .agg(
+            F.min('pa').alias('a0'),
+            (F.count(F.lit(1)) + EXSUB_L - 1).cast('bigint').alias('match_len'),
+        )
+        .select(
+            F.col('da').alias('doc_a'),
+            F.col('db').alias('doc_b'),
+            F.col('a0').cast('bigint').alias('a_start'),
+            (F.col('a0') + F.col('diag')).cast('bigint').alias('b_start'),
+            'match_len',
+        )
+    )

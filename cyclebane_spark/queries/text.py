@@ -3719,7 +3719,10 @@ def unigram_word_segments(spark, sf_dir, materialize: bool = True):
     )
 
 
-def _sql_unigram() -> str:
+def _sql_unigram_ctes() -> str:
+    """The shared WITH-prefix: seed vocab (wf/sub/tot/kept/d/vocab) + the
+    unrolled Viterbi dp frames dp0..dpMAX — used by both the segmentation
+    oracle and the trainer-step oracle."""
     dps = []
     for j in range(1, UNIGRAM_MAX_LEN + 1):
         cands = []
@@ -3742,10 +3745,6 @@ def _sql_unigram() -> str:
             FROM ({' UNION ALL '.join(cands)})
         ) WHERE rk = 1
     )""")
-    finals = ' UNION ALL '.join(
-        f'SELECT word, toks, n, v FROM dp{j} WHERE wl = {j}'
-        for j in range(1, UNIGRAM_MAX_LEN + 1)
-    )
     return f"""WITH wf AS (
         SELECT word, COUNT(*) AS c FROM (
             SELECT unnest(str_split(text, ' ')) AS word FROM documents
@@ -3775,10 +3774,21 @@ def _sql_unigram() -> str:
                '' AS toks, 0 AS n
         FROM wf WHERE length(word) <= {UNIGRAM_MAX_LEN}
     ),
-    {','.join(dps)}
+    {','.join(dps)}"""
+
+
+def _sql_unigram_finals() -> str:
+    return ' UNION ALL '.join(
+        f'SELECT word, toks, n, v FROM dp{j} WHERE wl = {j}'
+        for j in range(1, UNIGRAM_MAX_LEN + 1)
+    )
+
+
+def _sql_unigram() -> str:
+    return f"""{_sql_unigram_ctes()}
     SELECT word, toks, CAST(n AS BIGINT) AS n_pieces,
            CAST(v AS VARCHAR) AS score_num
-    FROM ({finals})
+    FROM ({_sql_unigram_finals()})
     UNION ALL
     SELECT word, '[UNK]' AS toks, CAST(1 AS BIGINT) AS n_pieces,
            '0' AS score_num
@@ -3798,3 +3808,118 @@ def text_unigram_segment(spark, sf_dir):
     broadcasts onto the corpus stream exactly as in
     text_wordpiece_apply."""
     return unigram_word_segments(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM trainer step (Viterbi-EM prune round): the TRAIN side of the
+# unigram tokenizer, closing train->apply for all three tokenizers the way
+# text_bpe_train_iterative closed BPE's loop. One bounded relational round
+# of SentencePiece's EM-and-prune schedule, in its hard-EM (Viterbi-EM)
+# form:
+#
+#   E-step: expected piece counts over the VITERBI segmentation the DP
+#     already computes — explode each distinct word's optimal toks,
+#     weighted by the word's corpus frequency (hard EM assigns the full
+#     posterior mass to the argmax path; the soft forward-backward variant
+#     changes only the weights, not the relational shape).
+#   PRUNE: single-char pieces are never dropped (segmentability floor —
+#     same invariant as the seed vocab); multi-char pieces rank by
+#     (expected count ASC, piece ASC) and the bottom UNIGRAM_PRUNE_PCT%
+#     (integer floor) are removed — SentencePiece's shrink step. Vocab
+#     pieces the Viterbi paths never used count 0 and rank first.
+#   M-step: re-quantize q' = (ec * SCALE) div D' over the SURVIVING
+#     inventory (D' = sum of surviving expected counts) — exact decimal
+#     integral division, the same overflow discipline as the seed vocab
+#     (exact to 38 digits; the double-promoting floor/divide was the
+#     ADVICE-r9 hazard this avoids).
+#
+# Scale: every frame is dictionary-sized (the distinct-word explode is the
+# corpus-bounded step and shuffles once on piece); the rank window runs on
+# the BOUNDED multi-char inventory (cnt * FLOOR_DIV >= tot caps it at
+# FLOOR_DIV pieces per length), so the empty-partition window is a
+# constant-size frame, not a corpus sort.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_PRUNE_PCT = 20  # SentencePiece-style shrink: drop bottom 20%
+
+
+def _sql_unigram_train() -> str:
+    return f"""{_sql_unigram_ctes()},
+    seg AS (SELECT word, toks FROM ({_sql_unigram_finals()})),
+    ec AS (
+        SELECT piece, CAST(SUM(c) AS BIGINT) AS ec FROM (
+            SELECT s.word, unnest(str_split(s.toks, ' ')) AS piece
+            FROM seg s
+        ) u JOIN wf USING (word) GROUP BY piece
+    ),
+    vec AS (
+        SELECT v.piece, COALESCE(e.ec, 0) AS ec
+        FROM vocab v LEFT JOIN ec e ON v.piece = e.piece
+    ),
+    multi AS (
+        SELECT piece, ec,
+               ROW_NUMBER() OVER (ORDER BY ec, piece) AS rk,
+               COUNT(*) OVER () AS nm
+        FROM vec WHERE length(piece) > 1
+    ),
+    keptv AS (
+        SELECT piece, ec FROM vec WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, ec FROM multi
+        WHERE rk > (nm * {UNIGRAM_PRUNE_PCT}) // 100
+    ),
+    d2 AS (SELECT SUM(ec) AS d2 FROM keptv)
+    SELECT piece, CAST(ec AS BIGINT) AS ec,
+           CAST((ec * {UNIGRAM_PROB_SCALE}) // d2 AS BIGINT) AS q
+    FROM keptv, d2
+    """
+
+
+@register('text_unigram_train_step', oracle=_sql_unigram_train())
+def text_unigram_train_step(spark, sf_dir):
+    """One unigram-LM EM-prune training round (module note above): hard-EM
+    expected counts over the Viterbi segmentations, bottom-20% multi-char
+    prune, exact integer re-quantization. Output: the post-round
+    vocabulary (piece, ec, q)."""
+    vocab, wf = _unigram_vocab(spark, sf_dir)
+    seg = unigram_word_segments(spark, sf_dir)
+
+    # E-step: frequency-weighted piece counts over the Viterbi paths
+    # (words longer than the DP cap segment to [UNK] and carry no pieces)
+    ec = (
+        seg.filter(F.length('word') <= UNIGRAM_MAX_LEN)
+        .join(wf, 'word')
+        .select(F.explode(F.split('toks', ' ')).alias('piece'), 'c')
+        .groupBy('piece')
+        .agg(F.sum('c').cast('bigint').alias('ec'))
+    )
+    # ec is dictionary-sized; without the hint the checkpointed vocab's
+    # unknown stats push Catalyst to sort-merge joins (4 of them — the
+    # vec subtree is consumed by singles/multi and again by d2/final)
+    vec = vocab.join(F.broadcast(ec), 'piece', 'left').select(
+        'piece', F.coalesce('ec', F.lit(0)).cast('bigint').alias('ec')
+    )
+
+    # prune: rank the BOUNDED multi-char inventory ascending, drop the
+    # bottom PCT% (integer floor); singles are the segmentability floor
+    singles = vec.filter(F.length('piece') == 1)
+    w = Window.orderBy('ec', 'piece')
+    multi = (
+        vec.filter(F.length('piece') > 1)
+        .withColumn('rk', F.row_number().over(w))
+        .withColumn('nm', F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    kept_multi = multi.filter(
+        F.col('rk') > F.expr(f'nm * {UNIGRAM_PRUNE_PCT} div 100')
+    ).select('piece', 'ec')
+    keptv = singles.unionByName(kept_multi)
+
+    # M-step: exact integral re-quantization over the surviving inventory
+    d2 = keptv.agg(F.sum('ec').alias('d2'))
+    return keptv.crossJoin(F.broadcast(d2)).select(
+        'piece',
+        'ec',
+        F.expr(f'cast(ec as decimal(38,0)) * {UNIGRAM_PROB_SCALE} div d2')
+        .cast('bigint')
+        .alias('q'),
+    )

@@ -1045,3 +1045,137 @@ def test_unigram_segment_matches_pure_python(spark):
     for w, (tk, n, _) in got.items():
         if tk != '[UNK]':
             assert tk.replace(' ', '') == w
+
+
+def test_exact_substr_matches_extension_twin(spark):
+    """Re-derive every maximal shared run by a DIFFERENT mechanism —
+    explicit anchor hits + left-maximality check + rightward token-by-
+    token EXTENSION in pure Python — and require set equality with the
+    Spark islands/run-merge statement. Left-maximality: an anchor (pa,
+    pb) starts a run iff pa==0, pb==0, or the preceding tokens differ;
+    the extension length from a run start is the full match length."""
+    import re
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from cyclebane_spark.queries.dedup import EXSUB_L
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    toks = {
+        int(r.doc_id): re.split(r'\s+', r.text.strip())
+        for r in docs.itertuples(index=False)
+    }
+    idx = defaultdict(list)
+    for d, ts in toks.items():
+        for p in range(len(ts) - EXSUB_L + 1):
+            idx[tuple(ts[p : p + EXSUB_L])].append((d, p))
+    expected = set()
+    for occs in idx.values():
+        for da, pa in occs:
+            for db, pb in occs:
+                if da >= db:
+                    continue
+                A, B = toks[da], toks[db]
+                if pa > 0 and pb > 0 and A[pa - 1] == B[pb - 1]:
+                    continue  # not a run start on this diagonal
+                ln = 0
+                while (
+                    pa + ln < len(A)
+                    and pb + ln < len(B)
+                    and A[pa + ln] == B[pb + ln]
+                ):
+                    ln += 1
+                expected.add((da, db, pa + 1, pb + 1, ln))  # 1-based
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_len)
+        for r in queries()['dedup_exact_substr'](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert got, 'corpus has no shared runs — the gate proves nothing'
+    assert all(t[4] >= EXSUB_L for t in got)
+
+
+def test_unigram_train_step_matches_pure_python(spark):
+    """Re-run the FULL trainer round in pure Python — seed vocab, Viterbi
+    segmentation (the same dict DP as the segment twin), hard-EM expected
+    counts, bottom-20% multi-char prune by (ec, piece), exact integer
+    re-quantization — and require identical (piece, ec, q) rows. Also
+    asserts the round does real work: at least one multi-char piece is
+    pruned, singles all survive, and zero-usage vocab pieces rank into
+    the pruned set before any used piece with higher count."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from cyclebane_spark.queries.text import (
+        UNIGRAM_FLOOR_DIV,
+        UNIGRAM_MAX_LEN,
+        UNIGRAM_PROB_SCALE,
+        UNIGRAM_PRUNE_PCT,
+    )
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    wf = Counter()
+    for text in docs.text:
+        wf.update(text.split(' '))
+    tot = sum(wf.values())
+    cnt = Counter()
+    for w, c in wf.items():
+        for i in range(min(len(w), UNIGRAM_MAX_LEN)):
+            for L in (1, 2, 3, 4):
+                if i + L <= len(w):
+                    cnt[w[i : i + L]] += c
+    kept = {
+        p: n
+        for p, n in cnt.items()
+        if len(p) == 1 or n * UNIGRAM_FLOOR_DIV >= tot
+    }
+    d = sum(kept.values())
+    vocab = {p: (n * UNIGRAM_PROB_SCALE) // d for p, n in kept.items()}
+
+    def viterbi(w):
+        dp = {0: (1, '', 0)}
+        for j in range(1, len(w) + 1):
+            best = None
+            for L in range(1, min(4, j) + 1):
+                p = w[j - L : j]
+                if p in vocab and (j - L) in dp:
+                    v, tk, n = dp[j - L]
+                    cand = (
+                        v * vocab[p] * UNIGRAM_PROB_SCALE ** (L - 1),
+                        (tk + ' ' + p) if tk else p,
+                        n + 1,
+                    )
+                    if best is None or (-cand[0], cand[1]) < (-best[0], best[1]):
+                        best = cand
+            dp[j] = best
+        return dp[len(w)][1]
+
+    # E-step: frequency-weighted Viterbi piece counts
+    ec = Counter()
+    for w, c in wf.items():
+        if len(w) <= UNIGRAM_MAX_LEN:
+            for p in viterbi(w).split(' '):
+                ec[p] += c
+    vec = {p: ec.get(p, 0) for p in vocab}
+    # prune bottom PCT% of multi-char pieces by (ec, piece)
+    multi = sorted(
+        ((e, p) for p, e in vec.items() if len(p) > 1)
+    )
+    n_drop = len(multi) * UNIGRAM_PRUNE_PCT // 100
+    dropped = {p for _, p in multi[:n_drop]}
+    keptv = {p: e for p, e in vec.items() if len(p) == 1 or p not in dropped}
+    d2 = sum(keptv.values())
+    expected = {
+        p: (e, (e * UNIGRAM_PROB_SCALE) // d2) for p, e in keptv.items()
+    }
+
+    got = {
+        r.piece: (r.ec, r.q)
+        for r in queries()['text_unigram_train_step'](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert n_drop > 0, 'no piece pruned — the round proves nothing'
+    assert all(len(p) == 1 or p not in dropped for p in got)
+    assert all(p in got for p in vocab if len(p) == 1)

@@ -971,3 +971,37 @@ def test_unigram_dp_joins_broadcast_and_frames_checkpoint(spark):
     reg_raw = reg._jdf.queryExecution().executedPlan().toString()
     assert 'ExistingRDD' in reg_raw or 'Scan ExistingRDD' in reg_raw
     assert reg_raw.count('BroadcastHashJoin') == 0
+
+
+def test_exact_substr_anchor_join_and_single_runmerge_exchange(spark):
+    """dedup_exact_substr: the anchor join must key on the GRAM (inverted-
+    index shape — broadcast at tiny SF, shuffled hash join at scale; the
+    doc_a < doc_b orientation is a residual, never a nested-loop driver),
+    and the diagonal run-merge must do its window + partial/final
+    aggregate over ONE (da, db, diag) exchange — the grouping keys extend
+    the window partition keys, so a second shuffle is a regression."""
+    raw = raw_plan_of(spark, 'dedup_exact_substr')
+    assert 'CartesianProduct' not in raw
+    assert 'BroadcastNestedLoop' not in raw
+    assert re.search(r'HashJoin \[gram#\d+\], \[gram#\d+\]', raw), raw
+    assert (
+        len(re.findall(r'Exchange hashpartitioning\(da#\d+L, db#\d+L, diag#\d+', raw))
+        == 1
+    ), raw
+    assert 'partial_min' in raw  # map-side combine feeds the final merge
+
+
+def test_unigram_train_step_stays_broadcast_and_bounded(spark):
+    """text_unigram_train_step: every dictionary lookup (wf onto the
+    Viterbi explode, ec onto the vocab, re-used across the four vec
+    consumers) must be a BROADCAST hash join — no sort-merge join
+    anywhere; the ONLY nested-loop is the broadcast 1-row d2 normalizer
+    crossJoin; the global prune rank runs on the bounded multi-char
+    inventory (single-partition exchanges stay at the pinned 3: rank
+    window, its count, and the d2 fold — never a corpus sort)."""
+    raw = raw_plan_of(spark, 'text_unigram_train_step')
+    assert 'SortMergeJoin' not in raw
+    assert 'CartesianProduct' not in raw
+    assert raw.count('BroadcastNestedLoop') == 1, raw.count('BroadcastNestedLoop')
+    assert raw.count('BroadcastHashJoin') >= 4
+    assert raw.count('Exchange SinglePartition') == 3

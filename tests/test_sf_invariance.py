@@ -76,6 +76,9 @@ QUERIES = (
     'text_html_extract',            # density/length cutoffs at longer docs
     'text_wordpiece_apply',         # top-20 vocab cutoff ties at density
     'text_unigram_segment',         # quantized-prob Viterbi ties at density
+    # round-10 additions
+    'dedup_exact_substr',           # run-merge island boundaries at density
+    'text_unigram_train_step',      # prune-rank ties + requantize at density
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

@@ -335,6 +335,23 @@ NOTES['text_unigram_segment'] = [
     'linear in rounds instead of re-expanding every prefix per consumer',
 ]
 
+NOTES['dedup_exact_substr'] = [
+    'ExactSubstr (Lee et al. 2022) as anchor join + diagonal run-merge:',
+    'the L-token-gram self-join keys on the GRAM (inverted-index shape,',
+    'broadcast at tiny SF, shuffled hash join at scale; doc_a < doc_b is',
+    'a residual), then ONE (doc_a, doc_b, diagonal) exchange serves the',
+    'islands window AND the partial/final run aggregate — pair-bounded,',
+    'far smaller than the corpus-sized gram stage',
+]
+
+NOTES['text_unigram_train_step'] = [
+    'one Viterbi-EM prune round (the unigram TRAIN side): hard-EM piece',
+    'counts from the checkpointed dp frames (broadcast wf join onto the',
+    'explode), ec broadcast back onto the vocab (no SMJ anywhere), the',
+    'bottom-20% prune rank + d2 normalizer on SINGLE-partition bounded',
+    'frames (pinned at 3), final q via exact decimal(38,0) integral div',
+]
+
 NOTES['pipeline_corpus_build'] = [
     'four pipeline stages, ONE plan: a single column-pruned documents',
     'scan (doc_id, text only) feeds dedup window -> quality filter ->',
@@ -433,6 +450,9 @@ EXTRA = (
     'text_html_extract',
     'text_wordpiece_apply',
     'text_unigram_segment',
+    # round-10 additions
+    'dedup_exact_substr',
+    'text_unigram_train_step',
 )
 
 
