@@ -77,10 +77,16 @@ _WINDOW_ROUND = 10
 # identical below 2^53, the fix closes the silent divergence above it),
 # and the IVF ingest landing-file split in similarity.py moved from
 # float `/` + cast to integral `div` (stream_ivf_ingest; values
-# identical at gate SFs).
+# identical at gate SFs). The near-dup IN-pushdown (streaming/windows.py)
+# gained the defensive distinct-key limit (VERDICT r9 #8) — a code-path
+# change for stream_near_dup_filter (green-path output identical; cap
+# overflow now degrades to the no-pushdown probe instead of relying on
+# the row-count gate alone). The unigram oracle SQL builder refactor for
+# the trainer step also touches text_unigram_segment (already listed).
 _CHANGED_THIS_ROUND = (
     'text_unigram_segment',
     'stream_ivf_ingest',
+    'stream_near_dup_filter',
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
@@ -164,10 +170,8 @@ _PRIORITY = (
     # 48-49: never-seen (new in round 10)
     'dedup_exact_substr',
     'text_unigram_train_step',
-    # 50: alphabetically-first round-6-green backfill. This round's
-    # new registrations displace these from the END (freshest
-    # (round, name) first) as they land.
-    'ann_bruteforce_topk',
+    # 50: changed this round (near-dup pushdown defensive cap)
+    'stream_near_dup_filter',
 )
 
 

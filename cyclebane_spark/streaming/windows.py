@@ -809,8 +809,21 @@ def _near_dup_step(
     if probe_paths and n_band_rows:
         state = sp.read.parquet(*probe_paths)
         if n_band_rows <= NEAR_DUP_PUSHDOWN_MAX_KEYS:
-            bhs = [r.bh for r in bands.select('bh').distinct().collect()]
-            state = state.filter(F.col('bh').isin(bhs))
+            # defensive cap (VERDICT r9 #8): the row-count gate above
+            # bounds the DISTINCT key count too (distinct <= rows), but
+            # nothing in this line's dataflow enforces that — a limit
+            # keeps a pathological batch from ever shipping an unbounded
+            # IN-list, and the len() check turns "cap hit" into the
+            # no-pushdown fallback instead of a wrong filter
+            bhs = [
+                r.bh
+                for r in bands.select('bh')
+                .distinct()
+                .limit(NEAR_DUP_PUSHDOWN_MAX_KEYS + 1)
+                .collect()
+            ]
+            if len(bhs) <= NEAR_DUP_PUSHDOWN_MAX_KEYS:
+                state = state.filter(F.col('bh').isin(bhs))
         dup_prev = _near_dup_probe(bands, state)
     # Within-batch resolution inherits the stats-gated salting: a
     # boilerplate-heavy BATCH funnels into one hot band bucket exactly like
