@@ -3640,12 +3640,14 @@ def _unigram_vocab(spark, sf_dir):
     return vocab.localCheckpoint(eager=True), wf
 
 
-def unigram_word_segments(spark, sf_dir, materialize: bool = True):
+def unigram_word_segments(spark, sf_dir, materialize: bool = True, seed=None):
     """(word, toks, n_pieces, score_num) for every distinct corpus word —
     the Viterbi-optimal segmentation. Exposed for the pure-Python twin;
     ``materialize=False`` keeps the raw composed plan for the plan-shape
-    pin (the _occupancy_drift pattern)."""
-    vocab, wf = _unigram_vocab(spark, sf_dir)
+    pin (the _occupancy_drift pattern). ``seed``: an existing
+    ``(vocab, wf)`` pair — the trainer step passes its own so the
+    corpus-scale vocab derivation runs once, not twice."""
+    vocab, wf = seed if seed is not None else _unigram_vocab(spark, sf_dir)
     words = wf.select('word').withColumn('wl', F.length('word'))
     dec = 'decimal(38,0)'
 
@@ -3847,7 +3849,11 @@ def _sql_unigram_train() -> str:
     return f"""{_sql_unigram_ctes()},
     seg AS (SELECT word, toks FROM ({_sql_unigram_finals()})),
     ec AS (
-        SELECT piece, CAST(SUM(c) AS BIGINT) AS ec FROM (
+        -- stays HUGEINT: a BIGINT cast here would make ec * SCALE below a
+        -- checked BIGINT multiply that overflows past ec ~ 9.2e12 while
+        -- the Spark side's decimal(38,0) succeeds — the same >2^53 parity
+        -- band the seed-vocab divide protects
+        SELECT piece, SUM(c) AS ec FROM (
             SELECT s.word, unnest(str_split(s.toks, ' ')) AS piece
             FROM seg s
         ) u JOIN wf USING (word) GROUP BY piece
@@ -3882,7 +3888,7 @@ def text_unigram_train_step(spark, sf_dir):
     prune, exact integer re-quantization. Output: the post-round
     vocabulary (piece, ec, q)."""
     vocab, wf = _unigram_vocab(spark, sf_dir)
-    seg = unigram_word_segments(spark, sf_dir)
+    seg = unigram_word_segments(spark, sf_dir, seed=(vocab, wf))
 
     # E-step: frequency-weighted piece counts over the Viterbi paths
     # (words longer than the DP cap segment to [UNK] and carry no pieces)

@@ -96,3 +96,17 @@ def test_rows_only_and_tolerance_lines_count_as_reported(monkeypatch):
     _fake_run(monkeypatch, gate, out, returncode=0)
     fails, _ = gate._run('/tmp/x', ['q_t', 'q_r'], checksum=False)
     assert fails == set()
+
+
+def test_stray_fail_noise_is_not_a_query_name(monkeypatch):
+    gate = _gate()
+    # unanchored parsing turned mid-line 'FAIL fast' log noise into a
+    # bogus query name, which then tripped the unreported-query tripwire
+    out = (
+        'WARN executor: will FAIL fast on fetch errors\n'
+        'ok   q_a (10 rows, exact)\n'
+        '\n1 matched (0 tolerance-only), 0 failed, 0 rows-only\n'
+    )
+    _fake_run(monkeypatch, gate, out, returncode=0)
+    fails, _ = gate._run('/tmp/x', ['q_a'], checksum=False)
+    assert fails == set()

@@ -55,7 +55,10 @@ def _run(sf1_dir: str, names: list[str], checksum: bool) -> tuple[set, str]:
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get('SPARK_GRAFT_CPUS', '16'))
     out = subprocess.run(cmd, capture_output=True, text=True, env=env)
     text = out.stdout + out.stderr
-    fails = set(re.findall(r'FAIL ([a-z0-9_]+)', text))
+    # line-anchored like the verdict-line regex below: an unanchored match
+    # would parse stray 'FAIL <word>' log noise as a query name and feed
+    # the tripwires a bogus unreported query (spurious hard-red)
+    fails = set(re.findall(r'^FAIL ([a-z0-9_]+)', text, re.M))
     # Hard-failure detection (ADVICE r9). A crash before the per-query
     # loop prints no FAIL lines at all; without these checks the gate
     # would exit 0 on a Spark OOM / import error — a false green in a
@@ -120,7 +123,7 @@ def main() -> int:
         if retry:
             fails2, text2 = _run(sf1_dir, retry, checksum=False)
             # tolerance-only is green for the documented pair, red otherwise
-            tol_only = set(re.findall(r'ok~ +([a-z0-9_]+)', text2))
+            tol_only = set(re.findall(r'^ok~ +([a-z0-9_]+)', text2, re.M))
             hard_fail = fails2 | {n for n in tol_only if n not in TOLERANCE_OK}
             print(f'canon phase: {len(retry) - len(hard_fail)} green, '
                   f'{len(hard_fail)} FAILED: {sorted(hard_fail)}')

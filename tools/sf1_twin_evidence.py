@@ -61,6 +61,48 @@ def _rows_checksum(rows) -> str:
 
 # -- 1. dedup_semantic_kmeans: Spark at sf1 vs vectorized numpy twin -----
 
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    """Spark F.round / DuckDB round semantics: ties AWAY from zero —
+    np.round is half-to-even and disagrees on exact .5 products (any
+    embedding component that is an odd multiple of 2^-15 lands there
+    under KM_SCALE = 2^14)."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def _kmeans_twin(ids: np.ndarray, Q: np.ndarray):
+    """Independent numpy replication of _kmeans_train's full Lloyd run —
+    seed = first KM_K corpus vec_ids (cl by ascending id), KM_ITERS
+    assign/update rounds, centroid update floor(sum q / count), argmin
+    ties to the LOWEST cl (np.argmin first-minimum == ORDER BY dist2,
+    cl) — so the evidence covers the CLUSTERING half of the query, not
+    just the within-cell flags (the review's circularity gap). All
+    arithmetic is integer-exact in f64 (dist2 <= 64*(2^16)^2 << 2^53).
+    Returns vec_id -> cl for the corpus."""
+    from cyclebane_spark.queries.similarity import KM_ITERS, KM_K, N_QUERIES
+
+    mask = ids >= N_QUERIES
+    cids, CQ = ids[mask], Q[mask]
+    order = np.argsort(cids)
+    cids, CQ = cids[order], CQ[order]
+    C = CQ[:KM_K].copy()  # seed: first K corpus ids, cl = rank
+
+    def assign_all(C):
+        n2 = (CQ * CQ).sum(axis=1)[:, None]
+        c2 = (C * C).sum(axis=1)[None, :]
+        D = n2 + c2 - 2.0 * (CQ @ C.T)
+        return np.argmin(D, axis=1)  # first min == lowest cl on ties
+
+    for _ in range(KM_ITERS):
+        a = assign_all(C)
+        counts = np.bincount(a, minlength=len(C))
+        assert (counts > 0).all(), 'empty cluster — twin cannot mirror'
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, CQ)
+        C = np.floor(sums / counts[:, None])
+    a = assign_all(C)
+    return dict(zip(cids.tolist(), a.tolist()))
+
+
 def check_semantic_kmeans(spark, sf1_dir: str) -> dict:
     import pandas as pd
 
@@ -72,10 +114,21 @@ def check_semantic_kmeans(spark, sf1_dir: str) -> dict:
     spark_s = time.perf_counter() - t0
 
     emb = pd.read_parquet(f'{sf1_dir}/embeddings.parquet')
-    q = {
-        int(r.vec_id): np.round(np.asarray(r.embedding, float) * KM_SCALE)
-        for r in emb.itertuples(index=False)
-    }
+    ids = emb.vec_id.to_numpy(np.int64)
+    Q = _round_half_up(
+        np.stack([np.asarray(v, float) for v in emb.embedding]) * KM_SCALE
+    )
+    q = dict(zip(ids.tolist(), Q))
+
+    # independent clustering check: the output's cl column must equal the
+    # twin k-means assignment for EVERY corpus vector
+    twin_cl = _kmeans_twin(ids, Q)
+    cl_mismatches = [
+        (r.vec_id, r.cl, twin_cl.get(r.vec_id))
+        for r in out
+        if twin_cl.get(r.vec_id) != r.cl
+    ]
+
     by_cl: dict[int, list] = {}
     for r in out:
         by_cl.setdefault(r.cl, []).append(r)
@@ -83,26 +136,30 @@ def check_semantic_kmeans(spark, sf1_dir: str) -> dict:
     mismatches = []
     for cl, members in by_cl.items():
         members.sort(key=lambda r: r.vec_id)
-        Q = np.stack([q[r.vec_id] for r in members])  # m x d, exact ints
-        n2 = (Q * Q).sum(axis=1)
+        QM = np.stack([q[r.vec_id] for r in members])  # m x d, exact ints
+        n2 = (QM * QM).sum(axis=1)
         # ||a-b||^2 = n2a + n2b - 2 a.b — every term integer-exact in f64
-        D = n2[:, None] + n2[None, :] - 2.0 * (Q @ Q.T)
+        D = n2[:, None] + n2[None, :] - 2.0 * (QM @ QM.T)
         near = D <= SEM_T
         for i, r in enumerate(members):
             want_kept = not near[i, :i].any()
             if bool(r.kept) != want_kept:
                 mismatches.append((cl, r.vec_id, bool(r.kept), want_kept))
     kept_n = sum(1 for r in out if r.kept)
-    ok = not mismatches and len(out) > 0
+    ok = not mismatches and not cl_mismatches and len(out) > 0
     print(
         f'{"ok  " if ok else "FAIL"} dedup_semantic_kmeans sf1: '
-        f'{len(out)} rows ({kept_n} kept), {len(mismatches)} flag '
-        f'mismatches vs numpy twin, spark {spark_s:.1f}s, '
+        f'{len(out)} rows ({kept_n} kept), {len(cl_mismatches)} cluster + '
+        f'{len(mismatches)} flag mismatches vs numpy twin, '
+        f'spark {spark_s:.1f}s, '
         f'checksum {_rows_checksum(sorted((r.vec_id, r.cl, r.kept) for r in out))}'
     )
+    if cl_mismatches:
+        print('  first cluster mismatches:', cl_mismatches[:5])
     if mismatches:
         print('  first mismatches:', mismatches[:5])
     return {'ok': ok, 'rows': len(out), 'kept': kept_n,
+            'cl_mismatches': len(cl_mismatches),
             'mismatches': len(mismatches), 'spark_sec': round(spark_s, 1)}
 
 
@@ -175,16 +232,30 @@ def tf_cosine_blocked_oracle(sf_glob: str, k: int, n_blocks: int) -> list[tuple]
     import duckdb
 
     con = duckdb.connect()
+    # tokenize/aggregate ONCE (identical SQL to the registered oracle's tf
+    # and n2 CTEs) — re-deriving them inside every block query re-scanned
+    # the whole corpus n_blocks times for nothing
+    con.execute(
+        rf"""
+        CREATE TEMP TABLE tf AS
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\s+') AS toks
+                   FROM read_parquet('{sf_glob}')),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t)
+        SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        """
+    )
+    con.execute(
+        'CREATE TEMP TABLE n2 AS SELECT doc_id,'
+        ' CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1'
+    )
     # block by doc-COUNT quantiles of the sorted id list, not by id-value
     # ranges: sf1 doc_ids are replica-offset (r * 100M apart), so equal
     # value spans would put whole replicas in single blocks and recreate
     # the materialization blowup the blocking exists to avoid
     ids = [
         r[0]
-        for r in con.sql(
-            f"SELECT DISTINCT doc_id FROM read_parquet('{sf_glob}')"
-            ' ORDER BY doc_id'
-        ).fetchall()
+        for r in con.sql('SELECT DISTINCT doc_id FROM tf ORDER BY doc_id').fetchall()
     ]
     per = (len(ids) + n_blocks - 1) // n_blocks
     merged: list[tuple] = []
@@ -194,15 +265,8 @@ def tf_cosine_blocked_oracle(sf_glob: str, k: int, n_blocks: int) -> list[tuple]
             break
         b_lo, b_hi = chunk[0], chunk[-1] + 1
         rows = con.sql(
-            rf"""
-            WITH t AS (SELECT doc_id,
-                              string_split_regex(trim(text), '\s+') AS toks
-                       FROM read_parquet('{sf_glob}')),
-            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-            tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-            n2 AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
-                   FROM tf GROUP BY 1),
-            dp AS (
+            f"""
+            WITH dp AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
                 FROM tf a JOIN tf b
