@@ -2690,9 +2690,28 @@ def dedup_exact_substr(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, 'documents')
-    grams = docs.select(
-        'doc_id',
-        F.posexplode(_CF.word_ngrams('text', EXSUB_L)).alias('p0', 'gram'),
+    # Tokenize ONCE behind an exchange. Building the grams straight from
+    # word_ngrams('text', 8) inlines split(text) into all 8 F.get calls of
+    # every position (projection collapse), re-splitting each document
+    # ~8 x len(toks) times — measured 30.5 s at sf0.1 vs 1.5 s for this
+    # form. The doc_id repartition is the materialization barrier AND
+    # makes the gram stage's parallelism independent of the input file
+    # count (a single-file corpus otherwise runs the whole explode+join
+    # in one task — the sf0.1 > sf1 wall-time inversion the first SCALE
+    # sweep caught). One extra corpus-sized shuffle of (doc_id, toks),
+    # amortized by the ~8x larger gram stage it parallelizes.
+    toks = docs.select(
+        'doc_id', _CF.tokens('text').alias('toks')
+    ).repartition('doc_id')
+    seq = F.sequence(F.lit(0), F.size('toks') - EXSUB_L)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        ' ', *[F.get('toks', i + k) for k in range(EXSUB_L)]
+    )
+    ngrams = F.when(
+        F.size('toks') >= EXSUB_L, F.transform(seq, gram)
+    ).otherwise(F.array().cast('array<string>'))
+    grams = toks.select(
+        'doc_id', F.posexplode(ngrams).alias('p0', 'gram')
     ).select('doc_id', (F.col('p0') + 1).alias('p'), 'gram')
 
     a = grams.select(

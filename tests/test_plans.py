@@ -973,20 +973,26 @@ def test_unigram_dp_joins_broadcast_and_frames_checkpoint(spark):
     assert reg_raw.count('BroadcastHashJoin') == 0
 
 
-def test_exact_substr_anchor_join_and_single_runmerge_exchange(spark):
+def test_exact_substr_anchor_join_and_runmerge_reuses_partitioning(spark):
     """dedup_exact_substr: the anchor join must key on the GRAM (inverted-
     index shape — broadcast at tiny SF, shuffled hash join at scale; the
-    doc_a < doc_b orientation is a residual, never a nested-loop driver),
-    and the diagonal run-merge must do its window + partial/final
-    aggregate over ONE (da, db, diag) exchange — the grouping keys extend
-    the window partition keys, so a second shuffle is a regression."""
+    doc_a < doc_b orientation is a residual, never a nested-loop driver);
+    the tokenize-once doc_id repartition (the materialization barrier
+    that stops projection collapse from re-splitting each doc 8x per
+    position, and decouples gram-stage parallelism from the input file
+    count) must be REUSED by the diagonal run-merge — da is a subset of
+    the (da, db, diag) clustering, so window + partial/final aggregate
+    need ZERO additional exchange."""
     raw = raw_plan_of(spark, 'dedup_exact_substr')
     assert 'CartesianProduct' not in raw
     assert 'BroadcastNestedLoop' not in raw
     assert re.search(r'HashJoin \[gram#\d+\], \[gram#\d+\]', raw), raw
-    assert (
-        len(re.findall(r'Exchange hashpartitioning\(da#\d+L, db#\d+L, diag#\d+', raw))
-        == 1
+    assert re.search(
+        r'Exchange hashpartitioning\(doc_id#\d+L, \d+\), REPARTITION_BY_COL', raw
+    ), raw
+    # no shuffle between the join and the final aggregate
+    assert not re.search(
+        r'Exchange hashpartitioning\(da#\d+L', raw
     ), raw
     assert 'partial_min' in raw  # map-side combine feeds the final merge
 

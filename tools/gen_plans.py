@@ -337,11 +337,13 @@ NOTES['text_unigram_segment'] = [
 
 NOTES['dedup_exact_substr'] = [
     'ExactSubstr (Lee et al. 2022) as anchor join + diagonal run-merge:',
-    'the L-token-gram self-join keys on the GRAM (inverted-index shape,',
-    'broadcast at tiny SF, shuffled hash join at scale; doc_a < doc_b is',
-    'a residual), then ONE (doc_a, doc_b, diagonal) exchange serves the',
-    'islands window AND the partial/final run aggregate — pair-bounded,',
-    'far smaller than the corpus-sized gram stage',
+    'tokenize-once doc_id repartition (stops projection collapse from',
+    're-splitting each doc 8x per gram position — measured 30.5s -> 1.5s',
+    'at sf0.1 — and decouples parallelism from input file count), gram',
+    'self-join keys on the GRAM (broadcast at tiny SF, shuffled at',
+    'scale; doc_a < doc_b is a residual), and the islands window + run',
+    'aggregate REUSE the doc_id partitioning (da subset of clustering) —',
+    'zero additional run-merge shuffle',
 ]
 
 NOTES['text_unigram_train_step'] = [
