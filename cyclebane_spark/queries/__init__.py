@@ -66,28 +66,14 @@ _MODULES = (
 # < _WINDOW_ROUND only, so the driver committing round N's results can
 # never redden a window that was (correctly) built before they existed.
 # Bump this together with every rotation.
-_WINDOW_ROUND = 10
+_WINDOW_ROUND = 11
 
 # Queries whose CODE PATH changed this round (including via shared-helper
 # edits). The rotation contract (tests/test_priority_window.py) requires
 # every one of these to hold a window slot, after any driver-red rows.
-# Round 10 (ADVICE r9 fixes): the unigram vocab quantization in
-# text.py moved from double-promoting F.floor(cnt * SCALE / d) to exact
-# integral `div` (affects text_unigram_segment's vocab step; values
-# identical below 2^53, the fix closes the silent divergence above it),
-# and the IVF ingest landing-file split in similarity.py moved from
-# float `/` + cast to integral `div` (stream_ivf_ingest; values
-# identical at gate SFs). The near-dup IN-pushdown (streaming/windows.py)
-# gained the defensive distinct-key limit (VERDICT r9 #8) — a code-path
-# change for stream_near_dup_filter (green-path output identical; cap
-# overflow now degrades to the no-pushdown probe instead of relying on
-# the row-count gate alone). The unigram oracle SQL builder refactor for
-# the trainer step also touches text_unigram_segment (already listed).
-_CHANGED_THIS_ROUND = (
-    'text_unigram_segment',
-    'stream_ivf_ingest',
-    'stream_near_dup_filter',
-)
+# Round 11: updated as changes land (VERDICT r10 #2 exact-substr anchor
+# cap is the first planned entry).
+_CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
@@ -96,82 +82,78 @@ _CHANGED_THIS_ROUND = (
 # then changed-since-green, then never-seen, then oldest-green backfill.
 # The contract is on window MEMBERSHIP, not position: tiers 1-3 must hold a
 # slot somewhere in the first 50; tier-4 backfill must be stalest-first.
-# Round-10 rotation: no driver-red rows (r9 was 50/50 green); slot 1 is
-# text_vocab_coverage (the r4-green straggler displaced by r9's required
-# slots — the stalest signal left), slots 2-45 the ENTIRE 44-query
-# round-5-green staleness tail, then this round's changed rows (ADVICE
-# r9 integral-division fixes), then alphabetically-first round-6-green
-# backfill. New round-10 registrations displace backfill slots (freshest
-# last) as they land. Everything below position 50 is driver-green in
-# r6-r9 and unchanged since.
+# Round-11 rotation: no driver-red rows (r10 was 50/50 green). The
+# stalest signal is the ENTIRE 48-query round-6-green tail (slots 1-48,
+# alphabetical), then the alphabetically-first round-7-green backfill.
+# New round-11 registrations and _CHANGED_THIS_ROUND entries displace
+# backfill slots from the FRESHEST (round, name) end as they land.
+# Everything below position 50 is driver-green in r7-r10 and unchanged
+# since.
 #
 # Window-rotation ENDGAME (standing policy, stated per the r9 verdict):
-# from round 11 the stalest tail is r6's 48 queries and every later tail
-# (r7 49, r8 47, r9 50) also exceeds what one 50-slot window can absorb
-# alongside required slots. The policy stays exactly what this test
-# already enforces — stalest-first ACROSS rounds, alphabetical WITHIN a
-# round, required (red/changed/never-seen) slots displacing backfill from
-# the freshest end — so each round retires a whole alphabetical prefix of
-# the oldest tail and the remainder of that tail stays strictly next in
-# line. No per-round judgment calls: the (round, name) total order makes
-# the window deterministic given the correctness history.
+# every remaining staleness tail (r7 48, r8 47, r9 48, r10 50) exceeds
+# what one 50-slot window can absorb alongside required slots. The policy
+# stays exactly what the rotation test already enforces — stalest-first
+# ACROSS rounds, alphabetical WITHIN a round, required (red/changed/
+# never-seen) slots displacing backfill from the freshest end — so each
+# round retires a whole alphabetical prefix of the oldest tail and the
+# remainder of that tail stays strictly next in line. No per-round
+# judgment calls: the (round, name) total order makes the window
+# deterministic given the correctness history.
 _PRIORITY = (
-    # 1: the round-4-green straggler (displaced from the r9 window by its
-    # 7 required slots) — the stalest signal in the registry, rotates first
-    'text_vocab_coverage',
-    # 2-45: the ENTIRE 44-query round-5-green staleness tail (alphabetical)
-    'ann_hard_negatives',
-    'ann_ivf_incremental_assign',
-    'ann_ivf_matryoshka_topk',
-    'ann_matryoshka_rerank',
-    'dedup_bcubed_eval',
-    'dedup_cc_incremental',
-    'dedup_cc_largestar',
-    'dedup_eval_confusion',
-    'dedup_lsh_band_diagnostics',
-    'dedup_recursive_hops',
-    'dedup_sorted_neighborhood',
-    'dedup_tf_cosine_pairs',
-    'events_cusum_alarm',
-    'events_ewma_fold',
-    'events_sessionization_sweep',
-    'events_skew_profile',
-    'graph_kcore_peel',
-    'graph_label_propagation',
-    'graph_slice_positional',
-    'join_bloom_prefilter',
-    'join_interval_bucketed',
-    'join_null_safe_eq',
-    'multimodal_scene_cuts',
-    'multimodal_voice_activity',
-    'pipeline_cluster_balanced_sample',
-    'pipeline_dataset_card',
-    'pipeline_entity_resolution',
-    'pipeline_mix_weights',
-    'pipeline_quantile_bins',
-    'pipeline_rrf_fusion',
-    'pipeline_target_encoding',
-    'pipeline_tokenize_to_ids',
-    'q14_promo_revenue',
-    'q1_pricing_summary',
-    'quality_kanonymity_audit',
-    'quality_source_overlap',
-    'quality_source_overlap_hll',
-    'sample_stratified_exact_k',
-    'sketch_cms_frequency',
-    'text_bigram_lm_score',
-    'text_extractive_summary',
-    'text_keyword_tagging',
-    'text_length_curriculum',
-    'window_topk_per_group',
-    # 46-47: changed this round (ADVICE r9 exact-integral-division fixes)
-    'text_unigram_segment',
-    'stream_ivf_ingest',
-    # 48-49: never-seen (new in round 10)
-    'dedup_exact_substr',
-    'text_unigram_train_step',
-    # 50: changed this round (near-dup pushdown defensive cap)
-    'stream_near_dup_filter',
+    # 1-48: the ENTIRE 48-query round-6-green staleness tail (alphabetical)
+    'ann_bruteforce_topk',
+    'ann_ivf_blocked_topk',
+    'ann_rp_lsh_topk',
+    'argmax_per_group',
+    'argmin_cheapest_supplier',
+    'array_functions',
+    'conditional_agg_shipmodes',
+    'count_distinct_exact',
+    'cube_flag_status',
+    'date_functions',
+    'dedup_containment_pairs',
+    'distinct_pairs',
+    'groupingsets_flag_status',
+    'join_anti',
+    'join_range_band',
+    'join_semi',
+    'map_functions',
+    'percentile_exact',
+    'promo_revenue_ratio',
+    'q13_customer_distribution',
+    'q18_large_volume_customer',
+    'q19_disjunctive_predicates',
+    'q22_idle_rich_customers',
+    'q3_shipping_priority',
+    'q5_local_supplier_volume',
+    'q6_forecast_revenue',
+    'q7_volume_shipping',
+    'q8_market_share',
+    'q9_product_type_profit',
+    'rollup_order_priority',
+    'sample_hash_based',
+    'sample_stratified',
+    'scalar_functions',
+    'setop_union_intersect',
+    'skew_salted_agg',
+    'sql_interface_portable',
+    'sql_interface_q10',
+    'subquery_correlated_avg',
+    'subquery_exists_priority',
+    'subquery_scalar_avg',
+    'topk_orders',
+    'unpivot_lineitem_measures',
+    'window_analytics_suite',
+    'window_first_last_nth',
+    'window_lag_delta',
+    'window_nulls_ordering',
+    'window_range_frame_trailing',
+    'window_running_total',
+    # 49-50: alphabetically-first round-7-green backfill (displaced by
+    # round-11 required slots as they land)
+    'ann_ivf_drift_gate',
+    'ann_ivf_kmeans_nprobe2',
 )
 
 
