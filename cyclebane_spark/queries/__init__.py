@@ -71,9 +71,12 @@ _WINDOW_ROUND = 11
 # Queries whose CODE PATH changed this round (including via shared-helper
 # edits). The rotation contract (tests/test_priority_window.py) requires
 # every one of these to hold a window slot, after any driver-red rows.
-# Round 11: updated as changes land (VERDICT r10 #2 exact-substr anchor
-# cap is the first planned entry).
-_CHANGED_THIS_ROUND: tuple[str, ...] = ()
+# Round 11 (VERDICT r10 #2): dedup_exact_substr gained the Lee et al.
+# hot-gram anchor cap (df > EXSUB_DF_CAP grams never anchor; gram-count
+# agg checkpointed once, broadcast anti join per side) — output
+# unchanged at gate SFs (no gram is hot there; asserted in the twin
+# test), semantics now carry the stated recall contract.
+_CHANGED_THIS_ROUND: tuple[str, ...] = ('dedup_exact_substr',)
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
@@ -150,10 +153,11 @@ _PRIORITY = (
     'window_nulls_ordering',
     'window_range_frame_trailing',
     'window_running_total',
-    # 49-50: alphabetically-first round-7-green backfill (displaced by
+    # 49: alphabetically-first round-7-green backfill (displaced by
     # round-11 required slots as they land)
     'ann_ivf_drift_gate',
-    'ann_ivf_kmeans_nprobe2',
+    # 50: changed this round (hot-gram anchor cap, VERDICT r10 #2)
+    'dedup_exact_substr',
 )
 
 

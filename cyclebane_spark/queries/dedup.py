@@ -2637,15 +2637,30 @@ def pipeline_cluster_balanced_sample(spark, sf_dir):
 # Scale: the gram join is inverted-index shaped — shuffle keys on the
 # gram, never on a document; cost is sum over grams of df^2, and an
 # L-token verbatim window is exponentially rarer than a token (at sf1
-# this corpus has 1.06e4 matched window pairs from 1.5e6 windows). A
-# pathological boilerplate gram (df in the millions) lands on the same
-# salting/AQE-skew machinery as the LSH band joins (SCALE.md); the
-# paper's remedy is identical (they drop >1000-occurrence grams from
-# anchoring). Run-merge shuffles once on (doc_a, doc_b, diag) — pair-
-# bounded, far smaller than the corpus.
+# this corpus has 1.06e4 matched window pairs from 1.5e6 windows). The
+# df^2 term is BOUNDED by the paper's hot-gram drop (Lee et al. 2022
+# suffix-array implementation: grams occurring more than 1000 times are
+# excluded from anchoring): gram occurrence counts are a map-side-
+# combinable aggregate, the >cap survivors are a corpus/cap-bounded
+# dimension (broadcast), and grams join anti against it BEFORE the
+# self-join — so the worst gram contributes cap^2 pairs, not df^2.
+# Run-merge shuffles once on (doc_a, doc_b, diag) — pair-bounded, far
+# smaller than the corpus.
+#
+# RECALL CONTRACT of the cap (stated, matched by oracle + twin): a match
+# is a maximal run of consecutive COLD (df <= cap) gram matches on one
+# (doc_a, doc_b, diagonal). A pure-boilerplate run — every one of its
+# grams occurs > cap times corpus-wide — is SUPPRESSED (that is the
+# point: its pair set is quadratic in the boilerplate's popularity and
+# carries no dedup signal). A hot gram INSIDE an otherwise-unique run
+# splits the reported run into the cold sub-runs flanking it (each still
+# >= L tokens); the duplicated region is still found, with conservative
+# per-fragment lengths. Runs with at least one cold gram are otherwise
+# reported exactly as before.
 # ---------------------------------------------------------------------------
 
 EXSUB_L = 8  # minimum shared-run length in tokens (the paper: 50 BPE toks)
+EXSUB_DF_CAP = 1000  # max corpus-wide occurrences for an anchoring gram
 
 
 @register(
@@ -2664,9 +2679,16 @@ EXSUB_L = 8  # minimum shared-run length in tokens (the paper: 50 BPE toks)
                array_to_string(toks[p : p + {EXSUB_L} - 1], ' ') AS gram
         FROM pos
     ),
+    cold AS (
+        SELECT doc_id, p, gram FROM (
+            SELECT doc_id, p, gram,
+                   COUNT(*) OVER (PARTITION BY gram) AS df
+            FROM gr
+        ) WHERE df <= {EXSUB_DF_CAP}
+    ),
     m AS (
         SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
-        FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        FROM cold a JOIN cold b ON a.gram = b.gram AND a.doc_id < b.doc_id
     ),
     runs AS (
         SELECT da, db, pb - pa AS diag, pa,
@@ -2683,10 +2705,11 @@ EXSUB_L = 8  # minimum shared-run length in tokens (the paper: 50 BPE toks)
     """,
 )
 def dedup_exact_substr(spark, sf_dir):
-    """ExactSubstr dedup: maximal >= EXSUB_L-token verbatim runs shared
-    across document pairs (module note above). Output: one row per
-    maximal run — (doc_a, doc_b, a_start, b_start, match_len), positions
-    1-based in token space."""
+    """ExactSubstr dedup: maximal >= EXSUB_L-token verbatim runs of COLD
+    (df <= EXSUB_DF_CAP) gram matches shared across document pairs
+    (module note above — incl. the recall contract of the hot-gram
+    anchor cap). Output: one row per maximal run — (doc_a, doc_b,
+    a_start, b_start, match_len), positions 1-based in token space."""
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, 'documents')
@@ -2714,10 +2737,35 @@ def dedup_exact_substr(spark, sf_dir):
         'doc_id', F.posexplode(ngrams).alias('p0', 'gram')
     ).select('doc_id', (F.col('p0') + 1).alias('p'), 'gram')
 
-    a = grams.select(
+    # Hot-gram anchor cap (Lee et al.: drop >1000-occurrence grams). The
+    # occurrence count is a map-side-combinable groupBy (a hot gram's
+    # instances partial-count inside each task before the exchange — the
+    # count never funnels df rows into one reducer), and the >cap
+    # survivors — a corpus/cap-bounded dimension — are materialized ONCE
+    # with an eager localCheckpoint and BROADCAST to an anti join on
+    # each side of the anchor join. The anti join is shuffle-free and
+    # preserves the doc_id repartition, so the capped plan keeps the
+    # uncapped plan's entire shape (anchor join keying, run-merge's
+    # zero-exchange window). Without the checkpoint Spark re-derives the
+    # hot set per reference — the HOF-lambda gram builder defeats
+    # canonical exchange reuse — measured 4.7x slower at sf0.1; a
+    # count-over-window(gram) variant loses the run-merge partitioning
+    # reuse and measured 3.5x slower. Worst-case pair fan-out per gram
+    # drops from df^2 to cap^2 at the price of one extra corpus gram
+    # pass (the df count — the suffix-array paper gets it from the
+    # array it already built).
+    hot = (
+        grams.groupBy('gram')
+        .agg(F.count(F.lit(1)).alias('df'))
+        .filter(F.col('df') > EXSUB_DF_CAP)
+        .select('gram')
+    ).localCheckpoint()
+    cold = grams.join(F.broadcast(hot), 'gram', 'left_anti')
+
+    a = cold.select(
         F.col('doc_id').alias('da'), F.col('p').alias('pa'), 'gram'
     )
-    b = grams.select(
+    b = cold.select(
         F.col('doc_id').alias('db'), F.col('p').alias('pb'), 'gram'
     )
     m = (

@@ -1047,46 +1047,65 @@ def test_unigram_segment_matches_pure_python(spark):
             assert tk.replace(' ', '') == w
 
 
+def exact_substr_extension_twin(toks: dict, L: int, cap: int) -> set:
+    """Pure-Python twin of dedup_exact_substr by a DIFFERENT mechanism —
+    explicit anchor hits + cold-gram left-maximality check + rightward
+    gram-by-gram EXTENSION (the Spark statement is islands/run-merge
+    arithmetic over a join). A (pa, pb) cold anchor starts a run iff the
+    predecessor positions are NOT themselves a cold gram match; the
+    extension counts consecutive cold gram matches; match_len =
+    run_grams + L - 1. Dropping hot (df > cap) grams happens at the
+    index — identical to the registered query's anti-join."""
+    from collections import defaultdict
+
+    idx = defaultdict(list)
+    for d, ts in toks.items():
+        for p in range(len(ts) - L + 1):
+            idx[tuple(ts[p : p + L])].append((d, p))
+    df = {g: len(occs) for g, occs in idx.items()}
+
+    def cold_match(da, pa, db, pb):
+        A, B = toks[da], toks[db]
+        if pa < 0 or pb < 0 or pa + L > len(A) or pb + L > len(B):
+            return False
+        ga, gb = tuple(A[pa : pa + L]), tuple(B[pb : pb + L])
+        return ga == gb and df[ga] <= cap
+
+    expected = set()
+    for g, occs in idx.items():
+        if df[g] > cap:
+            continue
+        for da, pa in occs:
+            for db, pb in occs:
+                if da >= db:
+                    continue
+                if cold_match(da, pa - 1, db, pb - 1):
+                    continue  # not a cold-run start on this diagonal
+                ln = 0
+                while cold_match(da, pa + ln, db, pb + ln):
+                    ln += 1
+                expected.add((da, db, pa + 1, pb + 1, ln + L - 1))
+    return expected
+
+
 def test_exact_substr_matches_extension_twin(spark):
-    """Re-derive every maximal shared run by a DIFFERENT mechanism —
-    explicit anchor hits + left-maximality check + rightward token-by-
-    token EXTENSION in pure Python — and require set equality with the
-    Spark islands/run-merge statement. Left-maximality: an anchor (pa,
-    pb) starts a run iff pa==0, pb==0, or the preceding tokens differ;
-    the extension length from a run start is the full match length."""
+    """Twin equality on the gate corpus, plus: the corpus must actually
+    contain shared runs, and (documented) no gram is hot at this SF — so
+    the capped output here coincides with the uncapped published
+    semantics and the token-level maximality proof still binds."""
     import re
     from collections import defaultdict
 
     import pandas as pd
 
-    from cyclebane_spark.queries.dedup import EXSUB_L
+    from cyclebane_spark.queries.dedup import EXSUB_DF_CAP, EXSUB_L
 
     docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
     toks = {
         int(r.doc_id): re.split(r'\s+', r.text.strip())
         for r in docs.itertuples(index=False)
     }
-    idx = defaultdict(list)
-    for d, ts in toks.items():
-        for p in range(len(ts) - EXSUB_L + 1):
-            idx[tuple(ts[p : p + EXSUB_L])].append((d, p))
-    expected = set()
-    for occs in idx.values():
-        for da, pa in occs:
-            for db, pb in occs:
-                if da >= db:
-                    continue
-                A, B = toks[da], toks[db]
-                if pa > 0 and pb > 0 and A[pa - 1] == B[pb - 1]:
-                    continue  # not a run start on this diagonal
-                ln = 0
-                while (
-                    pa + ln < len(A)
-                    and pb + ln < len(B)
-                    and A[pa + ln] == B[pb + ln]
-                ):
-                    ln += 1
-                expected.add((da, db, pa + 1, pb + 1, ln))  # 1-based
+    expected = exact_substr_extension_twin(toks, EXSUB_L, EXSUB_DF_CAP)
     got = {
         (r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_len)
         for r in queries()['dedup_exact_substr'](spark, SF_DIR).collect()
@@ -1094,6 +1113,61 @@ def test_exact_substr_matches_extension_twin(spark):
     assert got == expected
     assert got, 'corpus has no shared runs — the gate proves nothing'
     assert all(t[4] >= EXSUB_L for t in got)
+    # cap sanity at this SF: gate data has no hot gram, so this run also
+    # certifies the uncapped semantics (the synthetic cap tests exercise
+    # suppression and splitting)
+    idx = defaultdict(int)
+    for ts in toks.values():
+        for p in range(len(ts) - EXSUB_L + 1):
+            idx[tuple(ts[p : p + EXSUB_L])] += 1
+    assert max(idx.values()) <= EXSUB_DF_CAP
+
+
+def test_exact_substr_hot_gram_cap(spark, tmp_path):
+    """Adversarial boilerplate: the anchor cap must (a) SUPPRESS the
+    pure-boilerplate clique whose uncapped pair count is quadratic,
+    (b) SPLIT a unique run around an interior hot gram into its two cold
+    fragments, (c) leave a fully-cold pair untouched — all three against
+    the extension twin AND hand-computed rows."""
+    import pandas as pd
+
+    from cyclebane_spark.queries.dedup import EXSUB_DF_CAP, EXSUB_L
+
+    boiler = [f'b{k}' for k in range(EXSUB_L)]  # one hot gram per doc
+    n_boiler = EXSUB_DF_CAP + 1  # df = cap + 3 > cap (with docs X, Y)
+    rows = [
+        {'doc_id': i, 'text': ' '.join(boiler)} for i in range(n_boiler)
+    ]
+    # X and Y share U1..U6 B1..B8 V1..V6: the interior boilerplate gram is
+    # hot, the 6 grams on each flank are unique to the pair
+    shared = [f'u{k}' for k in range(6)] + boiler + [f'v{k}' for k in range(6)]
+    rows.append({'doc_id': 5000, 'text': ' '.join(shared + ['xonly'])})
+    rows.append({'doc_id': 5001, 'text': ' '.join(shared + ['yonly'])})
+    # P and Q share a fully-cold 10-token run (3 grams -> one len-10 row)
+    coldrun = [f'c{k}' for k in range(10)]
+    rows.append({'doc_id': 6000, 'text': ' '.join(coldrun + ['ponly'])})
+    rows.append({'doc_id': 6001, 'text': ' '.join(['qonly'] + coldrun)})
+    pd.DataFrame(rows).to_parquet(tmp_path / 'documents.parquet')
+
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.match_len)
+        for r in queries()['dedup_exact_substr'](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    toks = {int(r['doc_id']): r['text'].split(' ') for r in rows}
+    assert got == exact_substr_extension_twin(toks, EXSUB_L, EXSUB_DF_CAP)
+    # (a) no row touches two boilerplate-only docs — the uncapped form
+    # would emit C(n_boiler, 2) > 500k of them
+    assert not any(a < n_boiler and b < n_boiler for a, b, *_ in got)
+    assert n_boiler * (n_boiler - 1) // 2 > 500_000
+    # (b) the X/Y run splits into the two 13-token cold fragments
+    assert {t for t in got if t[0] == 5000} == {
+        (5000, 5001, 1, 1, 13),
+        (5000, 5001, 8, 8, 13),
+    }
+    # (c) the cold pair is exact and unsplit
+    assert {t for t in got if t[0] == 6000} == {(6000, 6001, 1, 2, 10)}
 
 
 def test_unigram_train_step_matches_pure_python(spark):

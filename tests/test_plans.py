@@ -982,7 +982,10 @@ def test_exact_substr_anchor_join_and_runmerge_reuses_partitioning(spark):
     position, and decouples gram-stage parallelism from the input file
     count) must be REUSED by the diagonal run-merge — da is a subset of
     the (da, db, diag) clustering, so window + partial/final aggregate
-    need ZERO additional exchange."""
+    need ZERO additional exchange. The hot-gram anchor cap must be a
+    BROADCAST anti join on each side (the checkpointed hot set is
+    corpus/cap-bounded), shuffle-free and partitioning-preserving — the
+    capped plan keeps the uncapped plan's whole shape."""
     raw = raw_plan_of(spark, 'dedup_exact_substr')
     assert 'CartesianProduct' not in raw
     assert 'BroadcastNestedLoop' not in raw
@@ -995,6 +998,15 @@ def test_exact_substr_anchor_join_and_runmerge_reuses_partitioning(spark):
         r'Exchange hashpartitioning\(da#\d+L', raw
     ), raw
     assert 'partial_min' in raw  # map-side combine feeds the final merge
+    # the df>cap anchor drop: one broadcast anti join per join side
+    assert (
+        len(
+            re.findall(
+                r'BroadcastHashJoin \[gram#\d+\], \[gram#\d+\], LeftAnti', raw
+            )
+        )
+        == 2
+    ), raw
 
 
 def test_unigram_train_step_stays_broadcast_and_bounded(spark):

@@ -343,7 +343,12 @@ NOTES['dedup_exact_substr'] = [
     'self-join keys on the GRAM (broadcast at tiny SF, shuffled at',
     'scale; doc_a < doc_b is a residual), and the islands window + run',
     'aggregate REUSE the doc_id partitioning (da subset of clustering) —',
-    'zero additional run-merge shuffle',
+    'zero additional run-merge shuffle. The paper hot-gram anchor cap',
+    '(df > 1000 grams never anchor — worst pair fan-out df^2 -> cap^2)',
+    'is a map-side-combinable gram count checkpointed ONCE into a',
+    'corpus/cap-bounded hot set, broadcast-anti-joined on each side:',
+    'shuffle-free, partitioning-preserving, the capped plan keeps the',
+    'uncapped plan shape (+1 corpus gram pass; ~2.0s vs 1.5s at sf0.1)',
 ]
 
 NOTES['text_unigram_train_step'] = [
