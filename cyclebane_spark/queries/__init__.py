@@ -153,9 +153,8 @@ _PRIORITY = (
     'window_nulls_ordering',
     'window_range_frame_trailing',
     'window_running_total',
-    # 49: alphabetically-first round-7-green backfill (displaced by
-    # round-11 required slots as they land)
-    'ann_ivf_drift_gate',
+    # 49: never-seen (new in round 11: df-capped TF-cosine, VERDICT r10 #3)
+    'dedup_tf_cosine_capped',
     # 50: changed this round (hot-gram anchor cap, VERDICT r10 #2)
     'dedup_exact_substr',
 )

@@ -1544,6 +1544,157 @@ def dedup_tf_cosine_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# df-capped TF-cosine (the sf1-feasible production variant of the exact
+# AllPairs gate above): cosine over 3-GRAM SHINGLE term vectors with the
+# classic max-df drop — terms appearing in more than COS_DF_CAP documents
+# are removed from the inverted index BEFORE the pair join, and the norms
+# are recomputed over the surviving (cold) terms, so the statistic is the
+# EXACT cosine of the cold-term projections of both vectors ("exact on
+# the remaining mass"). Contract: a hot term contributes to NO pair's dot
+# or norm — pairs similar only through boilerplate terms rank by their
+# residual; a pair sharing no cold term is absent. With df_t <= cap for
+# every indexed term, the pair-partial cost is sum(df^2) <= cap * sum(df)
+# = cap * |postings| — LINEAR in the corpus for fixed cap, vs the
+# uncapped gate's unbounded sum(df^2) (measured ~2.5e10 at sf1 on this
+# closed-vocabulary corpus, the one registry row whose exact form is
+# small-SF-only).
+#
+# Term choice: 3-gram shingles, not unigrams — this corpus has a CLOSED
+# 31-token vocabulary where every unigram's df is ~N (min 5% of docs), so
+# any unigram max-df cap is degenerate (drops all or nothing); shingled
+# terms are the standard df-cappable similarity index (w-shingling), df
+# max 25 at sf0.1 / ~250 at sf1, far under the cap — the gate SFs
+# exercise the exact-on-remainder path and the synthetic cap test
+# exercises the drop.
+# Scale: df count is map-side combinable; the hot-term set (corpus/cap-
+# bounded) is checkpointed once and broadcast anti-joined onto the
+# postings — shuffle-free, partitioning-preserving (the same idiom as
+# dedup_exact_substr's anchor cap); pair partials combine map-side; the
+# top-K is TakeOrderedAndProject (no global sort).
+# ---------------------------------------------------------------------------
+
+COS_DF_CAP = 1000  # max document frequency for an indexed term
+
+
+def _cos_capped_postings(spark, sf_dir):
+    """UNCHECKPOINTED capped postings pipeline (doc_id, term, tf) —
+    exposed separately so the plan pin can assert the shape that the
+    query's localCheckpoint would otherwise hide: the tokenize-once
+    doc_id repartition barrier, the map-side-combinable df count, and
+    the broadcast anti join dropping hot terms."""
+    docs = table(spark, sf_dir, 'documents')
+    # Tokenize once behind a doc_id repartition — the same
+    # materialization barrier as dedup_exact_substr's gram stage: built
+    # straight from word_ngrams, projection collapse inlines split(text)
+    # into every F.get of every position, re-splitting each document 3x
+    # per term (measured 17.5s -> 3.4s at sf0.1 across this query's
+    # postings references).
+    toks = docs.select(
+        'doc_id', _CF.tokens('text').alias('toks')
+    ).repartition('doc_id')
+    seq = F.sequence(F.lit(0), F.size('toks') - 3)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        ' ', *[F.get('toks', i + k) for k in range(3)]
+    )
+    ngrams = F.when(
+        F.size('toks') >= 3, F.transform(seq, gram)
+    ).otherwise(F.array().cast('array<string>'))
+    tf = (
+        toks.select('doc_id', F.explode(ngrams).alias('term'))
+        .groupBy('doc_id', 'term')
+        .agg(F.count(F.lit(1)).alias('tf'))
+    )
+    hot = (
+        tf.groupBy('term')
+        .agg(F.count(F.lit(1)).alias('df'))
+        .filter(F.col('df') > COS_DF_CAP)
+        .select('term')
+    ).localCheckpoint()
+    return tf.join(F.broadcast(hot), 'term', 'left_anti')
+
+
+@register(
+    'dedup_tf_cosine_capped',
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS term
+        FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM g GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    cold AS (
+        SELECT tf.doc_id, tf.term, tf.tf
+        FROM tf JOIN dfc USING (term) WHERE dfc.df <= {COS_DF_CAP}
+    ),
+    n2 AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM cold GROUP BY 1
+    ),
+    dp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM cold a JOIN cold b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dot,
+           CAST(dot * dot AS DOUBLE) / CAST(na.n2 * nb.n2 AS DOUBLE) AS cos2
+    FROM dp
+    JOIN n2 na ON doc_a = na.doc_id
+    JOIN n2 nb ON doc_b = nb.doc_id
+    ORDER BY cos2 DESC, doc_a, doc_b LIMIT {_COS_PAIR_K}
+    """,
+)
+def dedup_tf_cosine_capped(spark, sf_dir):
+    """Top-25 cosine-similar document pairs over df-capped 3-gram shingle
+    TF vectors — exact cosine of the cold-term (df <= COS_DF_CAP)
+    projections (module note above states the contract and the
+    linear-in-corpus cost bound). Determinism: integer dots and norms,
+    one IEEE divide of exactly-representable values (dot ~ doc length,
+    dot^2 << 2^53; n2 products < 2^53), doc-id tiebreak."""
+    # Materialize the capped postings ONCE (the suffix-array analog: the
+    # paper also materializes its index before pairing): n2, and both
+    # sides of the pair join read the checkpoint instead of re-running
+    # the tokenize+explode+agg pipeline per reference (4 passes -> 2:
+    # one for the df count, one here).
+    cold = _cos_capped_postings(spark, sf_dir).localCheckpoint()
+    n2 = cold.groupBy('doc_id').agg(
+        F.sum(F.col('tf') * F.col('tf')).cast('bigint').alias('n2')
+    )
+    a = cold.select(
+        F.col('doc_id').alias('doc_a'), 'term', F.col('tf').alias('tfa')
+    )
+    b = cold.select(
+        F.col('doc_id').alias('doc_b'), 'term', F.col('tf').alias('tfb')
+    )
+    dp = (
+        a.join(b, 'term')
+        .filter(F.col('doc_a') < F.col('doc_b'))
+        .groupBy('doc_a', 'doc_b')
+        .agg(F.sum(F.col('tfa') * F.col('tfb')).cast('bigint').alias('dot'))
+    )
+    na = n2.select(F.col('doc_id').alias('doc_a'), F.col('n2').alias('na2'))
+    nb = n2.select(F.col('doc_id').alias('doc_b'), F.col('n2').alias('nb2'))
+    return (
+        dp.join(na, 'doc_a')
+        .join(nb, 'doc_b')
+        .select(
+            'doc_a',
+            'doc_b',
+            'dot',
+            (
+                (F.col('dot') * F.col('dot')).cast('double')
+                / (F.col('na2') * F.col('nb2')).cast('double')
+            ).alias('cos2'),
+        )
+        .orderBy(F.desc('cos2'), 'doc_a', 'doc_b')
+        .limit(_COS_PAIR_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Recursive-CTE reachability: Spark 4's WITH RECURSIVE executed BY SPARK
 # (everywhere else in this module recursion appears only on the DuckDB
 # oracle side, with the Spark half an explicit DataFrame loop). The edge

@@ -1170,6 +1170,41 @@ def test_exact_substr_hot_gram_cap(spark, tmp_path):
     assert {t for t in got if t[0] == 6000} == {(6000, 6001, 1, 2, 10)}
 
 
+def test_tf_cosine_capped_hot_term_drop(spark, tmp_path):
+    """Adversarial boilerplate for the df-capped TF-cosine: a 1005-doc
+    clique sharing one hot trigram contributes NO pairs (uncapped pair
+    count would exceed 500k); a duplicated pair similar through cold
+    trigrams ranks by the exact cosine of the cold projection (hot term
+    excluded from dot AND norms); a partially-similar cold pair gets
+    the hand-computed cos^2."""
+    import pandas as pd
+
+    from cyclebane_spark.queries.dedup import COS_DF_CAP
+
+    n_boiler = COS_DF_CAP + 5
+    rows = [
+        {'doc_id': i, 'text': f'h1 h2 h3 u{i}'} for i in range(n_boiler)
+    ]  # trigrams: (h1 h2 h3) hot, (h2 h3 u{i}) unique
+    rows.append({'doc_id': 5000, 'text': 'h1 h2 h3 p q r s'})
+    rows.append({'doc_id': 5001, 'text': 'h1 h2 h3 p q r s'})
+    rows.append({'doc_id': 6000, 'text': 'a b c d e'})
+    rows.append({'doc_id': 6001, 'text': 'z a b c d'})
+    pd.DataFrame(rows).to_parquet(tmp_path / 'documents.parquet')
+
+    got = [
+        (r.doc_a, r.doc_b, r.dot, r.cos2)
+        for r in queries()['dedup_tf_cosine_capped'](
+            spark, str(tmp_path)
+        ).collect()
+    ]
+    # X/Y: cold terms (h2 h3 p),(h3 p q),(p q r),(q r s) -> dot=4,
+    # n2=4 each, cos2=1.0. P/Q share (a b c),(b c d) of 3 cold terms
+    # each -> dot=2, cos2=4/9. Boiler docs pair with X/Y/each other
+    # ONLY through the hot trigram -> absent entirely.
+    assert got == [(5000, 5001, 4, 1.0), (6000, 6001, 2, 4.0 / 9.0)]
+    assert n_boiler * (n_boiler - 1) // 2 > 500_000
+
+
 def test_unigram_train_step_matches_pure_python(spark):
     """Re-run the FULL trainer round in pure Python — seed vocab, Viterbi
     segmentation (the same dict DP as the segment twin), hard-EM expected

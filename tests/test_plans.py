@@ -1009,6 +1009,39 @@ def test_exact_substr_anchor_join_and_runmerge_reuses_partitioning(spark):
     ), raw
 
 
+def test_tf_cosine_capped_postings_and_topk_shape(spark):
+    """dedup_tf_cosine_capped: the postings pipeline (pinned on the
+    exposed un-checkpointed helper — the query materializes it once)
+    must carry the tokenize-once doc_id repartition barrier, a
+    map-side-combinable df count, and a BROADCAST anti join dropping
+    hot terms (never a shuffle or a nested loop); the final query must
+    read the checkpoint (ExistingRDD), key the pair join on the TERM,
+    and take the top-K via TakeOrderedAndProject — no global sort."""
+    from cyclebane_spark.queries.dedup import _cos_capped_postings
+
+    post = _cos_capped_postings(spark, SF_DIR)
+    praw = post._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r'Exchange hashpartitioning\(doc_id#\d+L, \d+\), REPARTITION_BY_COL',
+        praw,
+    ), praw
+    assert 'partial_count' in praw  # map-side combine in the tf agg
+    assert re.search(
+        r'BroadcastHashJoin \[term#\d+\], \[term#\d+\], LeftAnti', praw
+    ), praw
+    assert 'SortMergeJoin' not in praw
+    assert 'CartesianProduct' not in praw
+
+    raw = raw_plan_of(spark, 'dedup_tf_cosine_capped')
+    assert 'ExistingRDD' in raw
+    assert 'TakeOrderedAndProject' in raw
+    assert re.search(r'Join \[term#\d+\], \[term#\d+\]', raw) or re.search(
+        r'HashJoin \[term#\d+\], \[term#\d+\]', raw
+    ), raw
+    assert 'CartesianProduct' not in raw
+    assert 'BroadcastNestedLoop' not in raw
+
+
 def test_unigram_train_step_stays_broadcast_and_bounded(spark):
     """text_unigram_train_step: every dictionary lookup (wf onto the
     Viterbi explode, ec onto the vocab, re-used across the four vec

@@ -79,6 +79,8 @@ QUERIES = (
     # round-10 additions
     'dedup_exact_substr',           # run-merge island boundaries at density
     'text_unigram_train_step',      # prune-rank ties + requantize at density
+    # round-11 additions
+    'dedup_tf_cosine_capped',       # cold-term cos^2 top-k ties at density
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

@@ -351,6 +351,18 @@ NOTES['dedup_exact_substr'] = [
     'uncapped plan shape (+1 corpus gram pass; ~2.0s vs 1.5s at sf0.1)',
 ]
 
+NOTES['dedup_tf_cosine_capped'] = [
+    'sf1-feasible production variant of the exact AllPairs cosine gate:',
+    '3-gram shingle TF vectors with the classic max-df drop (df > 1000',
+    'terms leave the index BEFORE the pair join; norms recomputed on the',
+    'cold remainder -> EXACT cosine of the cold-term projections). Cost',
+    'sum(df^2) <= cap * |postings| — linear in the corpus for fixed cap,',
+    'vs the uncapped gate\'s ~2.5e10 partials at sf1. Hot set is a',
+    'map-side-combinable count checkpointed once + broadcast anti join;',
+    'capped postings checkpoint once (suffix-array analog) so n2 + both',
+    'pair-join sides reuse one pass; top-K is TakeOrderedAndProject',
+]
+
 NOTES['text_unigram_train_step'] = [
     'one Viterbi-EM prune round (the unigram TRAIN side): hard-EM piece',
     'counts from the checkpointed dp frames (broadcast wf join onto the',
@@ -460,6 +472,8 @@ EXTRA = (
     # round-10 additions
     'dedup_exact_substr',
     'text_unigram_train_step',
+    # round-11 additions
+    'dedup_tf_cosine_capped',
 )
 
 
