@@ -104,7 +104,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = ('dedup_exact_substr',)
 # judgment calls: the (round, name) total order makes the window
 # deterministic given the correctness history.
 _PRIORITY = (
-    # 1-48: the ENTIRE 48-query round-6-green staleness tail (alphabetical)
+    # 1-47: the round-6-green staleness tail (alphabetical; its 48th
+    # member, window_running_total, was displaced — freshest (round,
+    # name) backfill — by this round's third required slot and heads
+    # the round-12 rotation queue)
     'ann_bruteforce_topk',
     'ann_ivf_blocked_topk',
     'ann_rp_lsh_topk',
@@ -152,9 +155,10 @@ _PRIORITY = (
     'window_lag_delta',
     'window_nulls_ordering',
     'window_range_frame_trailing',
-    'window_running_total',
-    # 49: never-seen (new in round 11: df-capped TF-cosine, VERDICT r10 #3)
+    # 48-49: never-seen (new in round 11: df-capped TF-cosine r10 #3,
+    # ExactSubstr span cutter r10 #5)
     'dedup_tf_cosine_capped',
+    'pipeline_exact_substr_cut',
     # 50: changed this round (hot-gram anchor cap, VERDICT r10 #2)
     'dedup_exact_substr',
 )

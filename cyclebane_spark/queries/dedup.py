@@ -2814,9 +2814,12 @@ EXSUB_L = 8  # minimum shared-run length in tokens (the paper: 50 BPE toks)
 EXSUB_DF_CAP = 1000  # max corpus-wide occurrences for an anchoring gram
 
 
-@register(
-    'dedup_exact_substr',
-    oracle=rf"""
+def _exact_substr_ctes() -> str:
+    """The full ExactSubstr oracle as a CTE chain ending in ``runs``
+    (doc_a, doc_b, a_start, b_start, match_len) — shared by the match
+    reporter `dedup_exact_substr` and the span cutter
+    `pipeline_exact_substr_cut`."""
+    return rf"""
     WITH t AS (
         SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
         FROM documents
@@ -2841,18 +2844,27 @@ EXSUB_DF_CAP = 1000  # max corpus-wide occurrences for an anchoring gram
         SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
         FROM cold a JOIN cold b ON a.gram = b.gram AND a.doc_id < b.doc_id
     ),
-    runs AS (
+    islands AS (
         SELECT da, db, pb - pa AS diag, pa,
                pa - ROW_NUMBER() OVER (
                    PARTITION BY da, db, pb - pa ORDER BY pa
                ) AS grp
         FROM m
-    )
-    SELECT da AS doc_a, db AS doc_b,
-           CAST(MIN(pa) AS BIGINT) AS a_start,
-           CAST(MIN(pa) + diag AS BIGINT) AS b_start,
-           CAST(COUNT(*) + {EXSUB_L} - 1 AS BIGINT) AS match_len
-    FROM runs GROUP BY da, db, diag, grp
+    ),
+    runs AS (
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(MIN(pa) AS BIGINT) AS a_start,
+               CAST(MIN(pa) + diag AS BIGINT) AS b_start,
+               CAST(COUNT(*) + {EXSUB_L} - 1 AS BIGINT) AS match_len
+        FROM islands GROUP BY da, db, diag, grp
+    )"""
+
+
+@register(
+    'dedup_exact_substr',
+    oracle=_exact_substr_ctes()
+    + """
+    SELECT doc_a, doc_b, a_start, b_start, match_len FROM runs
     """,
 )
 def dedup_exact_substr(spark, sf_dir):
@@ -2938,5 +2950,103 @@ def dedup_exact_substr(spark, sf_dir):
             F.col('a0').cast('bigint').alias('a_start'),
             (F.col('a0') + F.col('diag')).cast('bigint').alias('b_start'),
             'match_len',
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr -> ACTION: cut the duplicated spans and reassemble documents
+# (the Lee et al. 2022 end product — the match reporter above is their
+# analysis artifact). Keep-first policy, consistent with text_span_dedup:
+# every reported run is cut from doc_b, the LATER document of the oriented
+# (doc_a < doc_b) pair — the first occurrence survives; overlapping cut
+# intervals union per document before removal. Inherits the match
+# reporter's hot-gram recall contract verbatim (pure-boilerplate runs are
+# not reported, hence not cut).
+# Scale: the runs frame is pair-bounded (checkpointed once — tiny); cut
+# positions aggregate into ONE array per affected document
+# (matched-token-mass-bounded), and the removal is a positional
+# higher-order FILTER over the already-tokenized array — the token
+# stream never explodes, there is no (doc_id, p) anti join (which would
+# re-shuffle the exploded corpus on the composite key:
+# requireAllClusterKeysForCoPartition defeats the subset-partitioning
+# reuse), and no reassembly groupBy: the corpus crosses the wire once
+# (the doc_id barrier), the cut-array join rides that partitioning, and
+# order is preserved by the array itself.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    'pipeline_exact_substr_cut',
+    oracle=_exact_substr_ctes()
+    + """,
+    tpos AS (
+        SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks FROM t
+    ),
+    toksp AS (SELECT doc_id, p, toks[p] AS tok FROM tpos),
+    cuts AS (
+        SELECT DISTINCT doc_b AS doc_id, b_start + u.i AS p
+        FROM runs, unnest(range(0, match_len)) AS u(i)
+    ),
+    kept AS (
+        SELECT o.doc_id, o.p, o.tok FROM toksp o
+        ANTI JOIN cuts c ON o.doc_id = c.doc_id AND o.p = c.p
+    ),
+    clean AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean_text
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+    SELECT totals.doc_id, totals.n_tokens,
+           CAST(totals.n_tokens - COALESCE(clean.n_kept, 0) AS BIGINT)
+               AS n_cut,
+           COALESCE(clean.clean_text, '') AS clean_text
+    FROM totals LEFT JOIN clean USING (doc_id)
+    """,
+)
+def pipeline_exact_substr_cut(spark, sf_dir):
+    """Cut every ExactSubstr-reported duplicated span from the later
+    document of its pair and reassemble the survivors (module note
+    above: keep-first policy, interval union, one corpus shuffle)."""
+    docs = table(spark, sf_dir, 'documents')
+    runs = dedup_exact_substr(spark, sf_dir).localCheckpoint()
+    cutarr = (
+        runs.select(
+            F.col('doc_b').alias('doc_id'),
+            F.explode(
+                F.sequence(
+                    F.col('b_start'),
+                    F.col('b_start') + F.col('match_len') - 1,
+                )
+            ).alias('p'),
+        )
+        .groupBy('doc_id')
+        .agg(F.collect_set('p').alias('cut_ps'))
+        .repartition('doc_id')
+    )
+    toks = docs.select(
+        'doc_id', _CF.tokens('text').alias('toks')
+    ).repartition('doc_id')
+    cut_ps = F.coalesce('cut_ps', F.array().cast('array<bigint>'))
+    kept = F.filter(
+        'toks',
+        lambda x, i: ~F.array_contains(
+            cut_ps, (i + F.lit(1)).cast('bigint')
+        ),
+    )
+    return (
+        toks.join(cutarr, 'doc_id', 'left')
+        .select(
+            'doc_id',
+            F.size('toks').cast('bigint').alias('n_tokens'),
+            F.size(kept).alias('n_kept_i'),
+            F.concat_ws(' ', kept).alias('clean_text'),
+        )
+        .select(
+            'doc_id',
+            'n_tokens',
+            (F.col('n_tokens') - F.col('n_kept_i')).cast('bigint').alias('n_cut'),
+            'clean_text',
         )
     )

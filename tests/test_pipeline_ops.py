@@ -1170,6 +1170,50 @@ def test_exact_substr_hot_gram_cap(spark, tmp_path):
     assert {t for t in got if t[0] == 6000} == {(6000, 6001, 1, 2, 10)}
 
 
+def test_exact_substr_cut_matches_twin_and_conserves(spark):
+    """pipeline_exact_substr_cut against an independent Python twin:
+    runs re-derived by the extension twin (different mechanism), cut
+    sets unioned per LATER doc in Python, applied to the raw token
+    arrays. Also asserts stage conservation (n_tokens - n_cut == tokens
+    remaining in clean_text), that the corpus actually gets cut, and
+    the keep-first policy (a doc that is only ever doc_a keeps every
+    token)."""
+    import re
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from cyclebane_spark.queries.dedup import EXSUB_DF_CAP, EXSUB_L
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    toks = {
+        int(r.doc_id): re.split(r'\s+', r.text.strip())
+        for r in docs.itertuples(index=False)
+    }
+    runs = exact_substr_extension_twin(toks, EXSUB_L, EXSUB_DF_CAP)
+    cut = defaultdict(set)
+    only_a = {da for da, *_ in runs} - {db for _, db, *_ in runs}
+    for _, db, _, b_start, ln in runs:
+        cut[db].update(range(b_start, b_start + ln))  # 1-based
+    expected = {}
+    for d, ts in toks.items():
+        kept = [t for i, t in enumerate(ts, start=1) if i not in cut[d]]
+        expected[d] = (len(ts), len(ts) - len(kept), ' '.join(kept))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_cut, r.clean_text)
+        for r in queries()['pipeline_exact_substr_cut'](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert any(n_cut > 0 for _, n_cut, _ in got.values()), 'nothing cut'
+    for d, (n_tokens, n_cut, clean) in got.items():
+        n_left = len(clean.split(' ')) if clean else 0
+        assert n_tokens - n_cut == n_left, f'doc {d} not conserved'
+        if d in only_a:
+            assert n_cut == 0, f'doc_a-only doc {d} lost tokens'
+
+
 def test_tf_cosine_capped_hot_term_drop(spark, tmp_path):
     """Adversarial boilerplate for the df-capped TF-cosine: a 1005-doc
     clique sharing one hot trigram contributes NO pairs (uncapped pair

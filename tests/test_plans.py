@@ -1009,6 +1009,24 @@ def test_exact_substr_anchor_join_and_runmerge_reuses_partitioning(spark):
     ), raw
 
 
+def test_exact_substr_cut_single_corpus_shuffle(spark):
+    """pipeline_exact_substr_cut: the runs frame must be checkpointed
+    (ExistingRDD — the match pipeline never re-runs per reference), the
+    removal must be the positional array FILTER (no token explode, no
+    (doc_id, p) composite-key shuffle, no reassembly aggregate), and
+    the corpus must cross the wire exactly once: two exchanges total
+    (the doc_id barrier + the tiny cut-array side), joined on doc_id."""
+    raw = raw_plan_of(spark, 'pipeline_exact_substr_cut')
+    assert 'ExistingRDD' in raw
+    assert not re.search(r'Exchange hashpartitioning\(doc_id#\d+L, p#', raw)
+    assert 'Generate posexplode' not in raw
+    assert 'collect_list' not in raw  # no reassembly aggregate
+    assert raw.count('Exchange') == 2, raw.count('Exchange')
+    assert re.search(
+        r'SortMergeJoin \[doc_id#\d+L\], \[doc_id#\d+L\], LeftOuter', raw
+    ), raw
+
+
 def test_tf_cosine_capped_postings_and_topk_shape(spark):
     """dedup_tf_cosine_capped: the postings pipeline (pinned on the
     exposed un-checkpointed helper — the query materializes it once)

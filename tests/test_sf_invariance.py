@@ -81,6 +81,7 @@ QUERIES = (
     'text_unigram_train_step',      # prune-rank ties + requantize at density
     # round-11 additions
     'dedup_tf_cosine_capped',       # cold-term cos^2 top-k ties at density
+    'pipeline_exact_substr_cut',    # cut-interval unions at denser matches
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

@@ -363,6 +363,18 @@ NOTES['dedup_tf_cosine_capped'] = [
     'pair-join sides reuse one pass; top-K is TakeOrderedAndProject',
 ]
 
+NOTES['pipeline_exact_substr_cut'] = [
+    'the Lee et al. END PRODUCT (the match reporter is their analysis',
+    'artifact): every reported run is cut from the LATER doc of its',
+    'oriented pair (keep-first, as text_span_dedup), intervals union',
+    'per doc. Runs checkpoint once (pair-bounded); cut positions',
+    'aggregate into ONE array per affected doc; removal is a positional',
+    'higher-order FILTER over the tokenized array — no token explode,',
+    'no (doc_id,p) anti join (requireAllClusterKeysForCoPartition would',
+    're-shuffle the exploded corpus on the composite key), no',
+    'reassembly groupBy: the corpus crosses the wire once',
+]
+
 NOTES['text_unigram_train_step'] = [
     'one Viterbi-EM prune round (the unigram TRAIN side): hard-EM piece',
     'counts from the checkpointed dp frames (broadcast wf join onto the',
@@ -474,6 +486,7 @@ EXTRA = (
     'text_unigram_train_step',
     # round-11 additions
     'dedup_tf_cosine_capped',
+    'pipeline_exact_substr_cut',
 )
 
 
