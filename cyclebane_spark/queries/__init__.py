@@ -76,7 +76,16 @@ _WINDOW_ROUND = 11
 # agg checkpointed once, broadcast anti join per side) — output
 # unchanged at gate SFs (no gram is hot there; asserted in the twin
 # test), semantics now carry the stated recall contract.
-_CHANGED_THIS_ROUND: tuple[str, ...] = ('dedup_exact_substr',)
+# text_unigram_segment / text_unigram_train_step: shared-helper edits
+# for the soft trainer (VERDICT r10 #4) — _unigram_vocab gained a scale
+# param (default = old constant), the prune+requant tail and the SQL
+# seed builder were factored out; consumers' plans and oracle text are
+# value-identical (re-verified), flagged per the bright-line rule.
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    'dedup_exact_substr',
+    'text_unigram_segment',
+    'text_unigram_train_step',
+)
 
 # Explicit registry ordering. External correctness gates sample the registry
 # in iteration order (each round checks the first 50 entries), so the window
@@ -104,10 +113,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = ('dedup_exact_substr',)
 # judgment calls: the (round, name) total order makes the window
 # deterministic given the correctness history.
 _PRIORITY = (
-    # 1-47: the round-6-green staleness tail (alphabetical; its 48th
-    # member, window_running_total, was displaced — freshest (round,
-    # name) backfill — by this round's third required slot and heads
-    # the round-12 rotation queue)
+    # 1-44: the round-6-green staleness tail (alphabetical; its last 4
+    # members — window_lag_delta, window_nulls_ordering,
+    # window_range_frame_trailing, window_running_total — were displaced
+    # freshest-first by this round's 6 required slots and head the
+    # round-12 rotation queue)
     'ann_bruteforce_topk',
     'ann_ivf_blocked_topk',
     'ann_rp_lsh_topk',
@@ -152,15 +162,16 @@ _PRIORITY = (
     'unpivot_lineitem_measures',
     'window_analytics_suite',
     'window_first_last_nth',
-    'window_lag_delta',
-    'window_nulls_ordering',
-    'window_range_frame_trailing',
-    # 48-49: never-seen (new in round 11: df-capped TF-cosine r10 #3,
-    # ExactSubstr span cutter r10 #5)
+    # 45-47: never-seen (new in round 11: df-capped TF-cosine r10 #3,
+    # ExactSubstr span cutter r10 #5, soft-EM unigram trainer r10 #4)
     'dedup_tf_cosine_capped',
     'pipeline_exact_substr_cut',
-    # 50: changed this round (hot-gram anchor cap, VERDICT r10 #2)
+    'text_unigram_train_soft',
+    # 48-50: changed this round (hot-gram anchor cap r10 #2; unigram
+    # shared-helper factoring for the soft trainer)
     'dedup_exact_substr',
+    'text_unigram_segment',
+    'text_unigram_train_step',
 )
 
 

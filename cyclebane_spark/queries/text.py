@@ -3588,13 +3588,17 @@ UNIGRAM_PROB_SCALE = 1_000_000  # probability quantization denominator
 UNIGRAM_FLOOR_DIV = 50  # keep multi-char pieces with cnt * 50 >= total words
 
 
-def _unigram_vocab(spark, sf_dir):
+def _unigram_vocab(spark, sf_dir, scale: int = UNIGRAM_PROB_SCALE):
     """(piece, q) table: q = integer-quantized unigram probability
-    (SCALE * cnt) DIV D, where cnt is the corpus-occurrence-weighted
+    (scale * cnt) DIV D, where cnt is the corpus-occurrence-weighted
     count of the piece over every position of every distinct word and
     D = sum of cnt over the kept inventory. Single chars are always kept
     (segmentability); length-2..4 pieces need cnt * UNIGRAM_FLOOR_DIV >=
-    total word occurrences."""
+    total word occurrences. ``scale``: the Viterbi/hard paths quantize
+    at UNIGRAM_PROB_SCALE; the soft (forward-backward) trainer passes
+    UNIGRAM_SOFT_SCALE so its lattice sums stay inside decimal(38,0) /
+    HUGEINT (the kept inventory is scale-independent — the floor tests
+    cnt, not q)."""
     docs = table(spark, sf_dir, 'documents').select('text')
     wf = (
         docs.select(F.explode(F.split('text', ' ')).alias('word'))
@@ -3634,7 +3638,7 @@ def _unigram_vocab(spark, sf_dir):
     vocab = kept.crossJoin(F.broadcast(d)).select(
         'piece',
         F.expr(
-            f'cast(cnt as decimal(38,0)) * {UNIGRAM_PROB_SCALE} div d'
+            f'cast(cnt as decimal(38,0)) * {scale} div d'
         ).cast('bigint').alias('q'),
     )
     return vocab.localCheckpoint(eager=True), wf
@@ -3721,6 +3725,36 @@ def unigram_word_segments(spark, sf_dir, materialize: bool = True, seed=None):
     )
 
 
+def _sql_unigram_seed(scale: int) -> str:
+    """The seed-vocab WITH-prefix (wf/sub/tot/kept/d/vocab) at the given
+    quantization scale — the Viterbi chain uses UNIGRAM_PROB_SCALE, the
+    soft trainer UNIGRAM_SOFT_SCALE (mirrors ``_unigram_vocab``)."""
+    return f"""WITH wf AS (
+        SELECT word, COUNT(*) AS c FROM (
+            SELECT unnest(str_split(text, ' ')) AS word FROM documents
+        ) GROUP BY word
+    ),
+    sub AS (
+        SELECT substr(word, i, l) AS piece, l, SUM(c) AS cnt
+        FROM wf,
+             generate_series(1, {UNIGRAM_MAX_LEN}) t(i),
+             generate_series(1, 4) u(l)
+        WHERE length(word) >= i + l - 1
+        GROUP BY substr(word, i, l), l
+    ),
+    tot AS (SELECT SUM(c) AS tot FROM wf),
+    kept AS (
+        SELECT piece, cnt FROM sub, tot
+        WHERE l = 1 OR cnt * {UNIGRAM_FLOOR_DIV} >= tot
+    ),
+    d AS (SELECT SUM(cnt) AS d FROM kept),
+    vocab AS (
+        SELECT piece,
+               (cnt * {scale}) // d AS q
+        FROM kept, d
+    ),"""
+
+
 def _sql_unigram_ctes() -> str:
     """The shared WITH-prefix: seed vocab (wf/sub/tot/kept/d/vocab) + the
     unrolled Viterbi dp frames dp0..dpMAX — used by both the segmentation
@@ -3747,30 +3781,7 @@ def _sql_unigram_ctes() -> str:
             FROM ({' UNION ALL '.join(cands)})
         ) WHERE rk = 1
     )""")
-    return f"""WITH wf AS (
-        SELECT word, COUNT(*) AS c FROM (
-            SELECT unnest(str_split(text, ' ')) AS word FROM documents
-        ) GROUP BY word
-    ),
-    sub AS (
-        SELECT substr(word, i, l) AS piece, l, SUM(c) AS cnt
-        FROM wf,
-             generate_series(1, {UNIGRAM_MAX_LEN}) t(i),
-             generate_series(1, 4) u(l)
-        WHERE length(word) >= i + l - 1
-        GROUP BY substr(word, i, l), l
-    ),
-    tot AS (SELECT SUM(c) AS tot FROM wf),
-    kept AS (
-        SELECT piece, cnt FROM sub, tot
-        WHERE l = 1 OR cnt * {UNIGRAM_FLOOR_DIV} >= tot
-    ),
-    d AS (SELECT SUM(cnt) AS d FROM kept),
-    vocab AS (
-        SELECT piece,
-               (cnt * {UNIGRAM_PROB_SCALE}) // d AS q
-        FROM kept, d
-    ),
+    return f"""{_sql_unigram_seed(UNIGRAM_PROB_SCALE)}
     dp0 AS (
         SELECT word, length(word) AS wl, 1::HUGEINT AS v,
                '' AS toks, 0 AS n
@@ -3822,8 +3833,9 @@ def text_unigram_segment(spark, sf_dir):
 #   E-step: expected piece counts over the VITERBI segmentation the DP
 #     already computes — explode each distinct word's optimal toks,
 #     weighted by the word's corpus frequency (hard EM assigns the full
-#     posterior mass to the argmax path; the soft forward-backward variant
-#     changes only the weights, not the relational shape).
+#     posterior mass to the argmax path; the published SOFT
+#     forward-backward E-step ships as `text_unigram_train_soft` below —
+#     the same DP frames with sum in place of argmax).
 #   PRUNE: single-char pieces are never dropped (segmentability floor —
 #     same invariant as the seed vocab); multi-char pieces rank by
 #     (expected count ASC, piece ASC) and the bottom UNIGRAM_PRUNE_PCT%
@@ -3845,23 +3857,10 @@ def text_unigram_segment(spark, sf_dir):
 UNIGRAM_PRUNE_PCT = 20  # SentencePiece-style shrink: drop bottom 20%
 
 
-def _sql_unigram_train() -> str:
-    return f"""{_sql_unigram_ctes()},
-    seg AS (SELECT word, toks FROM ({_sql_unigram_finals()})),
-    ec AS (
-        -- stays HUGEINT: a BIGINT cast here would make ec * SCALE below a
-        -- checked BIGINT multiply that overflows past ec ~ 9.2e12 while
-        -- the Spark side's decimal(38,0) succeeds — the same >2^53 parity
-        -- band the seed-vocab divide protects
-        SELECT piece, SUM(c) AS ec FROM (
-            SELECT s.word, unnest(str_split(s.toks, ' ')) AS piece
-            FROM seg s
-        ) u JOIN wf USING (word) GROUP BY piece
-    ),
-    vec AS (
-        SELECT v.piece, COALESCE(e.ec, 0) AS ec
-        FROM vocab v LEFT JOIN ec e ON v.piece = e.piece
-    ),
+def _sql_unigram_prune_tail() -> str:
+    """The shared prune + re-quantize tail: expects a ``vec`` CTE of
+    (piece, ec) over the full vocabulary; emits the final SELECT."""
+    return f"""
     multi AS (
         SELECT piece, ec,
                ROW_NUMBER() OVER (ORDER BY ec, piece) AS rk,
@@ -3879,6 +3878,25 @@ def _sql_unigram_train() -> str:
            CAST((ec * {UNIGRAM_PROB_SCALE}) // d2 AS BIGINT) AS q
     FROM keptv, d2
     """
+
+
+def _sql_unigram_train() -> str:
+    return f"""{_sql_unigram_ctes()},
+    seg AS (SELECT word, toks FROM ({_sql_unigram_finals()})),
+    ec AS (
+        -- stays HUGEINT: a BIGINT cast here would make ec * SCALE below a
+        -- checked BIGINT multiply that overflows past ec ~ 9.2e12 while
+        -- the Spark side's decimal(38,0) succeeds — the same >2^53 parity
+        -- band the seed-vocab divide protects
+        SELECT piece, SUM(c) AS ec FROM (
+            SELECT s.word, unnest(str_split(s.toks, ' ')) AS piece
+            FROM seg s
+        ) u JOIN wf USING (word) GROUP BY piece
+    ),
+    vec AS (
+        SELECT v.piece, COALESCE(e.ec, 0) AS ec
+        FROM vocab v LEFT JOIN ec e ON v.piece = e.piece
+    ),{_sql_unigram_prune_tail()}"""
 
 
 @register('text_unigram_train_step', oracle=_sql_unigram_train())
@@ -3906,8 +3924,15 @@ def text_unigram_train_step(spark, sf_dir):
         'piece', F.coalesce('ec', F.lit(0)).cast('bigint').alias('ec')
     )
 
-    # prune: rank the BOUNDED multi-char inventory ascending, drop the
-    # bottom PCT% (integer floor); singles are the segmentability floor
+    return _unigram_prune_requant(vec)
+
+
+def _unigram_prune_requant(vec):
+    """The shared prune + M-step tail of both trainer rounds (hard and
+    soft E-steps feed the same shrink schedule): rank the BOUNDED
+    multi-char inventory ascending by (ec, piece), drop the bottom
+    UNIGRAM_PRUNE_PCT% (integer floor; singles are the segmentability
+    floor), then exact integral re-quantization over the survivors."""
     singles = vec.filter(F.length('piece') == 1)
     w = Window.orderBy('ec', 'piece')
     multi = (
@@ -3929,3 +3954,293 @@ def text_unigram_train_step(spark, sf_dir):
         .cast('bigint')
         .alias('q'),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM trainer step, SOFT E-step (forward-backward): the published
+# SentencePiece EM round — the hard (Viterbi-EM) step above assigns the
+# full posterior mass to the argmax path; this one computes TRUE expected
+# piece counts over ALL segmentations of each word via the lattice
+# forward-backward identity
+#
+#   E[count of piece occurrence (i, i+L]] = alpha(i) * q * beta(i+L) / Z
+#
+# stated relationally as the SAME unrolled DP frames as the Viterbi chain
+# with SUM in place of argmax: ahat(j) = sum_L ahat(j-L) * q * SCALE^(L-1)
+# (the common-denominator lattice sum — every path of j chars and n pieces
+# contributes prod(q) * SCALE^(j-n), exactly the Viterbi v normalization),
+# bhat symmetric from the word end, Z = ahat(wl).
+#
+# Exactness: all lattice sums are integers. The soft path quantizes its
+# seed vocab at UNIGRAM_SOFT_SCALE = 1e4 (not 1e6) so every bound fits
+# decimal(38,0)/HUGEINT: <= 29 compositions of 6 chars into <= 4-char
+# pieces, each path < SCALE^6 = 1e24, so Z < 2.9e25, a piece's summed
+# occurrence numerators N < 6 * 29 * 1e24 ~ 1.8e26, and the posterior
+# quantization r = (N * ECS) div Z (ECS = 1e6) stays < 1.8e32. Expected
+# counts are then ec(piece) = sum_w c_w * r_w(piece) — exact integers,
+# deterministic in any aggregation order. Words whose lattice has zero
+# mass (every path hits a q=0 piece) are excluded in BOTH engines (their
+# posterior is undefined); words longer than UNIGRAM_MAX_LEN contribute
+# nothing, as in the hard step. The prune + re-quantize tail is shared
+# verbatim with the hard step (_unigram_prune_requant).
+#
+# Scale: identical to the hard trainer — every frame is dictionary-sized,
+# piece lookups are broadcast joins, the occurrence generate is the
+# bounded 18-combo explode of the distinct-word frame, and the prune rank
+# runs on the bounded multi-char inventory.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_SOFT_SCALE = 10_000  # lattice quantization (bounds note above)
+UNIGRAM_SOFT_ECS = 1_000_000  # per-word posterior quantization scale
+
+_SOFT_COMBOS = tuple(
+    (i, L)
+    for i in range(UNIGRAM_MAX_LEN)
+    for L in range(1, 5)
+    if i + L <= UNIGRAM_MAX_LEN
+)
+
+
+def _sql_unigram_soft_train() -> str:
+    sc = UNIGRAM_SOFT_SCALE
+    fws, bws = [], []
+    for j in range(1, UNIGRAM_MAX_LEN + 1):
+        cands = [
+            f"""
+            SELECT p.word, p.wl, p.a * v.q * {sc ** (L - 1)}::HUGEINT AS a
+            FROM fw{j - L} p
+            JOIN vocab v ON substr(p.word, {j - L + 1}, {L}) = v.piece
+            WHERE p.wl >= {j}"""
+            for L in range(1, min(4, j) + 1)
+        ]
+        # MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+        # frame chain would re-expand combinatorially (the relational
+        # analog of the projection-collapse the Spark side checkpoints
+        # away) — measured: un-materialized, the oracle does not finish
+        # at sf0.001; materialized it runs in seconds
+        fws.append(f"""fw{j} AS MATERIALIZED (
+        SELECT word, wl, SUM(a) AS a FROM ({' UNION ALL '.join(cands)})
+        GROUP BY word, wl
+    )""")
+    for s in range(1, UNIGRAM_MAX_LEN + 1):
+        cands = [
+            f"""
+            SELECT p.word, p.wl, p.b * v.q * {sc ** (L - 1)}::HUGEINT AS b
+            FROM bw{s - L} p
+            JOIN vocab v ON substr(p.word, p.wl - {s} + 1, {L}) = v.piece
+            WHERE p.wl >= {s}"""
+            for L in range(1, min(4, s) + 1)
+        ]
+        bws.append(f"""bw{s} AS MATERIALIZED (
+        SELECT word, wl, SUM(b) AS b FROM ({' UNION ALL '.join(cands)})
+        GROUP BY word, wl
+    )""")
+    fw_all = ' UNION ALL '.join(
+        f'SELECT word, {j} AS j, a FROM fw{j}'
+        for j in range(UNIGRAM_MAX_LEN + 1)
+    )
+    bw_all = ' UNION ALL '.join(
+        f'SELECT word, {s} AS s, b FROM bw{s}'
+        for s in range(UNIGRAM_MAX_LEN + 1)
+    )
+    norm_case = (
+        'CASE s.l '
+        + ' '.join(
+            f'WHEN {L} THEN {sc ** (L - 1)}::HUGEINT' for L in range(1, 5)
+        )
+        + ' END'
+    )
+    return f"""{_sql_unigram_seed(UNIGRAM_SOFT_SCALE)}
+    fw0 AS MATERIALIZED (
+        SELECT word, length(word) AS wl, 1::HUGEINT AS a
+        FROM wf WHERE length(word) <= {UNIGRAM_MAX_LEN}
+    ),
+    bw0 AS MATERIALIZED (
+        SELECT word, length(word) AS wl, 1::HUGEINT AS b
+        FROM wf WHERE length(word) <= {UNIGRAM_MAX_LEN}
+    ),
+    {','.join(fws)},
+    {','.join(bws)},
+    fwall AS MATERIALIZED ({fw_all}),
+    bwall AS MATERIALIZED ({bw_all}),
+    z AS (
+        SELECT f.word, f.a AS z FROM fwall f
+        JOIN wf ON f.word = wf.word AND f.j = length(wf.word)
+        WHERE f.a > 0
+    ),
+    ws AS (
+        SELECT word, length(word) AS wl FROM wf
+        WHERE length(word) <= {UNIGRAM_MAX_LEN}
+    ),
+    spans AS (
+        SELECT w.word, w.wl, t.i, u.l, substr(w.word, t.i + 1, u.l) AS piece
+        FROM ws w,
+             generate_series(0, {UNIGRAM_MAX_LEN - 1}) t(i),
+             generate_series(1, 4) u(l)
+        WHERE t.i + u.l <= w.wl
+    ),
+    occ AS (
+        SELECT s.word, v.piece,
+               f.a * v.q * {norm_case} * b.b AS num
+        FROM spans s
+        JOIN vocab v ON s.piece = v.piece
+        JOIN fwall f ON f.word = s.word AND f.j = s.i
+        JOIN bwall b ON b.word = s.word AND b.s = s.wl - s.i - s.l
+    ),
+    nums AS (SELECT word, piece, SUM(num) AS num FROM occ GROUP BY 1, 2),
+    post AS (
+        SELECT n.word, n.piece,
+               (n.num * {UNIGRAM_SOFT_ECS}) // z.z AS r
+        FROM nums n JOIN z USING (word)
+    ),
+    ec AS (
+        SELECT piece, SUM(c * r) AS ec
+        FROM post JOIN wf USING (word) GROUP BY piece
+    ),
+    vec AS (
+        SELECT v.piece, COALESCE(e.ec, 0) AS ec
+        FROM vocab v LEFT JOIN ec e ON v.piece = e.piece
+    ),{_sql_unigram_prune_tail()}"""
+
+
+@register('text_unigram_train_soft', oracle=_sql_unigram_soft_train())
+def text_unigram_train_soft(spark, sf_dir):
+    """One unigram-LM EM-prune round with the SOFT (forward-backward)
+    E-step — the published SentencePiece algorithm (module note above:
+    lattice identity, integer bounds, zero-mass exclusion). Output: the
+    post-round vocabulary (piece, ec, q), same schema as the hard step."""
+    vocab, wf = _unigram_vocab(spark, sf_dir, scale=UNIGRAM_SOFT_SCALE)
+    dec = 'decimal(38,0)'
+    sc = UNIGRAM_SOFT_SCALE
+    words = (
+        wf.select('word')
+        .withColumn('wl', F.length('word'))
+        .filter(F.col('wl') <= UNIGRAM_MAX_LEN)
+    )
+
+    def lattice(direction):
+        """Unrolled lattice sums: forward ahat by prefix length j, or
+        backward bhat by suffix length s — the Viterbi dp chain with
+        groupBy-SUM where the hard path ranks. Returns the (word, j, v)
+        union of all frames."""
+        frames = {
+            0: words.select(
+                'word', 'wl', F.lit(1).cast(dec).alias('v')
+            ).localCheckpoint(eager=True)
+        }
+        for j in range(1, UNIGRAM_MAX_LEN + 1):
+            cands = []
+            for L in range(1, min(4, j) + 1):
+                if direction == 'fw':
+                    piece = F.substring(F.col('word'), j - L + 1, L)
+                else:
+                    piece = F.col('word').substr(
+                        F.col('wl') - j + 1, F.lit(L)
+                    )
+                norm = sc ** (L - 1)
+                cands.append(
+                    frames[j - L]
+                    .filter(F.col('wl') >= j)
+                    .join(F.broadcast(vocab), piece == F.col('piece'))
+                    .select(
+                        'word',
+                        'wl',
+                        (F.col('v') * F.col('q') * F.lit(norm).cast(dec))
+                        .cast(dec)
+                        .alias('v'),
+                    )
+                )
+            allc = cands[0]
+            for c in cands[1:]:
+                allc = allc.unionByName(c)
+            frames[j] = (
+                allc.groupBy('word', 'wl')
+                .agg(F.sum('v').cast(dec).alias('v'))
+                .localCheckpoint(eager=True)
+            )
+        out = None
+        for j in range(UNIGRAM_MAX_LEN + 1):
+            part = frames[j].select('word', F.lit(j).alias('j'), 'v')
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    # every lattice frame is checkpointed (unknown stats) and
+    # dictionary-sized — broadcast hints everywhere, as in the hard step
+    fw_all = lattice('fw')
+    bw_all = lattice('bw')
+    z = (
+        fw_all.join(F.broadcast(words), 'word')
+        .filter(F.col('j') == F.col('wl'))
+        .filter(F.col('v') > 0)
+        .select('word', F.col('v').alias('z'))
+    )
+
+    spans = (
+        words.select(
+            'word',
+            'wl',
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias('i'), F.lit(L).alias('l')
+                        )
+                        for i, L in _SOFT_COMBOS
+                    ]
+                )
+            ).alias('il'),
+        )
+        .select('word', 'wl', F.col('il.i').alias('i'), F.col('il.l').alias('l'))
+        .filter(F.col('i') + F.col('l') <= F.col('wl'))
+        .withColumn(
+            'piece', F.col('word').substr(F.col('i') + 1, F.col('l'))
+        )
+    )
+    norm = F.when(F.col('l') == 1, F.lit(1))
+    for L in range(2, 5):
+        norm = norm.when(F.col('l') == L, F.lit(sc ** (L - 1)))
+    occ = (
+        spans.join(F.broadcast(vocab), 'piece')
+        .join(
+            F.broadcast(fw_all.select('word', 'j', F.col('v').alias('a'))),
+            ['word'],
+        )
+        .filter(F.col('j') == F.col('i'))
+        .join(
+            F.broadcast(
+                bw_all.select(
+                    'word', F.col('j').alias('s'), F.col('v').alias('b')
+                )
+            ),
+            ['word'],
+        )
+        .filter(F.col('s') == F.col('wl') - F.col('i') - F.col('l'))
+        .select(
+            'word',
+            'piece',
+            (F.col('a') * F.col('q') * norm.cast(dec) * F.col('b'))
+            .cast(dec)
+            .alias('num'),
+        )
+    )
+    nums = occ.groupBy('word', 'piece').agg(
+        F.sum('num').cast(dec).alias('num')
+    )
+    post = nums.join(F.broadcast(z), 'word').select(
+        'word',
+        'piece',
+        F.expr(f'num * {UNIGRAM_SOFT_ECS} div z').alias('r'),
+    )
+    ec = (
+        post.join(F.broadcast(wf), 'word')
+        .groupBy('piece')
+        .agg(
+            F.sum(F.expr('cast(c as decimal(38,0)) * r'))
+            .cast('bigint')
+            .alias('ec')
+        )
+    )
+    vec = vocab.join(F.broadcast(ec), 'piece', 'left').select(
+        'piece', F.coalesce('ec', F.lit(0)).cast('bigint').alias('ec')
+    )
+    return _unigram_prune_requant(vec)

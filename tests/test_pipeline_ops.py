@@ -1332,3 +1332,119 @@ def test_unigram_train_step_matches_pure_python(spark):
     assert n_drop > 0, 'no piece pruned — the round proves nothing'
     assert all(len(p) == 1 or p not in dropped for p in got)
     assert all(p in got for p in vocab if len(p) == 1)
+
+
+def test_unigram_train_soft_matches_pure_python(spark):
+    """Re-run the SOFT (forward-backward) trainer round in pure Python —
+    seed vocab at the soft lattice scale, integer alpha/beta lattice
+    sums per word, per-word posterior quantization (N * ECS) div Z,
+    frequency-weighted expected counts, shared prune + re-quantize —
+    and require identical (piece, ec, q) rows. Also asserts the lattice
+    is consistent (forward total == backward total per word) and that
+    the soft E-step does real soft work: some piece the Viterbi argmax
+    path never uses carries nonzero soft mass."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from cyclebane_spark.queries.text import (
+        UNIGRAM_FLOOR_DIV,
+        UNIGRAM_MAX_LEN,
+        UNIGRAM_PROB_SCALE,
+        UNIGRAM_PRUNE_PCT,
+        UNIGRAM_SOFT_ECS,
+        UNIGRAM_SOFT_SCALE,
+    )
+
+    SC = UNIGRAM_SOFT_SCALE
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    wf = Counter()
+    for text in docs.text:
+        wf.update(text.split(' '))
+    tot = sum(wf.values())
+    cnt = Counter()
+    for w, c in wf.items():
+        for i in range(min(len(w), UNIGRAM_MAX_LEN)):
+            for L in (1, 2, 3, 4):
+                if i + L <= len(w):
+                    cnt[w[i : i + L]] += c
+    kept = {
+        p: n
+        for p, n in cnt.items()
+        if len(p) == 1 or n * UNIGRAM_FLOOR_DIV >= tot
+    }
+    d = sum(kept.values())
+    q = {p: (n * SC) // d for p, n in kept.items()}
+
+    ec = Counter()
+    viterbi_used = set()
+    for w, c in wf.items():
+        n = len(w)
+        if n > UNIGRAM_MAX_LEN:
+            continue
+        a = [0] * (n + 1)
+        a[0] = 1
+        for j in range(1, n + 1):
+            a[j] = sum(
+                a[j - L] * q[w[j - L : j]] * SC ** (L - 1)
+                for L in range(1, min(4, j) + 1)
+                if w[j - L : j] in q
+            )
+        b = [0] * (n + 1)  # b[s]: lattice mass of the last s chars
+        b[0] = 1
+        for s in range(1, n + 1):
+            b[s] = sum(
+                q[w[n - s : n - s + L]] * SC ** (L - 1) * b[s - L]
+                for L in range(1, min(4, s) + 1)
+                if w[n - s : n - s + L] in q
+            )
+        z = a[n]
+        assert b[n] == z, f'lattice inconsistent for {w!r}'
+        if z == 0:
+            continue
+        num = Counter()
+        for i in range(n):
+            for L in range(1, 5):
+                p = w[i : i + L]
+                if i + L <= n and p in q:
+                    num[p] += a[i] * q[p] * SC ** (L - 1) * b[n - i - L]
+        for p, nm in num.items():
+            ec[p] += c * ((nm * UNIGRAM_SOFT_ECS) // z)
+        # Viterbi path (same q) for the soft-vs-hard distinction check
+        dp = {0: (1, '')}
+        for j in range(1, n + 1):
+            best = None
+            for L in range(1, min(4, j) + 1):
+                p = w[j - L : j]
+                if p in q and (j - L) in dp:
+                    v, tk = dp[j - L]
+                    cand = (
+                        v * q[p] * SC ** (L - 1),
+                        (tk + ' ' + p) if tk else p,
+                    )
+                    if best is None or (-cand[0], cand[1]) < (
+                        -best[0],
+                        best[1],
+                    ):
+                        best = cand
+            dp[j] = best
+        viterbi_used.update(dp[n][1].split(' '))
+
+    vec = {p: ec.get(p, 0) for p in q}
+    multi = sorted((e, p) for p, e in vec.items() if len(p) > 1)
+    n_drop = len(multi) * UNIGRAM_PRUNE_PCT // 100
+    dropped = {p for _, p in multi[:n_drop]}
+    keptv = {p: e for p, e in vec.items() if len(p) == 1 or p not in dropped}
+    d2 = sum(keptv.values())
+    expected = {
+        p: (e, (e * UNIGRAM_PROB_SCALE) // d2) for p, e in keptv.items()
+    }
+
+    got = {
+        r.piece: (r.ec, r.q)
+        for r in queries()['text_unigram_train_soft'](spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert n_drop > 0, 'no piece pruned — the round proves nothing'
+    off_path = {p for p, e in vec.items() if e > 0} - viterbi_used
+    assert off_path, 'soft mass never left the Viterbi paths — not soft EM'

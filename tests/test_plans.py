@@ -1074,3 +1074,19 @@ def test_unigram_train_step_stays_broadcast_and_bounded(spark):
     assert raw.count('BroadcastNestedLoop') == 1, raw.count('BroadcastNestedLoop')
     assert raw.count('BroadcastHashJoin') >= 4
     assert raw.count('Exchange SinglePartition') == 3
+
+
+def test_unigram_train_soft_stays_broadcast_and_bounded(spark):
+    """text_unigram_train_soft: the soft E-step keeps the hard step's
+    plan discipline — every lattice/posterior lookup is a BROADCAST hash
+    join (the checkpointed dictionary-sized frames would otherwise fall
+    to sort-merge joins), the ONLY nested loop is the 1-row d2
+    normalizer crossJoin, and the single-partition exchanges stay at the
+    pinned 3 (prune rank window, its count, the d2 fold) — never a
+    corpus sort."""
+    raw = raw_plan_of(spark, 'text_unigram_train_soft')
+    assert 'SortMergeJoin' not in raw
+    assert 'CartesianProduct' not in raw
+    assert raw.count('BroadcastNestedLoop') == 1, raw.count('BroadcastNestedLoop')
+    assert raw.count('BroadcastHashJoin') >= 10
+    assert raw.count('Exchange SinglePartition') == 3

@@ -82,6 +82,7 @@ QUERIES = (
     # round-11 additions
     'dedup_tf_cosine_capped',       # cold-term cos^2 top-k ties at density
     'pipeline_exact_substr_cut',    # cut-interval unions at denser matches
+    'text_unigram_train_soft',      # lattice posteriors + prune at density
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

@@ -383,6 +383,18 @@ NOTES['text_unigram_train_step'] = [
     'frames (pinned at 3), final q via exact decimal(38,0) integral div',
 ]
 
+NOTES['text_unigram_train_soft'] = [
+    'the published SentencePiece EM round (soft forward-backward E-step;',
+    'the hard step is its Viterbi approximation): the SAME unrolled DP',
+    'frames with groupBy-SUM where the hard path ranks — integer lattice',
+    'sums ahat/bhat at the dedicated soft scale 1e4 (all bounds inside',
+    'decimal(38,0)/HUGEINT), per-word posterior quantization',
+    '(N * 1e6) div Z, frequency-weighted expected counts, then the tail',
+    'shared verbatim with the hard step. Broadcast joins only (0 SMJ),',
+    '1 nested loop (d2 normalizer), 3 single-partition exchanges (the',
+    'bounded prune rank) — the hard step plan discipline, pinned',
+]
+
 NOTES['pipeline_corpus_build'] = [
     'four pipeline stages, ONE plan: a single column-pruned documents',
     'scan (doc_id, text only) feeds dedup window -> quality filter ->',
@@ -487,6 +499,7 @@ EXTRA = (
     # round-11 additions
     'dedup_tf_cosine_capped',
     'pipeline_exact_substr_cut',
+    'text_unigram_train_soft',
 )
 
 
