@@ -54,7 +54,10 @@ def _run(sf1_dir: str, names: list[str], checksum: bool) -> tuple[set, str]:
     cmd += [sf1_dir, *names]
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get('SPARK_GRAFT_CPUS', '16'))
     out = subprocess.run(cmd, capture_output=True, text=True, env=env)
-    text = out.stdout + out.stderr
+    # explicit newline join (ADVICE r10): if stdout lacks a trailing
+    # newline, the first stderr line would glue onto the last stdout
+    # line and the ^-anchored FAIL/verdict regexes below would miss it
+    text = out.stdout + '\n' + out.stderr
     # line-anchored like the verdict-line regex below: an unanchored match
     # would parse stray 'FAIL <word>' log noise as a query name and feed
     # the tripwires a bogus unreported query (spurious hard-red)

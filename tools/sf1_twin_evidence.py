@@ -76,7 +76,9 @@ def _kmeans_twin(ids: np.ndarray, Q: np.ndarray):
     ties to the LOWEST cl (np.argmin first-minimum == ORDER BY dist2,
     cl) — so the evidence covers the CLUSTERING half of the query, not
     just the within-cell flags (the review's circularity gap). All
-    arithmetic is integer-exact in f64 (dist2 <= 64*(2^16)^2 << 2^53).
+    arithmetic is integer-exact in f64 (dist2 <= 64*(2^15)^2 << 2^53:
+    components in [-1, 1] quantize to |q| <= KM_SCALE = 2^14, so a
+    per-dimension difference is <= 2^15).
     Returns vec_id -> cl for the corpus."""
     from cyclebane_spark.queries.similarity import KM_ITERS, KM_K, N_QUERIES
 
@@ -228,7 +230,15 @@ def tf_cosine_blocked_oracle(sf_glob: str, k: int, n_blocks: int) -> list[tuple]
     """The oracle RESTATED BLOCKED: per doc_a-range dp + top-k, then a
     global merge. Identical SQL per block to the registered oracle with
     one added range predicate on a.doc_id — each block materializes only
-    ~1/n_blocks of the pair partials, which DuckDB survives at sf1."""
+    ~1/n_blocks of the pair partials, which DuckDB survives at sf1.
+
+    Overflow bound (ADVICE r10): ``CAST(dot * dot AS DOUBLE)`` multiplies
+    in BIGINT BEFORE the cast — kept deliberately, because the registered
+    oracle uses the same expression and this restatement must stay
+    bit-identical to it. The binding bound is therefore dot < 2^31.5
+    (~3.04e9, BIGINT overflow on dot^2 — checked, so it fails LOUDLY),
+    tighter than the 2^53 exactness bound on the cast; the sf1 corpus
+    max dot is ~1e5, five orders inside it."""
     import duckdb
 
     con = duckdb.connect()
