@@ -66,6 +66,22 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast('array<string>'))
 
 
+def word_ngrams_of(toks: Column | str, n: int) -> Column:
+    """Word n-grams of an ALREADY-TOKENIZED array column, duplicates
+    kept: array<string>. The array-input form of the :func:`word_ngrams`
+    definition (same expression tree, same short-array guard), exposed
+    for tokenize-once pipelines that materialize the token array behind
+    a repartition barrier before building grams — hand-copying the
+    guarded builder at those call sites is how the descending-sequence
+    footgun (see :func:`word_ngrams`) comes back."""
+    toks = _col(toks)
+    seq = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(' ', *[F.get(toks, i + k) for k in range(n)])  # noqa: E731
+    return F.when(
+        F.size(toks) >= n, F.transform(seq, gram)
+    ).otherwise(F.array().cast('array<string>'))
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the text: array<string>."""
     return F.array_distinct(word_ngrams(text, n))

@@ -1592,15 +1592,10 @@ def _cos_capped_postings(spark, sf_dir):
     toks = docs.select(
         'doc_id', _CF.tokens('text').alias('toks')
     ).repartition('doc_id')
-    seq = F.sequence(F.lit(0), F.size('toks') - 3)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        ' ', *[F.get('toks', i + k) for k in range(3)]
-    )
-    ngrams = F.when(
-        F.size('toks') >= 3, F.transform(seq, gram)
-    ).otherwise(F.array().cast('array<string>'))
     tf = (
-        toks.select('doc_id', F.explode(ngrams).alias('term'))
+        toks.select(
+            'doc_id', F.explode(_CF.word_ngrams_of('toks', 3)).alias('term')
+        )
         .groupBy('doc_id', 'term')
         .agg(F.count(F.lit(1)).alias('tf'))
     )
@@ -2889,15 +2884,9 @@ def dedup_exact_substr(spark, sf_dir):
     toks = docs.select(
         'doc_id', _CF.tokens('text').alias('toks')
     ).repartition('doc_id')
-    seq = F.sequence(F.lit(0), F.size('toks') - EXSUB_L)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        ' ', *[F.get('toks', i + k) for k in range(EXSUB_L)]
-    )
-    ngrams = F.when(
-        F.size('toks') >= EXSUB_L, F.transform(seq, gram)
-    ).otherwise(F.array().cast('array<string>'))
     grams = toks.select(
-        'doc_id', F.posexplode(ngrams).alias('p0', 'gram')
+        'doc_id',
+        F.posexplode(_CF.word_ngrams_of('toks', EXSUB_L)).alias('p0', 'gram'),
     ).select('doc_id', (F.col('p0') + 1).alias('p'), 'gram')
 
     # Hot-gram anchor cap (Lee et al.: drop >1000-occurrence grams). The
@@ -3011,6 +3000,14 @@ def pipeline_exact_substr_cut(spark, sf_dir):
     above: keep-first policy, interval union, one corpus shuffle)."""
     docs = table(spark, sf_dir, 'documents')
     runs = dedup_exact_substr(spark, sf_dir).localCheckpoint()
+    # cut positions as a per-doc MAP, not an array: the removal filter
+    # probes once per token, and an array_contains probe is a linear
+    # scan — O(len * |cuts|) per row, quadratic on exactly the heavily-
+    # duplicated documents this query targets. The map probe is O(1),
+    # keeping the row at O(len + |cuts|). try_element_at (NOT
+    # element_at: ANSI mode throws on a missing map key) returns NULL
+    # both for a kept position and on the NULL map of an uncut
+    # document, so one isNull() covers both.
     cutarr = (
         runs.select(
             F.col('doc_b').alias('doc_id'),
@@ -3023,17 +3020,22 @@ def pipeline_exact_substr_cut(spark, sf_dir):
         )
         .groupBy('doc_id')
         .agg(F.collect_set('p').alias('cut_ps'))
+        .select(
+            'doc_id',
+            F.map_from_arrays(
+                'cut_ps', F.transform('cut_ps', lambda x: F.lit(True))
+            ).alias('cut_map'),
+        )
         .repartition('doc_id')
     )
     toks = docs.select(
         'doc_id', _CF.tokens('text').alias('toks')
     ).repartition('doc_id')
-    cut_ps = F.coalesce('cut_ps', F.array().cast('array<bigint>'))
     kept = F.filter(
         'toks',
-        lambda x, i: ~F.array_contains(
-            cut_ps, (i + F.lit(1)).cast('bigint')
-        ),
+        lambda x, i: F.try_element_at(
+            F.col('cut_map'), (i + F.lit(1)).cast('bigint')
+        ).isNull(),
     )
     return (
         toks.join(cutarr, 'doc_id', 'left')

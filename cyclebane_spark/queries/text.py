@@ -4110,6 +4110,10 @@ def text_unigram_train_soft(spark, sf_dir):
     lattice identity, integer bounds, zero-mass exclusion). Output: the
     post-round vocabulary (piece, ec, q), same schema as the hard step."""
     vocab, wf = _unigram_vocab(spark, sf_dir, scale=UNIGRAM_SOFT_SCALE)
+    # the word-frequency frame is consumed 5x (both lattice bases, z,
+    # spans, the ec weight join) — checkpoint the corpus word-count ONCE
+    # (dictionary-sized) instead of re-scanning documents per reference
+    wf = wf.localCheckpoint(eager=True)
     dec = 'decimal(38,0)'
     sc = UNIGRAM_SOFT_SCALE
     words = (

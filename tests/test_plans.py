@@ -1083,10 +1083,18 @@ def test_unigram_train_soft_stays_broadcast_and_bounded(spark):
     to sort-merge joins), the ONLY nested loop is the 1-row d2
     normalizer crossJoin, and the single-partition exchanges stay at the
     pinned 3 (prune rank window, its count, the d2 fold) — never a
-    corpus sort."""
+    corpus sort. Runtime bloom-filter subqueries that Catalyst injects
+    against the checkpointed word frame each carry their own 1-row
+    SinglePartition build fold — benign runtime join pruning, excluded
+    from the pin: each bloom subquery prints exactly two
+    bloom_filter_agg nodes (final + partial) around its one exchange."""
     raw = raw_plan_of(spark, 'text_unigram_train_soft')
     assert 'SortMergeJoin' not in raw
     assert 'CartesianProduct' not in raw
     assert raw.count('BroadcastNestedLoop') == 1, raw.count('BroadcastNestedLoop')
     assert raw.count('BroadcastHashJoin') >= 10
-    assert raw.count('Exchange SinglePartition') == 3
+    n_bloom = raw.count('bloom_filter_agg')
+    assert n_bloom % 2 == 0, n_bloom
+    assert (
+        raw.count('Exchange SinglePartition') - n_bloom // 2 == 3
+    ), (raw.count('Exchange SinglePartition'), n_bloom)
