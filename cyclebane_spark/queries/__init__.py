@@ -113,11 +113,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # judgment calls: the (round, name) total order makes the window
 # deterministic given the correctness history.
 _PRIORITY = (
-    # 1-44: the round-6-green staleness tail (alphabetical; its last 4
-    # members — window_lag_delta, window_nulls_ordering,
-    # window_range_frame_trailing, window_running_total — were displaced
-    # freshest-first by this round's 6 required slots and head the
-    # round-12 rotation queue)
+    # 1-43: the round-6-green staleness tail (alphabetical; its last 5
+    # members — window_first_last_nth, window_lag_delta,
+    # window_nulls_ordering, window_range_frame_trailing,
+    # window_running_total — were displaced freshest-first by this
+    # round's 7 required slots and head the round-12 rotation queue)
     'ann_bruteforce_topk',
     'ann_ivf_blocked_topk',
     'ann_rp_lsh_topk',
@@ -161,10 +161,11 @@ _PRIORITY = (
     'topk_orders',
     'unpivot_lineitem_measures',
     'window_analytics_suite',
-    'window_first_last_nth',
-    # 45-47: never-seen (new in round 11: df-capped TF-cosine r10 #3,
-    # ExactSubstr span cutter r10 #5, soft-EM unigram trainer r10 #4)
+    # 44-47: never-seen (new in round 11: df-capped TF-cosine r10 #3,
+    # ExactSubstr span cutter r10 #5, soft-EM unigram trainer r10 #4,
+    # incremental ExactSubstr admission)
     'dedup_tf_cosine_capped',
+    'dedup_exact_substr_incremental',
     'pipeline_exact_substr_cut',
     'text_unigram_train_soft',
     # 48-50: changed this round (hot-gram anchor cap r10 #2; unigram

@@ -2809,36 +2809,45 @@ EXSUB_L = 8  # minimum shared-run length in tokens (the paper: 50 BPE toks)
 EXSUB_DF_CAP = 1000  # max corpus-wide occurrences for an anchoring gram
 
 
-def _exact_substr_ctes() -> str:
+_EXSUB_SELF_M = """
+    m AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+        FROM cold a JOIN cold b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),"""
+
+
+def _exact_substr_ctes(m_clause: str = _EXSUB_SELF_M) -> str:
     """The full ExactSubstr oracle as a CTE chain ending in ``runs``
     (doc_a, doc_b, a_start, b_start, match_len) — shared by the match
-    reporter `dedup_exact_substr` and the span cutter
-    `pipeline_exact_substr_cut`."""
+    reporter `dedup_exact_substr`, the span cutter
+    `pipeline_exact_substr_cut`, and (with a role-join ``m`` clause in
+    place of the oriented self-join) the incremental admission path
+    `dedup_exact_substr_incremental`. The gram stream carries ``source``
+    so a pair stage can filter by ingest role; the self-join ignores
+    it."""
     return rf"""
     WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\s+') AS toks
         FROM documents
     ),
     pos AS (
-        SELECT doc_id, toks, unnest(range(1, len(toks) - {EXSUB_L} + 2)) AS p
+        SELECT doc_id, source, toks,
+               unnest(range(1, len(toks) - {EXSUB_L} + 2)) AS p
         FROM t
     ),
     gr AS (
-        SELECT doc_id, p,
+        SELECT doc_id, source, p,
                array_to_string(toks[p : p + {EXSUB_L} - 1], ' ') AS gram
         FROM pos
     ),
     cold AS (
-        SELECT doc_id, p, gram FROM (
-            SELECT doc_id, p, gram,
+        SELECT doc_id, source, p, gram FROM (
+            SELECT doc_id, source, p, gram,
                    COUNT(*) OVER (PARTITION BY gram) AS df
             FROM gr
         ) WHERE df <= {EXSUB_DF_CAP}
-    ),
-    m AS (
-        SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
-        FROM cold a JOIN cold b ON a.gram = b.gram AND a.doc_id < b.doc_id
-    ),
+    ),{m_clause}
     islands AS (
         SELECT da, db, pb - pa AS diag, pa,
                pa - ROW_NUMBER() OVER (
@@ -2855,21 +2864,13 @@ def _exact_substr_ctes() -> str:
     )"""
 
 
-@register(
-    'dedup_exact_substr',
-    oracle=_exact_substr_ctes()
-    + """
-    SELECT doc_a, doc_b, a_start, b_start, match_len FROM runs
-    """,
-)
-def dedup_exact_substr(spark, sf_dir):
-    """ExactSubstr dedup: maximal >= EXSUB_L-token verbatim runs of COLD
-    (df <= EXSUB_DF_CAP) gram matches shared across document pairs
-    (module note above — incl. the recall contract of the hot-gram
-    anchor cap). Output: one row per maximal run — (doc_a, doc_b,
-    a_start, b_start, match_len), positions 1-based in token space."""
-    from pyspark.sql import Window
-
+def _exsub_cold_grams(spark, sf_dir, with_source: bool = False):
+    """The capped ExactSubstr gram stream (doc_id[, source], p, gram):
+    tokenize-once doc_id barrier, posexploded L-grams, hot-gram
+    (df > EXSUB_DF_CAP) instances dropped via the checkpointed
+    broadcast anti join. ``with_source`` carries the ingest-role column
+    for the incremental admission variant (the standing self-join keeps
+    the stream narrow)."""
     docs = table(spark, sf_dir, 'documents')
     # Tokenize ONCE behind an exchange. Building the grams straight from
     # word_ngrams('text', 8) inlines split(text) into all 8 F.get calls of
@@ -2881,13 +2882,14 @@ def dedup_exact_substr(spark, sf_dir):
     # in one task — the sf0.1 > sf1 wall-time inversion the first SCALE
     # sweep caught). One extra corpus-sized shuffle of (doc_id, toks),
     # amortized by the ~8x larger gram stage it parallelizes.
+    keep = ['doc_id', 'source'] if with_source else ['doc_id']
     toks = docs.select(
-        'doc_id', _CF.tokens('text').alias('toks')
+        *keep, _CF.tokens('text').alias('toks')
     ).repartition('doc_id')
     grams = toks.select(
-        'doc_id',
+        *keep,
         F.posexplode(_CF.word_ngrams_of('toks', EXSUB_L)).alias('p0', 'gram'),
-    ).select('doc_id', (F.col('p0') + 1).alias('p'), 'gram')
+    ).select(*keep, (F.col('p0') + 1).alias('p'), 'gram')
 
     # Hot-gram anchor cap (Lee et al.: drop >1000-occurrence grams). The
     # occurrence count is a map-side-combinable groupBy (a hot gram's
@@ -2912,18 +2914,19 @@ def dedup_exact_substr(spark, sf_dir):
         .filter(F.col('df') > EXSUB_DF_CAP)
         .select('gram')
     ).localCheckpoint()
-    cold = grams.join(F.broadcast(hot), 'gram', 'left_anti')
+    return grams.join(F.broadcast(hot), 'gram', 'left_anti')
 
-    a = cold.select(
-        F.col('doc_id').alias('da'), F.col('p').alias('pa'), 'gram'
-    )
-    b = cold.select(
-        F.col('doc_id').alias('db'), F.col('p').alias('pb'), 'gram'
-    )
-    m = (
-        a.join(b, 'gram')
-        .filter(F.col('da') < F.col('db'))
-        .select('da', 'db', 'pa', 'pb', (F.col('pb') - F.col('pa')).alias('diag'))
+
+def _exsub_run_merge(m, out_a: str, out_b: str):
+    """Diagonal islands run-merge over matched window pairs m(da, db,
+    pa, pb): one window + one aggregate per (da, db, pb-pa) group,
+    emitting maximal runs as (out_a, out_b, a_start, b_start,
+    match_len). Shared by the self-join reporter and the incremental
+    admission variant — the run/maximality semantics are identical."""
+    from pyspark.sql import Window
+
+    m = m.select(
+        'da', 'db', 'pa', (F.col('pb') - F.col('pa')).alias('diag')
     )
     w = Window.partitionBy('da', 'db', 'diag').orderBy('pa')
     runs = m.withColumn('grp', F.col('pa') - F.row_number().over(w))
@@ -2934,13 +2937,37 @@ def dedup_exact_substr(spark, sf_dir):
             (F.count(F.lit(1)) + EXSUB_L - 1).cast('bigint').alias('match_len'),
         )
         .select(
-            F.col('da').alias('doc_a'),
-            F.col('db').alias('doc_b'),
+            F.col('da').alias(out_a),
+            F.col('db').alias(out_b),
             F.col('a0').cast('bigint').alias('a_start'),
             (F.col('a0') + F.col('diag')).cast('bigint').alias('b_start'),
             'match_len',
         )
     )
+
+
+@register(
+    'dedup_exact_substr',
+    oracle=_exact_substr_ctes()
+    + """
+    SELECT doc_a, doc_b, a_start, b_start, match_len FROM runs
+    """,
+)
+def dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr dedup: maximal >= EXSUB_L-token verbatim runs of COLD
+    (df <= EXSUB_DF_CAP) gram matches shared across document pairs
+    (module note above — incl. the recall contract of the hot-gram
+    anchor cap). Output: one row per maximal run — (doc_a, doc_b,
+    a_start, b_start, match_len), positions 1-based in token space."""
+    cold = _exsub_cold_grams(spark, sf_dir)
+    a = cold.select(
+        F.col('doc_id').alias('da'), F.col('p').alias('pa'), 'gram'
+    )
+    b = cold.select(
+        F.col('doc_id').alias('db'), F.col('p').alias('pb'), 'gram'
+    )
+    m = a.join(b, 'gram').filter(F.col('da') < F.col('db'))
+    return _exsub_run_merge(m, 'doc_a', 'doc_b')
 
 
 # ---------------------------------------------------------------------------
@@ -3051,4 +3078,66 @@ def pipeline_exact_substr_cut(spark, sf_dir):
             (F.col('n_tokens') - F.col('n_kept_i')).cast('bigint').alias('n_cut'),
             'clean_text',
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ExactSubstr admission: the per-batch form of the match
+# reporter — maximal cold-gram runs between each INCOMING document
+# (source = 'src1', the batch being admitted) and the STANDING corpus
+# (every other source), the delta the admission pipeline needs when a
+# batch arrives, without re-running the corpus x corpus self-join
+# (pattern of `dedup_incremental_exact` / `dedup_incremental_minhash`:
+# the role split is a source predicate on the shared documents table).
+# Output is role-oriented, not id-oriented: (corpus_doc, new_doc,
+# c_start, n_start, match_len); within-batch pairs are NOT reported
+# (they are the ordinary self-join's job). The hot-gram anchor cap and
+# the run/maximality contract are inherited verbatim; df counts over the
+# FULL corpus incl. the batch (in production: the standing index's gram
+# stats plus the batch increment).
+# Scale: the batch side of the anchor join is delta-sized — the source
+# predicate pushes down to the parquet scan of that branch, so the
+# incoming gram build reads ~1/20 of the corpus; the standing side is
+# the persisted inverted gram index in production (here rebuilt inline
+# for oracle reproducibility, like every standing-index oracle in this
+# registry). Pair fan-out is (batch grams) x (per-gram df <= cap) —
+# delta-proportional, never corpus^2.
+# ---------------------------------------------------------------------------
+
+_EXSUB_INC_M = """
+    m AS (
+        SELECT c.doc_id AS da, n.doc_id AS db, c.p AS pa, n.p AS pb
+        FROM cold c JOIN cold n ON c.gram = n.gram
+        WHERE c.source <> 'src1' AND n.source = 'src1'
+    ),"""
+
+
+@register(
+    'dedup_exact_substr_incremental',
+    oracle=_exact_substr_ctes(_EXSUB_INC_M)
+    + """
+    SELECT doc_a AS corpus_doc, doc_b AS new_doc,
+           a_start AS c_start, b_start AS n_start, match_len
+    FROM runs
+    """,
+)
+def dedup_exact_substr_incremental(spark, sf_dir):
+    """Per-batch ExactSubstr admission (module note above): maximal
+    cold-gram runs between each incoming src1 document and the standing
+    corpus, oriented by ROLE — (corpus_doc, new_doc, c_start, n_start,
+    match_len)."""
+    cold = _exsub_cold_grams(spark, sf_dir, with_source=True)
+    corpus = cold.filter(F.col('source') != 'src1').select(
+        F.col('doc_id').alias('da'), F.col('p').alias('pa'), 'gram'
+    )
+    incoming = cold.filter(F.col('source') == 'src1').select(
+        F.col('doc_id').alias('db'), F.col('p').alias('pb'), 'gram'
+    )
+    m = corpus.join(incoming, 'gram')
+    return _exsub_run_merge(m, 'corpus_doc', 'new_doc').select(
+        'corpus_doc',
+        'new_doc',
+        F.col('a_start').alias('c_start'),
+        F.col('b_start').alias('n_start'),
+        'match_len',
     )

@@ -1047,7 +1047,9 @@ def test_unigram_segment_matches_pure_python(spark):
             assert tk.replace(' ', '') == w
 
 
-def exact_substr_extension_twin(toks: dict, L: int, cap: int) -> set:
+def exact_substr_extension_twin(
+    toks: dict, L: int, cap: int, pair_ok=None
+) -> set:
     """Pure-Python twin of dedup_exact_substr by a DIFFERENT mechanism —
     explicit anchor hits + cold-gram left-maximality check + rightward
     gram-by-gram EXTENSION (the Spark statement is islands/run-merge
@@ -1055,8 +1057,14 @@ def exact_substr_extension_twin(toks: dict, L: int, cap: int) -> set:
     predecessor positions are NOT themselves a cold gram match; the
     extension counts consecutive cold gram matches; match_len =
     run_grams + L - 1. Dropping hot (df > cap) grams happens at the
-    index — identical to the registered query's anti-join."""
+    index — identical to the registered query's anti-join. ``pair_ok``:
+    the pair predicate over ordered (da, db) — default the oriented
+    da < db self-join; the incremental admission twin passes the
+    (standing, incoming) role predicate instead."""
     from collections import defaultdict
+
+    if pair_ok is None:
+        pair_ok = lambda da, db: da < db  # noqa: E731
 
     idx = defaultdict(list)
     for d, ts in toks.items():
@@ -1077,7 +1085,7 @@ def exact_substr_extension_twin(toks: dict, L: int, cap: int) -> set:
             continue
         for da, pa in occs:
             for db, pb in occs:
-                if da >= db:
+                if da == db or not pair_ok(da, db):
                     continue
                 if cold_match(da, pa - 1, db, pb - 1):
                     continue  # not a cold-run start on this diagonal
@@ -1121,6 +1129,59 @@ def test_exact_substr_matches_extension_twin(spark):
         for p in range(len(ts) - EXSUB_L + 1):
             idx[tuple(ts[p : p + EXSUB_L])] += 1
     assert max(idx.values()) <= EXSUB_DF_CAP
+
+
+def test_exact_substr_incremental_matches_role_twin(spark):
+    """dedup_exact_substr_incremental against the extension twin with
+    the (standing, incoming) role predicate: runs are exactly the
+    cross-role pairs, oriented corpus->new regardless of id order.
+    Also asserts consistency with the full self-join reporter: every
+    cross-role run the full reporter finds appears here (in role
+    orientation), no within-batch or within-corpus pair leaks in, and
+    the sf fixture actually produces cross-role AND would-be
+    within-batch matches (so the exclusions are exercised)."""
+    import re
+
+    import pandas as pd
+
+    from cyclebane_spark.queries.dedup import EXSUB_DF_CAP, EXSUB_L
+
+    docs = pd.read_parquet(f'{SF_DIR}/documents.parquet')
+    toks = {
+        int(r.doc_id): re.split(r'\s+', r.text.strip())
+        for r in docs.itertuples(index=False)
+    }
+    src = {int(r.doc_id): r.source for r in docs.itertuples(index=False)}
+    role_ok = lambda c, n: src[c] != 'src1' and src[n] == 'src1'  # noqa: E731
+    expected = exact_substr_extension_twin(
+        toks, EXSUB_L, EXSUB_DF_CAP, pair_ok=role_ok
+    )
+    got = {
+        (r.corpus_doc, r.new_doc, r.c_start, r.n_start, r.match_len)
+        for r in queries()['dedup_exact_substr_incremental'](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert got, 'no cross-role matches — the gate proves nothing'
+    assert all(
+        src[c] != 'src1' and src[n] == 'src1' for c, n, *_ in got
+    )
+    # consistency with the full reporter: its cross-role subset equals
+    # this output up to role re-orientation
+    full = exact_substr_extension_twin(toks, EXSUB_L, EXSUB_DF_CAP)
+    cross = {
+        (a, b, pa, pb, ln) if role_ok(a, b) else (b, a, pb, pa, ln)
+        for a, b, pa, pb, ln in full
+        if role_ok(a, b) or role_ok(b, a)
+    }
+    assert got == cross
+    # the exclusion classes are non-empty on this fixture
+    assert any(
+        src[a] == 'src1' and src[b] == 'src1' for a, b, *_ in full
+    ) or any(
+        src[a] != 'src1' and src[b] != 'src1' for a, b, *_ in full
+    ), 'no excluded-class matches in the fixture'
 
 
 def test_exact_substr_hot_gram_cap(spark, tmp_path):

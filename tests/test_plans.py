@@ -1009,6 +1009,32 @@ def test_exact_substr_anchor_join_and_runmerge_reuses_partitioning(spark):
     ), raw
 
 
+def test_exact_substr_incremental_role_pushdown(spark):
+    """dedup_exact_substr_incremental: the ingest-role predicates must
+    reach the parquet scans (source = 'src1' on the incoming gram
+    branch — the batch build reads only the batch; its negation on the
+    corpus branch), the anchor join must key on the gram with the
+    broadcast hot-gram anti join on both sides, and the run-merge must
+    reuse the corpus branch's doc_id partitioning (zero da exchange) —
+    the full reporter's plan shape with a delta-sized probe side."""
+    raw = raw_plan_of(spark, 'dedup_exact_substr_incremental')
+    assert re.search(
+        r'PushedFilters: \[[^\]]*EqualTo\(source,src1\)', raw
+    ), raw
+    assert re.search(
+        r'PushedFilters: \[[^\]]*Not\(EqualTo\(source,src1\)', raw
+    ), raw
+    assert re.search(r'HashJoin \[gram#\d+\], \[gram#\d+\]', raw), raw
+    assert (
+        len(re.findall(r'BroadcastHashJoin \[gram#\d+\], \[gram#\d+\], LeftAnti', raw))
+        == 2
+    ), raw
+    assert 'CartesianProduct' not in raw
+    assert 'BroadcastNestedLoop' not in raw
+    assert not re.search(r'Exchange hashpartitioning\(da#\d+L', raw), raw
+    assert 'partial_min' in raw
+
+
 def test_exact_substr_cut_single_corpus_shuffle(spark):
     """pipeline_exact_substr_cut: the runs frame must be checkpointed
     (ExistingRDD — the match pipeline never re-runs per reference), the

@@ -83,6 +83,7 @@ QUERIES = (
     'dedup_tf_cosine_capped',       # cold-term cos^2 top-k ties at density
     'pipeline_exact_substr_cut',    # cut-interval unions at denser matches
     'text_unigram_train_soft',      # lattice posteriors + prune at density
+    'dedup_exact_substr_incremental',  # cross-role run density at scale
 )
 
 SFS = ('/root/testdata/sf0.01', '/root/testdata/sf0.1')

@@ -383,6 +383,18 @@ NOTES['text_unigram_train_step'] = [
     'frames (pinned at 3), final q via exact decimal(38,0) integral div',
 ]
 
+NOTES['dedup_exact_substr_incremental'] = [
+    'per-batch ExactSubstr admission: cold-gram runs between each',
+    'incoming src1 doc and the standing corpus only (within-batch is',
+    'the self-join reporter\'s job). Role predicates PUSH DOWN to the',
+    'parquet scans — the incoming gram build reads only the batch; the',
+    'standing side is the persisted inverted gram index in production',
+    '(rebuilt inline for oracle reproducibility). Anchor-cap +',
+    'run-merge shape inherited verbatim from the full reporter (zero',
+    'da exchange); pair fan-out is batch-grams x df<=cap —',
+    'delta-proportional, never corpus^2',
+]
+
 NOTES['text_unigram_train_soft'] = [
     'the published SentencePiece EM round (soft forward-backward E-step;',
     'the hard step is its Viterbi approximation): the SAME unrolled DP',
@@ -500,6 +512,7 @@ EXTRA = (
     'dedup_tf_cosine_capped',
     'pipeline_exact_substr_cut',
     'text_unigram_train_soft',
+    'dedup_exact_substr_incremental',
 )
 
 
