@@ -71,20 +71,55 @@ _WINDOW_ROUND = 11
 # Queries whose CODE PATH changed this round (including via shared-helper
 # edits). The rotation contract (tests/test_priority_window.py) requires
 # every one of these to hold a window slot, after any driver-red rows.
-# Round 11 (VERDICT r10 #2): dedup_exact_substr gained the Lee et al.
-# hot-gram anchor cap (df > EXSUB_DF_CAP grams never anchor; gram-count
-# agg checkpointed once, broadcast anti join per side) — output
-# unchanged at gate SFs (no gram is hot there; asserted in the twin
-# test), semantics now carry the stated recall contract.
-# text_unigram_segment / text_unigram_train_step: shared-helper edits
-# for the soft trainer (VERDICT r10 #4) — _unigram_vocab gained a scale
-# param (default = old constant), the prune+requant tail and the SQL
-# seed builder were factored out; consumers' plans and oracle text are
-# value-identical (re-verified), flagged per the bright-line rule.
+# Round 11 build phase (VERDICT r10 #2/#4): dedup_exact_substr gained the
+# Lee et al. hot-gram anchor cap; text_unigram_segment /
+# text_unigram_train_step took shared-helper edits for the soft trainer —
+# all value-identical, flagged per the bright-line rule.
+# Round 11 OPTIMIZATION phase: spread()/spread_small became
+# scale-ADAPTIVE (tables.spread_small — repartitions only small few-file
+# inputs, untouched plan otherwise) and q1 + the graph lineitem loader
+# gained the parallelism-restoring spread; every query whose plan flows
+# through those helpers is flagged below (results re-verified
+# oracle-exact; see OPTIMIZATION_r11.md).
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
+    # build-phase changes (r10 verdict items)
     'dedup_exact_substr',
     'text_unigram_segment',
     'text_unigram_train_step',
+    # optimization: direct spread_small call
+    'q1_pricing_summary',
+    # optimization: via graph_algebra._lineitem_with_id
+    'graph_map_reduce_all',
+    'graph_map_reduce_partial',
+    'graph_param_sweep_broadcast',
+    'graph_slice_loc',
+    'graph_branch_graft_sweep',
+    # optimization: via dedup.spread (now adaptive) — direct users and
+    # everything through _minhash_docs/_minhash_pairs
+    'dedup_minhash_lsh',
+    'dedup_minhash_lsh_salted',
+    'dedup_minhash_lsh_adaptive',
+    'dedup_minhash_estimator',
+    'dedup_incremental_minhash',
+    'dedup_lsh_band_diagnostics',
+    'dedup_simhash',
+    'dedup_ngram_jaccard',
+    'dedup_jaccard_prefix_filter',
+    'dedup_containment_pairs',
+    'dedup_connected_components',
+    'dedup_cluster_representatives',
+    'dedup_cc_largestar',
+    'dedup_cc_incremental',
+    'dedup_recursive_hops',
+    'dedup_eval_confusion',
+    'dedup_bcubed_eval',
+    'graph_pagerank_neardup',
+    'graph_triangles_neardup',
+    'graph_kcore_peel',
+    'graph_label_propagation',
+    'pipeline_leakage_safe_split',
+    'pipeline_entity_resolution',
+    'pipeline_cluster_balanced_sample',
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
@@ -113,11 +148,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # judgment calls: the (round, name) total order makes the window
 # deterministic given the correctness history.
 _PRIORITY = (
-    # 1-43: the round-6-green staleness tail (alphabetical; its last 5
-    # members — window_first_last_nth, window_lag_delta,
-    # window_nulls_ordering, window_range_frame_trailing,
-    # window_running_total — were displaced freshest-first by this
-    # round's 7 required slots and head the round-12 rotation queue)
+    # 1-13: round-6-green staleness backfill (alphabetical prefix of the
+    # remaining tail; the rest of the tail was displaced freshest-first
+    # by the optimization round's changed-query slots and heads the
+    # round-12 rotation queue together with the 5 window_* members
+    # displaced by the build phase)
     'ann_bruteforce_topk',
     'ann_ivf_blocked_topk',
     'ann_rp_lsh_topk',
@@ -128,51 +163,50 @@ _PRIORITY = (
     'count_distinct_exact',
     'cube_flag_status',
     'date_functions',
-    'dedup_containment_pairs',
     'distinct_pairs',
     'groupingsets_flag_status',
     'join_anti',
-    'join_range_band',
-    'join_semi',
-    'map_functions',
-    'percentile_exact',
-    'promo_revenue_ratio',
-    'q13_customer_distribution',
-    'q18_large_volume_customer',
-    'q19_disjunctive_predicates',
-    'q22_idle_rich_customers',
-    'q3_shipping_priority',
-    'q5_local_supplier_volume',
-    'q6_forecast_revenue',
-    'q7_volume_shipping',
-    'q8_market_share',
-    'q9_product_type_profit',
-    'rollup_order_priority',
-    'sample_hash_based',
-    'sample_stratified',
-    'scalar_functions',
-    'setop_union_intersect',
-    'skew_salted_agg',
-    'sql_interface_portable',
-    'sql_interface_q10',
-    'subquery_correlated_avg',
-    'subquery_exists_priority',
-    'subquery_scalar_avg',
-    'topk_orders',
-    'unpivot_lineitem_measures',
-    'window_analytics_suite',
-    # 44-47: never-seen (new in round 11: df-capped TF-cosine r10 #3,
-    # ExactSubstr span cutter r10 #5, soft-EM unigram trainer r10 #4,
-    # incremental ExactSubstr admission)
+    # 14-17: never-seen (new in round 11's build phase)
     'dedup_tf_cosine_capped',
     'dedup_exact_substr_incremental',
     'pipeline_exact_substr_cut',
     'text_unigram_train_soft',
-    # 48-50: changed this round (hot-gram anchor cap r10 #2; unigram
-    # shared-helper factoring for the soft trainer)
+    # 18-50: changed this round (build-phase items first, then the
+    # optimization phase's spread_small adoption — see
+    # _CHANGED_THIS_ROUND above and OPTIMIZATION_r11.md)
     'dedup_exact_substr',
     'text_unigram_segment',
     'text_unigram_train_step',
+    'q1_pricing_summary',
+    'graph_map_reduce_all',
+    'graph_map_reduce_partial',
+    'graph_param_sweep_broadcast',
+    'graph_slice_loc',
+    'graph_branch_graft_sweep',
+    'dedup_minhash_lsh',
+    'dedup_minhash_lsh_salted',
+    'dedup_minhash_lsh_adaptive',
+    'dedup_minhash_estimator',
+    'dedup_incremental_minhash',
+    'dedup_lsh_band_diagnostics',
+    'dedup_simhash',
+    'dedup_ngram_jaccard',
+    'dedup_jaccard_prefix_filter',
+    'dedup_containment_pairs',
+    'dedup_connected_components',
+    'dedup_cluster_representatives',
+    'dedup_cc_largestar',
+    'dedup_cc_incremental',
+    'dedup_recursive_hops',
+    'dedup_eval_confusion',
+    'dedup_bcubed_eval',
+    'graph_pagerank_neardup',
+    'graph_triangles_neardup',
+    'graph_kcore_peel',
+    'graph_label_propagation',
+    'pipeline_leakage_safe_split',
+    'pipeline_entity_resolution',
+    'pipeline_cluster_balanced_sample',
 )
 
 

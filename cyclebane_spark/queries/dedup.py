@@ -139,15 +139,22 @@ def _minhash_oracle() -> str:
 
 
 def spread(df, *cols):
-    """Repartition before heavy per-row compute.
+    """Repartition before heavy per-row compute — scale-adaptively.
 
     The test tables are single parquet files -> one input split; without
-    this every md5/shingle evaluation runs on one core. At 100 TB inputs
-    arrive as many splits and this becomes a no-op-cost hash exchange that
-    also pre-partitions the downstream aggregation key.
+    this every md5/shingle evaluation runs on one core. r11 optimization:
+    the unconditional form kept its full-corpus hash exchange at 100 TB
+    too, where inputs already arrive as many splits and the exchange is
+    NOT "no-op-cost" — it moves every byte once for nothing (guide §2.4:
+    remove shuffles outright). Delegates to
+    :func:`cyclebane_spark.tables.spread_small`, which repartitions only
+    small few-file inputs and returns the plan untouched otherwise (the
+    synthesized 32-part sf1 tables now take the untouched path — measured
+    equal-or-faster there, see OPTIMIZATION_r11.md).
     """
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism, *cols)
+    from ..tables import spread_small
+
+    return spread_small(df, *cols)
 
 
 def _minhash_bands(docs):

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from ..tables import table
+from ..tables import spread_small, table
 from . import register
 from ._helpers import davg, dsum, sql_davg, sql_dsum
 
@@ -46,8 +46,19 @@ def q1_pricing_summary(spark, sf_dir):
     li = table(spark, sf_dir, 'lineitem')
     disc_price = F.col('l_extendedprice') * (1 - F.col('l_discount'))
     charge = disc_price * (1 + F.col('l_tax'))
+    filtered = li.filter(
+        F.col('l_shipdate')
+        <= F.lit('1998-09-02 00:00:00').cast(li.schema['l_shipdate'].dataType)
+    )
+    # r11 optimization: the 8 decimal partial aggregates are the dominant
+    # cost and run entirely inside the scan stage — on a few-file input
+    # (one row group per driver table) that is ONE core. spread_small moves
+    # them behind a parallelism-restoring exchange locally and is a no-op
+    # on production multi-split layouts, where map-side combine before the
+    # 4-group shuffle remains the right plan. Measured 1.36s -> 0.75s at
+    # sf0.1 (OPTIMIZATION_r11.md).
     return (
-        li.filter(F.col('l_shipdate') <= F.lit('1998-09-02 00:00:00').cast(li.schema['l_shipdate'].dataType))
+        spread_small(filtered, 'l_orderkey')
         .groupBy('l_returnflag', 'l_linestatus')
         .agg(
             dsum('l_quantity').alias('sum_qty'),

@@ -95,3 +95,65 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+# Inputs whose scan cannot fill the cluster (fewer files than cores AND at
+# most this many bytes) get a spreading repartition before heavy per-row
+# compute; anything bigger relies on file/row-group splitting, which at
+# production layouts (many ~128MB-1GB files, row groups to match) already
+# yields >= one split per core, and a full-input exchange would be exactly
+# the shuffle the optimization guide says to remove. Parameterised so a
+# deployment can move the crossover without code changes.
+SPREAD_MAX_BYTES_CONF = 'spark.cyclebane.spread.maxBytes'
+SPREAD_MAX_BYTES_DEFAULT = 1 << 30
+
+
+def spread_small(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive scan spread: hash-repartition a SMALL, few-file input
+    to ``defaultParallelism`` so per-row compute (decimal aggregation, md5
+    signatures, shingling) runs on every core instead of the one task a
+    single-row-group file yields.
+
+    Strictly a no-op (``df`` returned unchanged, no plan node added) when
+    the input already arrives as >= parallelism files, exceeds the byte
+    cap, or is not locally sizable — i.e. in every production layout. The
+    round-11 measurement behind it: the sf0.1 driver tables are single
+    parquet files with ONE row group, so file splitting cannot parallelize
+    the scan (all rows land on the task holding the row-group midpoint) and
+    a scan-dominated aggregation runs one core while 31 idle; q1 measured
+    1.36s -> 0.75s and the param sweep 2.03s -> 1.13s at sf0.1 with the
+    spread, while the synthesized 32-part sf1 tables take the no-op path
+    (their scans are already core-wide, and the exchange this helper would
+    add is pure overhead there — measured, see OPTIMIZATION_r11.md).
+
+    ``key_cols`` should be a high-cardinality deterministic key (hash
+    repartition; deterministic under task retries, unlike round-robin which
+    also pays a local sort — SPARK-23207/38388, optimization guide §2.5).
+    """
+    import os
+
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= par:
+        return df
+    max_bytes = int(
+        df.sparkSession.conf.get(
+            SPREAD_MAX_BYTES_CONF, str(SPREAD_MAX_BYTES_DEFAULT)
+        )
+    )
+    total = 0
+    for f in files:
+        if not f.startswith('file:'):
+            return df  # remote storage: never add a full-input exchange
+        try:
+            total += os.path.getsize(f[len('file:'):])
+        except OSError:
+            return df
+        if total > max_bytes:
+            return df
+    return df.repartition(par, *key_cols)
+

@@ -65,9 +65,65 @@ def test_q5_broadcasts_region_nation(spark):
 
 
 def test_q1_partial_aggregation(spark):
+    """r11 shape: on the few-file driver layout spread_small inserts ONE
+    parallelism-restoring repartition between the (pushed-down) filter and
+    the aggregation, so the 8 decimal partial aggregates run core-wide
+    instead of inside the single scan task; partial aggregation (map-side
+    combine) then still collapses everything to 4 groups before the final
+    exchange. On multi-split production inputs spread_small is a no-op and
+    the plan reverts to scan -> partial agg -> single exchange (covered by
+    test_spread_small_is_noop_on_multifile_input)."""
     plan = plan_of(spark, 'q1_pricing_summary')
-    assert 'partial_sum' in plan  # map-side combine before the shuffle
-    assert raw_plan_of(spark, 'q1_pricing_summary').count('Exchange') == 1
+    assert 'partial_sum' in plan  # map-side combine before the group shuffle
+    raw = raw_plan_of(spark, 'q1_pricing_summary')
+    assert raw.count('Exchange') == 2
+    assert 'REPARTITION_BY_NUM' in raw
+    # the date filter must still reach the scan below the repartition
+    assert 'LessThanOrEqual(l_shipdate' in plan
+    # and the repartition must sit BELOW the partial aggregate (tree prints
+    # top-down: the deepest HashAggregate — the partial one — must appear
+    # ABOVE the repartition exchange line, i.e. aggregate over exchange)
+    assert raw.count('HashAggregate') == 2
+    assert raw.rindex('HashAggregate') < raw.index('REPARTITION_BY_NUM')
+
+
+def test_spread_small_is_noop_on_multifile_input(spark, tmp_path):
+    """spread_small must leave any input it cannot prove small and
+    few-file UNTOUCHED: >= parallelism files, or over the byte cap, or a
+    non-local URI — the production layouts where the repartition would be
+    the full-input shuffle the guide says to remove."""
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.tables import (
+        SPREAD_MAX_BYTES_CONF,
+        spread_small,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / 'many')
+    spark.range(0, 10_000).withColumn('k', F.col('id') % 97).repartition(
+        max(par, 2)
+    ).write.mode('overwrite').parquet(path)
+    many = spark.read.parquet(path)
+    assert spread_small(many, 'k') is many  # >= par files -> identity
+
+    single = str(tmp_path / 'single')
+    spark.range(0, 1000).coalesce(1).write.mode('overwrite').parquet(single)
+    one = spark.read.parquet(single)
+    spread = spread_small(one, 'id')
+    assert spread is not one
+    assert 'RepartitionByExpression' in spread._jdf.queryExecution().logical().toString()
+
+    # byte cap: same single file, cap forced below its size -> identity
+    old = spark.conf.get(SPREAD_MAX_BYTES_CONF, None)
+    spark.conf.set(SPREAD_MAX_BYTES_CONF, '1')
+    try:
+        assert spread_small(one, 'id') is one
+    finally:
+        if old is None:
+            spark.conf.unset(SPREAD_MAX_BYTES_CONF)
+        else:
+            spark.conf.set(SPREAD_MAX_BYTES_CONF, old)
 
 
 def test_semi_join_stays_semi(spark):
@@ -821,13 +877,18 @@ def test_branch_graft_sweep_scans_only_the_replacement(spark):
     (two exchanges total, no sort-merge join, no corpus-sized cross)."""
     raw = raw_plan_of(spark, 'graph_branch_graft_sweep')
     assert raw.count('FileScan parquet') == 1
-    # the replacement's inputs only: the graft needs tax; orderkey is
-    # reduced away in stage 1 and pruned from the scan entirely
+    # the replacement's inputs plus the spread key: the graft needs tax;
+    # orderkey is reduced away in stage 1 but (r11) survives the scan as
+    # the spread_small repartition key on the few-file local layout — on
+    # production multi-split inputs spread_small is a no-op and the scan
+    # prunes back to the replacement columns alone
     m = re.search(r'FileScan parquet \[([^\]]*)\]', raw)
     cols = m.group(1)
     assert 'l_tax' in cols and 'l_extendedprice' in cols
-    assert 'l_orderkey' not in cols and 'l_partkey' not in cols
-    assert raw.count('Exchange hashpartitioning') == 2
+    assert 'l_partkey' not in cols
+    # two reduce exchanges + the r11 parallelism-restoring repartition
+    assert raw.count('Exchange hashpartitioning') == 3
+    assert 'REPARTITION_BY_NUM' in raw
     assert 'BroadcastNestedLoopJoin BuildRight, Cross' in raw
     assert 'SortMergeJoin' not in raw
 
