@@ -120,6 +120,18 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     'pipeline_leakage_safe_split',
     'pipeline_entity_resolution',
     'pipeline_cluster_balanced_sample',
+    # optimization batch 2: direct spread_small / spread_cluster adoption
+    # (OPTIMIZATION_r11.md batch 2; the three _exsub/_cos_capped consumers
+    # and pipeline_entity_resolution already hold slots above/below)
+    'q3_shipping_priority',
+    'q5_local_supplier_volume',
+    'events_sessionization',
+    'events_sessionization_sweep',
+    'ann_bruteforce_topk',
+    'dedup_tf_cosine_capped',
+    'dedup_exact_substr_incremental',
+    'pipeline_exact_substr_cut',
+    'sketch_cms_frequency',
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
@@ -148,11 +160,14 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # judgment calls: the (round, name) total order makes the window
 # deterministic given the correctness history.
 _PRIORITY = (
-    # 1-13: round-6-green staleness backfill (alphabetical prefix of the
+    # 1-9: round-6-green staleness backfill (alphabetical prefix of the
     # remaining tail; the rest of the tail was displaced freshest-first
-    # by the optimization round's changed-query slots and heads the
-    # round-12 rotation queue together with the 5 window_* members
-    # displaced by the build phase)
+    # by the optimization round's changed-query slots — batch 2 displaced
+    # date_functions/distinct_pairs/groupingsets_flag_status/join_anti —
+    # and heads the round-12 rotation queue together with the 5 window_*
+    # members displaced by the build phase). ann_bruteforce_topk moved
+    # from backfill to the changed tier (optimization batch 2) but keeps
+    # its slot.
     'ann_bruteforce_topk',
     'ann_ivf_blocked_topk',
     'ann_rp_lsh_topk',
@@ -161,12 +176,16 @@ _PRIORITY = (
     'array_functions',
     'conditional_agg_shipmodes',
     'count_distinct_exact',
-    'cube_flag_status',
-    'date_functions',
-    'distinct_pairs',
-    'groupingsets_flag_status',
-    'join_anti',
-    # 14-17: never-seen (new in round 11's build phase)
+    # 9-13: changed this round (optimization batch 2 — spread_small on
+    # the probe side / pre-fan-out clustering; see OPTIMIZATION_r11.md;
+    # sketch_cms_frequency displaced cube_flag_status from backfill)
+    'sketch_cms_frequency',
+    'q3_shipping_priority',
+    'q5_local_supplier_volume',
+    'events_sessionization',
+    'events_sessionization_sweep',
+    # 14-17: never-seen (new in round 11's build phase; the first three
+    # are also optimization-batch-2 changed)
     'dedup_tf_cosine_capped',
     'dedup_exact_substr_incremental',
     'pipeline_exact_substr_cut',

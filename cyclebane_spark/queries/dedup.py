@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from .. import functions as _CF
-from ..tables import table
+from ..tables import spread_cluster, spread_small, table
 from . import register
 
 N_PERM = 16
@@ -1595,10 +1595,14 @@ def _cos_capped_postings(spark, sf_dir):
     # straight from word_ngrams, projection collapse inlines split(text)
     # into every F.get of every position, re-splitting each document 3x
     # per term (measured 17.5s -> 3.4s at sf0.1 across this query's
-    # postings references).
-    toks = docs.select(
-        'doc_id', _CF.tokens('text').alias('toks')
-    ).repartition('doc_id')
+    # postings references). r11 optimization: spread_cluster pins the
+    # barrier's partition count to defaultParallelism on the few-file
+    # driver layout (AQE's parallelism-first coalescing left the ~3x gram
+    # stage above the few-MB local shuffle on 2-3 of 32 cores) and keeps
+    # the AQE-elastic repartition('doc_id') on production layouts.
+    toks = spread_cluster(
+        docs.select('doc_id', _CF.tokens('text').alias('toks')), 'doc_id'
+    )
     tf = (
         toks.select(
             'doc_id', F.explode(_CF.word_ngrams_of('toks', 3)).alias('term')
@@ -2629,7 +2633,13 @@ def _er_oracle() -> str:
 def pipeline_entity_resolution(spark, sf_dir):
     """LSH + SNM blocking -> integer-exact Jaccard verify -> CC clusters
     (see module note)."""
-    docs = table(spark, sf_dir, 'documents')
+    # r11 optimization: the shingle table is persisted and every
+    # downstream reference (both verify-join sides, the SNM key rank)
+    # reads the cache — whose partitioning is the plan's beneath it: ONE
+    # partition on the few-file driver layout, so shingling and every
+    # map stage over the cache ran single-core. spread_small gives the
+    # cache core-wide partitioning locally; no-op at production layouts.
+    docs = spread_small(table(spark, sf_dir, 'documents'), 'doc_id')
     key = F.lower(F.trim(F.substring('text', 1, 32)))
     g = docs.select(
         'doc_id', key.alias('k'), _spark_shingles(3).alias('grams')
@@ -2890,9 +2900,15 @@ def _exsub_cold_grams(spark, sf_dir, with_source: bool = False):
     # sweep caught). One extra corpus-sized shuffle of (doc_id, toks),
     # amortized by the ~8x larger gram stage it parallelizes.
     keep = ['doc_id', 'source'] if with_source else ['doc_id']
-    toks = docs.select(
-        *keep, _CF.tokens('text').alias('toks')
-    ).repartition('doc_id')
+    # r11 optimization: spread_cluster (see _cos_capped_postings) — the
+    # barrier stays on every layout, but its partition count is pinned to
+    # defaultParallelism on the few-file driver layout so the ~8x gram
+    # explode + anchor join above it run core-wide instead of on the 2-3
+    # partitions AQE's parallelism-first coalescing leaves a few-MB
+    # shuffle with.
+    toks = spread_cluster(
+        docs.select(*keep, _CF.tokens('text').alias('toks')), 'doc_id'
+    )
     grams = toks.select(
         *keep,
         F.posexplode(_CF.word_ngrams_of('toks', EXSUB_L)).alias('p0', 'gram'),

@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from ..tables import table
+from ..tables import spread_small, table
 from . import register
 from ._helpers import dsum, sql_dsum
 
@@ -93,8 +93,19 @@ def events_sessionization(spark, sf_dir):
         | (F.col('ts') > prev_ts + F.expr("INTERVAL '30' MINUTE")),
         1,
     ).otherwise(0)
+    # r11 optimization: the window's own ENSURE_REQUIREMENTS exchange is
+    # AQE-coalesced by the parallelism-first policy (target max(bytes/32,
+    # 1MB)) to 2-3 partitions on the few-MB local shuffle, so both window
+    # passes and the session aggregation ran on 2-3 of 32 cores.
+    # spread_small pins the same user_id exchange to defaultParallelism
+    # (hashpartitioning(user_id, N) satisfies the window's required
+    # distribution AND the downstream (user_id, session_id) aggregation's,
+    # so the plan keeps exactly ONE exchange); on multi-split production
+    # layouts it is a no-op and the implicit AQE-sized exchange returns.
     return (
-        ev.select('user_id', 'event_id', 'ts', 'value')
+        spread_small(
+            ev.select('user_id', 'event_id', 'ts', 'value'), 'user_id'
+        )
         .withColumn('new_session', new_session)
         .withColumn('session_id', F.sum('new_session').over(cum))
         .groupBy('user_id', 'session_id')
@@ -1886,9 +1897,16 @@ def events_sessionization_sweep(spark, sf_dir):
     params = spark.createDataFrame(
         [(10,), (30,), (90,)], 'timeout_min int'
     )
-    swept = ev.select('user_id', 'event_id', 'ts').crossJoin(
-        F.broadcast(params)
-    )
+    # r11 optimization: the 3x parameter fan-out used to run inside the
+    # single-task local scan and the window's own exchange then moved 3x
+    # the rows. spread_small establishes the user_id clustering BEFORE the
+    # fan-out (hashpartitioning(user_id, N) satisfies the window's
+    # (timeout_min, user_id) ClusteredDistribution, so the window adds no
+    # exchange): the shuffle carries 1x rows and the fan-out + both window
+    # passes run core-wide. No-op at production layouts.
+    swept = spread_small(
+        ev.select('user_id', 'event_id', 'ts'), 'user_id'
+    ).crossJoin(F.broadcast(params))
     w = Window.partitionBy('timeout_min', 'user_id').orderBy(
         'ts', 'event_id'
     )
@@ -1974,6 +1992,13 @@ def events_sessionization_sweep(spark, sf_dir):
 def events_cusum_alarm(spark, sf_dir):
     """Per-type CUSUM statistic + alarm flag by hour (see module note)."""
     ev = table(spark, sf_dir, 'events')
+    # r11 optimization note (examined, deliberately left alone): spreading
+    # the scan before the hourly partial aggregate was measured SLOWER at
+    # sf0.1 (interleaved A/B min 0.78s -> 1.30s): the hourly subtree is
+    # referenced by BOTH the drift aggregate and the prefix window, so the
+    # added exchange + the doubled downstream stages cost more than the
+    # single-task partial aggregate saves. On multi-split production
+    # layouts the scan parallelizes by itself.
     hourly = ev.groupBy(
         'event_type', F.date_trunc('hour', 'ts').alias('hour_start')
     ).agg(F.count(F.lit(1)).alias('cnt'))

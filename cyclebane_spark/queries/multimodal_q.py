@@ -310,6 +310,14 @@ def multimodal_phash_dedup(spark, sf_dir):
     pre = F.array_join(
         F.slice(F.split(F.lower(F.trim('text')), r'\s+'), 1, 4), ' '
     )
+    # r11 optimization note (examined, deliberately left alone): spreading
+    # the scan before the Python stages (variant synth pandas UDF +
+    # decode/aHash mapInPandas) was measured SLOWER at sf0.1 (interleaved
+    # A/B min 1.70s -> 1.87s, median 1.79 -> 2.12): 32-way partitioning
+    # multiplies Python-worker batch round-trips while the synthetic 32x32
+    # decode is microseconds per image, and the banded self-join below the
+    # checkpoint dominates the query. On multi-split production layouts
+    # (real images, real decode cost) the scan parallelizes by itself.
     seeded = docs.withColumn('base', F.xxhash64(pre))
     # Materialize the hash table (8 bytes/doc) before the self-join: the
     # two join sides otherwise each re-run the decode+hash Python stage

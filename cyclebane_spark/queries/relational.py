@@ -143,9 +143,21 @@ def q3_shipping_priority(spark, sf_dir):
     li = table(spark, sf_dir, 'lineitem')
     ots = orders.schema['o_orderdate'].dataType
     lts = li.schema['l_shipdate'].dataType
+    # r11 optimization: at driver SFs the (column-pruned) estimates put
+    # BOTH dimensionful sides under the broadcast threshold, so the whole
+    # probe pipeline — orders scan, two hash-join probes, the partial
+    # aggregate — fused into the single-task orders scan. spread_small
+    # moves it core-wide locally (the date filter still pushes to the
+    # scan below the repartition); no-op on production layouts, where the
+    # fact-fact join shuffles on orderkey anyway (SCALE.md round-8 note).
+    orders = spread_small(
+        orders.filter(
+            F.col('o_orderdate') < F.lit('1998-03-15 00:00:00').cast(ots)
+        ),
+        'o_orderkey',
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .filter(F.col('o_orderdate') < F.lit('1998-03-15 00:00:00').cast(ots))
         .join(li, F.col('l_orderkey') == F.col('o_orderkey'))
         .filter(F.col('l_shipdate') > F.lit('1997-03-15 00:00:00').cast(lts))
         .groupBy('l_orderkey', 'o_orderdate')
@@ -190,11 +202,17 @@ def q5_local_supplier_volume(spark, sf_dir):
     nation = table(spark, sf_dir, 'nation')
     region = table(spark, sf_dir, 'region').filter(F.col('r_name') == 'ASIA')
     ots = orders.schema['o_orderdate'].dataType
+    # r11 optimization: same single-task probe-pipeline shape as q3 (all
+    # five non-orders sides broadcast at driver SFs) — spread the filtered
+    # probe side; no-op on production layouts.
     return (
         cust.join(
-            orders.filter(
-                (F.col('o_orderdate') >= F.lit('1996-01-01 00:00:00').cast(ots))
-                & (F.col('o_orderdate') < F.lit('1997-01-01 00:00:00').cast(ots))
+            spread_small(
+                orders.filter(
+                    (F.col('o_orderdate') >= F.lit('1996-01-01 00:00:00').cast(ots))
+                    & (F.col('o_orderdate') < F.lit('1997-01-01 00:00:00').cast(ots))
+                ),
+                'o_orderkey',
             ),
             cust.c_custkey == orders.o_custkey,
         )

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from ..tables import table
+from ..tables import spread_small, table
 from . import register
 from ._helpers import DEC, davg, dsum, sql_davg, sql_dsum
 
@@ -1999,7 +1999,13 @@ def sketch_cms_frequency(spark, sf_dir):
     """Count-min sketch over the corpus term stream, audited per term
     against the exact count (see the module note)."""
     docs = table(spark, sf_dir, 'documents')
-    toks = docs.select(
+    # r11 optimization: the term explode feeds a 16x (r x bucket) fan-out
+    # whose md5 bucketing is the query's real compute — all fused into the
+    # single-task scan on the few-file driver layout (sf0.1 ran 1.88s vs
+    # sf1's 1.60s). spread_small runs it core-wide locally and both
+    # branches (sketch counters and the exact audit) reuse ONE exchange
+    # (ReusedExchange); no-op on multi-split production layouts.
+    toks = spread_small(docs.select('doc_id', 'text'), 'doc_id').select(
         F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('term')
     )
 

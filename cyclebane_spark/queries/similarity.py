@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from ..tables import table
+from ..tables import spread_small, table
 from . import register
 from .dedup import SQL_DOT, _spark_dot
 
@@ -78,14 +78,26 @@ _SQL_NORMED = f"""
 def ann_bruteforce_topk(spark, sf_dir):
     """Exact cosine top-k: Q query vectors against the full corpus."""
     emb = table(spark, sf_dir, 'embeddings')
-    n = emb.select(
-        'vec_id',
-        'label',
-        'embedding',
-        F.sqrt(_spark_dot(F.col('embedding'), F.col('embedding'))).alias('nrm'),
-    )
-    q = n.filter(F.col('vec_id') < N_QUERIES).alias('q')
-    c = n.filter(F.col('vec_id') >= N_QUERIES).alias('c')
+
+    def normed(rows):
+        return rows.select(
+            'vec_id',
+            'label',
+            'embedding',
+            F.sqrt(_spark_dot(F.col('embedding'), F.col('embedding'))).alias('nrm'),
+        )
+
+    q = normed(emb).filter(F.col('vec_id') < N_QUERIES).alias('q')
+    # r11 optimization: the corpus pipeline (dot products, norms, and the
+    # WindowGroupLimit partial top-k) is fused into the scan stage — on the
+    # few-file driver layout that is ONE core for the entire O(Q x N)
+    # compute. spread_small restores core-wide execution locally and is a
+    # no-op on multi-split production layouts (guide §1.2 step 1); the
+    # query side stays an un-spread scan so its 5-row broadcast build needs
+    # no shuffle stage.
+    c = normed(spread_small(emb, 'vec_id')).filter(
+        F.col('vec_id') >= N_QUERIES
+    ).alias('c')
     # Broadcast the (small) query side: the corpus never shuffles.
     return _ranked(F.broadcast(q).crossJoin(c), 'query_id')
 
@@ -423,6 +435,16 @@ def _kmeans_train(spark, sf_dir, extra_filter=None):
     batch); the default leaves the plan untouched."""
     from pyspark import StorageLevel
 
+    # r11 optimization note (examined, deliberately left alone): spreading
+    # the base rows before the posexplode+persist (so the cached component
+    # table and every Lloyd-loop map stage get core-wide partitioning) was
+    # measured SLOWER at sf0.1 — kmeans_topk 2.85s -> 3.69s min,
+    # persisted_topk 4.83s -> 6.92s, interleaved A/B — because the trainer
+    # is many-small-jobs overhead-bound: 32-way partitions multiply task
+    # scheduling across its ~40 tiny stages while the per-stage compute is
+    # microseconds. On multi-split production layouts the cache inherits
+    # core-wide partitioning from the scan anyway (the sf1 32-part tables
+    # measure ~2x/decade, SCALE.md), so there is nothing to fix at scale.
     emb = table(spark, sf_dir, 'embeddings')
     e = emb.select(
         'vec_id', F.posexplode('embedding').alias('pos', 'v')

@@ -3599,6 +3599,13 @@ def _unigram_vocab(spark, sf_dir, scale: int = UNIGRAM_PROB_SCALE):
     UNIGRAM_SOFT_SCALE so its lattice sums stay inside decimal(38,0) /
     HUGEINT (the kept inventory is scale-independent — the floor tests
     cnt, not q)."""
+    # r11 optimization note (examined, deliberately left alone): spreading
+    # the corpus scan before the tokenize was measured SLOWER at sf0.1
+    # (text_unigram_segment 3.64s -> 4.92s min, interleaved A/B) — the
+    # trainer family's cost is its ~20 dictionary-sized checkpointed DP
+    # rounds (sf0.001 takes 2.8s vs sf0.1's 2.6s: fixed overhead, not the
+    # corpus pass), so the extra exchange+stage only adds scheduling. On
+    # multi-split production layouts the scan parallelizes by itself.
     docs = table(spark, sf_dir, 'documents').select('text')
     wf = (
         docs.select(F.explode(F.split('text', ' ')).alias('word'))

@@ -157,3 +157,21 @@ def spread_small(df: DataFrame, *key_cols: str) -> DataFrame:
             return df
     return df.repartition(par, *key_cols)
 
+
+def spread_cluster(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Like :func:`spread_small`, but for call sites that need the exchange
+    on EVERY layout — a materialization barrier (tokenize-once before an
+    ~8x gram fan-out) or a pre-fan-out clustering the downstream window /
+    aggregation reuses. The exchange therefore always happens; only its
+    partition-count policy adapts:
+
+    - small few-file input (the spread_small predicate): pinned to
+      ``defaultParallelism``. AQE's parallelism-first coalescing targets
+      max(bytes/parallelism, 1MB) per partition, so a few-MB local shuffle
+      coalesces to 2-3 partitions and the heavy stage above it runs on 2-3
+      of 32 cores; a user-pinned REPARTITION_BY_NUM is never coalesced.
+    - anything else: ``repartition(*key_cols)`` — AQE-elastic sizing, the
+      correct policy when the shuffle actually carries cluster-scale bytes.
+    """
+    spread = spread_small(df, *key_cols)
+    return spread if spread is not df else df.repartition(*key_cols)

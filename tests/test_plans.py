@@ -1051,8 +1051,12 @@ def test_exact_substr_anchor_join_and_runmerge_reuses_partitioning(spark):
     assert 'CartesianProduct' not in raw
     assert 'BroadcastNestedLoop' not in raw
     assert re.search(r'HashJoin \[gram#\d+\], \[gram#\d+\]', raw), raw
+    # spread_cluster: BY_NUM (pinned to parallelism) on the few-file
+    # driver layout, BY_COL (AQE-elastic) on production layouts — the
+    # invariant is the doc_id exchange itself, reused by the run-merge
     assert re.search(
-        r'Exchange hashpartitioning\(doc_id#\d+L, \d+\), REPARTITION_BY_COL', raw
+        r'Exchange hashpartitioning\(doc_id#\d+L, \d+\), REPARTITION_BY_(NUM|COL)',
+        raw,
     ), raw
     # no shuffle between the join and the final aggregate
     assert not re.search(
@@ -1126,8 +1130,10 @@ def test_tf_cosine_capped_postings_and_topk_shape(spark):
 
     post = _cos_capped_postings(spark, SF_DIR)
     praw = post._jdf.queryExecution().executedPlan().toString()
+    # spread_cluster: BY_NUM on the few-file driver layout, BY_COL on
+    # production layouts (see the exact-substr pin above)
     assert re.search(
-        r'Exchange hashpartitioning\(doc_id#\d+L, \d+\), REPARTITION_BY_COL',
+        r'Exchange hashpartitioning\(doc_id#\d+L, \d+\), REPARTITION_BY_(NUM|COL)',
         praw,
     ), praw
     assert 'partial_count' in praw  # map-side combine in the tf agg
@@ -1185,3 +1191,63 @@ def test_unigram_train_soft_stays_broadcast_and_bounded(spark):
     assert (
         raw.count('Exchange SinglePartition') - n_bloom // 2 == 3
     ), (raw.count('Exchange SinglePartition'), n_bloom)
+
+
+def test_sessionization_spread_shares_the_window_exchange(spark):
+    """events_sessionization (r11 optimization): the explicit user_id
+    spread must be the ONLY exchange in the plan — hashpartitioning(
+    user_id, N) satisfies the two window passes' required distribution
+    AND the (user_id, session_id) aggregation's, so neither adds an
+    ENSURE_REQUIREMENTS exchange. On the few-file driver layout the
+    exchange is the pinned-count spread (REPARTITION_BY_NUM); on
+    multi-split production layouts spread_small is a no-op and the
+    window's own AQE-sized exchange returns (still exactly one)."""
+    raw = raw_plan_of(spark, 'events_sessionization')
+    assert raw.count('Exchange') == 1, raw
+    assert 'REPARTITION_BY_NUM' in raw
+    assert raw.count('Window') == 2
+
+
+def test_sessionization_sweep_spreads_before_the_fanout(spark):
+    """events_sessionization_sweep (r11 optimization): the user_id
+    exchange must sit BELOW the 3x parameter fan-out (the shuffle
+    carries 1x rows; the broadcast cross join multiplies them after),
+    and the window passes must reuse that clustering — the only other
+    exchange is the tiny final (timeout_min, user_id, session_id)
+    aggregate one."""
+    raw = raw_plan_of(spark, 'events_sessionization_sweep')
+    fanout = raw.index('BroadcastNestedLoopJoin')
+    spread = raw.index('REPARTITION_BY_NUM')
+    assert spread > fanout, raw  # deeper in the tree = printed later
+    # two shuffle exchanges (the param broadcast is not a shuffle)
+    assert raw.count('Exchange hashpartitioning') == 2, raw
+    assert raw.count('Window') == 2
+
+
+def test_cms_spread_below_the_term_fanout(spark):
+    """sketch_cms_frequency (r11 optimization): the doc_id spread must
+    sit below the term explode and the 16x (r, bucket) fan-out so the
+    md5 bucketing runs core-wide on the few-file driver layout; the
+    exact-audit branch joins the counters via BROADCAST (the sketch is
+    _CMS_D x _CMS_W rows, corpus-independent), never a shuffle join."""
+    raw = raw_plan_of(spark, 'sketch_cms_frequency')
+    assert 'REPARTITION_BY_NUM' in raw
+    # the spread exchange carries (doc_id, text), not exploded terms
+    assert re.search(
+        r'Exchange hashpartitioning\(doc_id#\d+L, \d+\), REPARTITION_BY_NUM',
+        raw,
+    ), raw
+    assert re.search(r'BroadcastHashJoin \[r#\d+', raw), raw
+    assert 'CartesianProduct' not in raw
+
+
+def test_q3_q5_probe_spread_keeps_pushdown(spark):
+    """q3/q5 (r11 optimization): the spread of the filtered orders probe
+    side must not cost the scans their predicate pushdown — the date
+    bounds still reach PushedFilters below the repartition."""
+    plan = plan_of(spark, 'q3_shipping_priority')
+    assert 'LessThan(o_orderdate' in plan, plan
+    assert 'GreaterThan(l_shipdate' in plan, plan
+    plan = plan_of(spark, 'q5_local_supplier_volume')
+    assert 'GreaterThanOrEqual(o_orderdate' in plan, plan
+    assert 'LessThan(o_orderdate' in plan, plan
