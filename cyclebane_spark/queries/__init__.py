@@ -160,7 +160,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # judgment calls: the (round, name) total order makes the window
 # deterministic given the correctness history.
 _PRIORITY = (
-    # 1-9: round-6-green staleness backfill (alphabetical prefix of the
+    # 1-8: round-6-green staleness backfill (alphabetical prefix of the
     # remaining tail; the rest of the tail was displaced freshest-first
     # by the optimization round's changed-query slots — batch 2 displaced
     # date_functions/distinct_pairs/groupingsets_flag_status/join_anti —

@@ -152,8 +152,6 @@ def spread(df, *cols):
     synthesized 32-part sf1 tables now take the untouched path — measured
     equal-or-faster there, see OPTIMIZATION_r11.md).
     """
-    from ..tables import spread_small
-
     return spread_small(df, *cols)
 
 

@@ -145,12 +145,17 @@ def spread_small(df: DataFrame, *key_cols: str) -> DataFrame:
             SPREAD_MAX_BYTES_CONF, str(SPREAD_MAX_BYTES_DEFAULT)
         )
     )
+    from urllib.parse import unquote
+
     total = 0
     for f in files:
         if not f.startswith('file:'):
             return df  # remote storage: never add a full-input exchange
         try:
-            total += os.path.getsize(f[len('file:'):])
+            # inputFiles() returns Hadoop URIs — percent-decode so paths
+            # with spaces/% still stat (an OSError here would silently
+            # disable the spread)
+            total += os.path.getsize(unquote(f[len('file:'):]))
         except OSError:
             return df
         if total > max_bytes:

@@ -29,6 +29,15 @@ def raw_plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def require_spread(spark):
+    """Skip pins that assert the spread_small repartition: at
+    defaultParallelism < 2 a 1-file input is already >= parallelism files,
+    so spread_small is (correctly) identity and REPARTITION_BY_NUM never
+    appears — the library behaves as designed, the pin is just moot."""
+    if spark.sparkContext.defaultParallelism < 2:
+        pytest.skip('spread_small is identity at parallelism 1')
+
+
 def test_q6_filter_pushdown_and_no_shuffle_groupby(spark):
     plan = plan_of(spark, 'q6_forecast_revenue')
     # all three predicates reach the parquet scan
@@ -73,6 +82,7 @@ def test_q1_partial_aggregation(spark):
     exchange. On multi-split production inputs spread_small is a no-op and
     the plan reverts to scan -> partial agg -> single exchange (covered by
     test_spread_small_is_noop_on_multifile_input)."""
+    require_spread(spark)
     plan = plan_of(spark, 'q1_pricing_summary')
     assert 'partial_sum' in plan  # map-side combine before the group shuffle
     raw = raw_plan_of(spark, 'q1_pricing_summary')
@@ -92,6 +102,7 @@ def test_spread_small_is_noop_on_multifile_input(spark, tmp_path):
     few-file UNTOUCHED: >= parallelism files, or over the byte cap, or a
     non-local URI — the production layouts where the repartition would be
     the full-input shuffle the guide says to remove."""
+    require_spread(spark)
     import pyspark.sql.functions as F
 
     from cyclebane_spark.tables import (
@@ -202,6 +213,7 @@ def test_minhash_heavy_compute_stays_above_the_exchange(spark):
     appear in the scan's DataFilters, and the signature projection must sit
     ABOVE the repartition exchange — otherwise the whole per-doc compute
     collapses into the single pre-shuffle scan task."""
+    require_spread(spark)
     plan = plan_of(spark, 'dedup_minhash_lsh')
     scan = plan.split('Scan parquet', 1)[1].split('(2)', 1)[0]
     assert 'transform' not in scan and 'md5' not in scan, scan
@@ -875,6 +887,7 @@ def test_branch_graft_sweep_scans_only_the_replacement(spark):
     plan) — with the untouched wide columns pruned, broadcast the 3-row
     sweep dim, and run the two chained reduces as partial+final pairs
     (two exchanges total, no sort-merge join, no corpus-sized cross)."""
+    require_spread(spark)
     raw = raw_plan_of(spark, 'graph_branch_graft_sweep')
     assert raw.count('FileScan parquet') == 1
     # the replacement's inputs plus the spread key: the graft needs tax;
@@ -1202,6 +1215,7 @@ def test_sessionization_spread_shares_the_window_exchange(spark):
     exchange is the pinned-count spread (REPARTITION_BY_NUM); on
     multi-split production layouts spread_small is a no-op and the
     window's own AQE-sized exchange returns (still exactly one)."""
+    require_spread(spark)
     raw = raw_plan_of(spark, 'events_sessionization')
     assert raw.count('Exchange') == 1, raw
     assert 'REPARTITION_BY_NUM' in raw
@@ -1215,6 +1229,7 @@ def test_sessionization_sweep_spreads_before_the_fanout(spark):
     and the window passes must reuse that clustering — the only other
     exchange is the tiny final (timeout_min, user_id, session_id)
     aggregate one."""
+    require_spread(spark)
     raw = raw_plan_of(spark, 'events_sessionization_sweep')
     fanout = raw.index('BroadcastNestedLoopJoin')
     spread = raw.index('REPARTITION_BY_NUM')
@@ -1230,6 +1245,7 @@ def test_cms_spread_below_the_term_fanout(spark):
     md5 bucketing runs core-wide on the few-file driver layout; the
     exact-audit branch joins the counters via BROADCAST (the sketch is
     _CMS_D x _CMS_W rows, corpus-independent), never a shuffle join."""
+    require_spread(spark)
     raw = raw_plan_of(spark, 'sketch_cms_frequency')
     assert 'REPARTITION_BY_NUM' in raw
     # the spread exchange carries (doc_id, text), not exploded terms
