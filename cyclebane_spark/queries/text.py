@@ -820,27 +820,56 @@ def text_decontamination(spark, sf_dir):
     fixed-size benchmark split, with overlap counts and contaminated
     fraction."""
     from .. import functions as CF
+    from ..tables import spread_small
 
     docs = table(spark, sf_dir, 'documents')
     bench = _bench_ids(docs)
-    g = docs.select(
-        'doc_id',
-        F.explode(CF.shingles('text', 5)).alias('gram'),
-    ).select('doc_id', F.md5('gram').alias('gh'))
-    bm = g.join(F.broadcast(bench), 'doc_id').select(
-        F.col('doc_id').alias('b_doc'), 'gh'
+    # r11 optimization (guide §1.2 step 1 / §2.4): the old shape built the
+    # exploded full-corpus gram stream `g` once and referenced it three
+    # times (bench grams, per-doc gram counts, hit counts) — THREE complete
+    # shingle-explode + md5 passes over every document, each fused into the
+    # single-task scan the one-row-group driver file yields (measured
+    # 17.9s at sf0.1, the slowest query in the repo). Restructured:
+    # - the bench-side doc filter moves BELOW the explode, so the bm
+    #   branch shingles only the 256 benchmark docs instead of the corpus;
+    # - per-doc gram counts become a count window over the exploded
+    #   stream (identical to the old COUNT(*) re-aggregation), so the
+    #   `sizes` pass and its re-join vanish; the window reuses the
+    #   spread's doc_id clustering — no extra exchange;
+    # - the one remaining corpus gram pass is spread_small'd so the
+    #   explode+md5 run core-wide on few-file layouts (no-op elsewhere).
+    # NOTE the explode takes the shingle EXPRESSION inline: materializing
+    # the array through a named projection first and exploding the column
+    # measured 16x slower (33.9s vs 2.0s for the bare pass at sf0.1) —
+    # keep Generate's input an expression.
+    # Oracle unchanged; results verified exact at sf0.001/0.01/0.1.
+    sh = CF.shingles('text', 5)
+    bm = (
+        docs.join(F.broadcast(bench), 'doc_id')
+        .select(F.col('doc_id').alias('b_doc'), F.explode(sh).alias('gram'))
+        .select('b_doc', F.md5('gram').alias('gh'))
     )
-    cp = g.join(F.broadcast(bench), 'doc_id', 'left_anti').select('doc_id', 'gh')
-    sizes = cp.groupBy('doc_id').agg(F.count(F.lit(1)).alias('n_grams'))
+    corp = spread_small(
+        docs.join(F.broadcast(bench), 'doc_id', 'left_anti'), 'doc_id'
+    )
+    cp = (
+        corp.select('doc_id', F.explode(sh).alias('gram'))
+        .select('doc_id', F.md5('gram').alias('gh'))
+        .withColumn(
+            'n_grams',
+            F.count(F.lit(1)).over(Window.partitionBy('doc_id')),
+        )
+    )
     hits = (
         cp.join(F.broadcast(bm), 'gh')
         .groupBy('doc_id')
         .agg(
             F.countDistinct('gh').alias('n_shared'),
             F.countDistinct('b_doc').alias('n_bench_docs'),
+            F.max('n_grams').alias('n_grams'),
         )
     )
-    return hits.join(sizes, 'doc_id').select(
+    return hits.select(
         'doc_id',
         'n_grams',
         'n_shared',
