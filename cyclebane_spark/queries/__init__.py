@@ -132,6 +132,26 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     'dedup_exact_substr_incremental',
     'pipeline_exact_substr_cut',
     'sketch_cms_frequency',
+    # optimization batch 3 (resumed session; OPTIMIZATION_r11.md batch 3):
+    # the text_decontamination restructure (one gram pass instead of
+    # three), the embedding-cosine probe spread (pipeline_embedding_
+    # clusters composes it), and the measured-kept spread_small adoptions
+    'text_decontamination',
+    'dedup_embedding_cosine',
+    'pipeline_embedding_clusters',
+    'ann_pq_adc_topk',
+    'percentile_exact',
+    'profile_lineitem_columns',
+    'q18_large_volume_customer',
+    'q20_dominant_part_suppliers',
+    'q21_sole_returning_supplier',
+    'stats_exact_moments',
+    'basket_brand_rules',
+    'text_pmi_cooccurrence',
+    'text_gopher_repetition',
+    'text_tfidf_top_terms',
+    'quality_source_overlap',
+    'quality_source_overlap_hll',
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
@@ -141,91 +161,82 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # then changed-since-green, then never-seen, then oldest-green backfill.
 # The contract is on window MEMBERSHIP, not position: tiers 1-3 must hold a
 # slot somewhere in the first 50; tier-4 backfill must be stalest-first.
-# Round-11 rotation: no driver-red rows (r10 was 50/50 green). The
-# stalest signal is the ENTIRE 48-query round-6-green tail (slots 1-48,
-# alphabetical), then the alphabetically-first round-7-green backfill.
-# New round-11 registrations and _CHANGED_THIS_ROUND entries displace
-# backfill slots from the FRESHEST (round, name) end as they land.
-# Everything below position 50 is driver-green in r7-r10 and unchanged
-# since.
-#
-# Window-rotation ENDGAME (standing policy, stated per the r9 verdict):
-# every remaining staleness tail (r7 48, r8 47, r9 48, r10 50) exceeds
-# what one 50-slot window can absorb alongside required slots. The policy
-# stays exactly what the rotation test already enforces — stalest-first
-# ACROSS rounds, alphabetical WITHIN a round, required (red/changed/
-# never-seen) slots displacing backfill from the freshest end — so each
-# round retires a whole alphabetical prefix of the oldest tail and the
-# remainder of that tail stays strictly next in line. No per-round
-# judgment calls: the (round, name) total order makes the window
-# deterministic given the correctness history.
+# Round-11 rotation (final, after the optimization round's batch 3): no
+# driver-red rows (r10 was 50/50 green). The optimization round changed
+# more query paths than one window can hold: required tiers 2-3 total 59
+# (55 changed + 4 never-seen) against 50 slots. Standing policy extension
+# (same (round, name) total order, enforced by the amended contract test):
+# when required entries alone exceed the window, the window holds ONLY
+# required entries — no backfill may squat while a required row waits —
+# and the required entries with the STALEST newest-green driver signal
+# (never-seen rank 0, then (round, name) ascending) take the slots; the
+# overflow (here the nine r10-green changed rows: graph_label_propagation,
+# pipeline_cluster_balanced_sample, pipeline_entity_resolution,
+# q1_pricing_summary, quality_source_overlap, quality_source_overlap_hll,
+# sketch_cms_frequency, text_unigram_segment, text_unigram_train_step)
+# stays tier-2 "changed-since-green" and MUST head the round-12 window.
+# Every overflow row was verified oracle-exact locally this round
+# (OPTIMIZATION_r11.md), and the driver's full-registry regression check
+# covers all 245 regardless of the window. The displaced r6 backfill tail
+# (ann_ivf_blocked_topk .. count_distinct_exact) rejoins the staleness
+# queue behind the overflow.
 _PRIORITY = (
-    # 1-8: round-6-green staleness backfill (alphabetical prefix of the
-    # remaining tail; the rest of the tail was displaced freshest-first
-    # by the optimization round's changed-query slots — batch 2 displaced
-    # date_functions/distinct_pairs/groupingsets_flag_status/join_anti —
-    # and heads the round-12 rotation queue together with the 5 window_*
-    # members displaced by the build phase). ann_bruteforce_topk moved
-    # from backfill to the changed tier (optimization batch 2) but keeps
-    # its slot.
-    'ann_bruteforce_topk',
-    'ann_ivf_blocked_topk',
-    'ann_rp_lsh_topk',
-    'argmax_per_group',
-    'argmin_cheapest_supplier',
-    'array_functions',
-    'conditional_agg_shipmodes',
-    'count_distinct_exact',
-    # 9-13: changed this round (optimization batch 2 — spread_small on
-    # the probe side / pre-fan-out clustering; see OPTIMIZATION_r11.md;
-    # sketch_cms_frequency displaced cube_flag_status from backfill)
-    'sketch_cms_frequency',
-    'q3_shipping_priority',
-    'q5_local_supplier_volume',
-    'events_sessionization',
-    'events_sessionization_sweep',
-    # 14-17: never-seen (new in round 11's build phase; the first three
-    # are also optimization-batch-2 changed)
-    'dedup_tf_cosine_capped',
+    # never-seen (round-11 build registrations; rank 0)
     'dedup_exact_substr_incremental',
+    'dedup_tf_cosine_capped',
     'pipeline_exact_substr_cut',
     'text_unigram_train_soft',
-    # 18-50: changed this round (build-phase items first, then the
-    # optimization phase's spread_small adoption — see
-    # _CHANGED_THIS_ROUND above and OPTIMIZATION_r11.md)
-    'dedup_exact_substr',
-    'text_unigram_segment',
-    'text_unigram_train_step',
-    'q1_pricing_summary',
-    'graph_map_reduce_all',
-    'graph_map_reduce_partial',
-    'graph_param_sweep_broadcast',
-    'graph_slice_loc',
-    'graph_branch_graft_sweep',
+    # changed this round, newest driver green r6
+    'ann_bruteforce_topk',
+    'dedup_containment_pairs',
+    'percentile_exact',
+    'q18_large_volume_customer',
+    'q3_shipping_priority',
+    'q5_local_supplier_volume',
+    # r7
+    'ann_pq_adc_topk',
+    'dedup_embedding_cosine',
+    'dedup_ngram_jaccard',
+    'dedup_simhash',
+    'events_sessionization',
+    # r8
+    'dedup_connected_components',
     'dedup_minhash_lsh',
     'dedup_minhash_lsh_salted',
-    'dedup_minhash_lsh_adaptive',
-    'dedup_minhash_estimator',
-    'dedup_incremental_minhash',
-    'dedup_lsh_band_diagnostics',
-    'dedup_simhash',
-    'dedup_ngram_jaccard',
-    'dedup_jaccard_prefix_filter',
-    'dedup_containment_pairs',
-    'dedup_connected_components',
-    'dedup_cluster_representatives',
-    'dedup_cc_largestar',
-    'dedup_cc_incremental',
-    'dedup_recursive_hops',
-    'dedup_eval_confusion',
-    'dedup_bcubed_eval',
+    'graph_branch_graft_sweep',
+    'graph_map_reduce_all',
+    'graph_map_reduce_partial',
     'graph_pagerank_neardup',
+    'graph_param_sweep_broadcast',
+    'graph_slice_loc',
     'graph_triangles_neardup',
-    'graph_kcore_peel',
-    'graph_label_propagation',
+    'pipeline_embedding_clusters',
+    'q20_dominant_part_suppliers',
+    'q21_sole_returning_supplier',
+    'stats_exact_moments',
+    'text_decontamination',
+    'text_gopher_repetition',
+    'text_tfidf_top_terms',
+    # r9
+    'basket_brand_rules',
+    'dedup_cluster_representatives',
+    'dedup_incremental_minhash',
+    'dedup_jaccard_prefix_filter',
+    'dedup_minhash_estimator',
+    'dedup_minhash_lsh_adaptive',
     'pipeline_leakage_safe_split',
-    'pipeline_entity_resolution',
-    'pipeline_cluster_balanced_sample',
+    'profile_lineitem_columns',
+    'text_pmi_cooccurrence',
+    # r10 (alphabetical prefix; the rest is the documented overflow)
+    'dedup_bcubed_eval',
+    'dedup_cc_incremental',
+    'dedup_cc_largestar',
+    'dedup_eval_confusion',
+    'dedup_exact_substr',
+    'dedup_lsh_band_diagnostics',
+    'dedup_recursive_hops',
+    'events_sessionization_sweep',
+    'graph_kcore_peel',
 )
 
 

@@ -739,13 +739,29 @@ def dedup_embedding_cosine(spark, sf_dir):
     of coarse cells). Dot products fold doubles sequentially in both engines.
     """
     emb = table(spark, sf_dir, 'embeddings')
-    n = emb.select(
-        'vec_id',
-        'label',
-        'embedding',
-        F.sqrt(_spark_dot(F.col('embedding'), F.col('embedding'))).alias('nrm'),
-    )
-    a, b = n.alias('a'), n.alias('b')
+
+    def normed(df):
+        return df.select(
+            'vec_id',
+            'label',
+            'embedding',
+            F.sqrt(
+                _spark_dot(F.col('embedding'), F.col('embedding'))
+            ).alias('nrm'),
+        )
+
+    # r11 optimization: the label-block join plans as a broadcast hash join
+    # whose probe side is the bare scan, and the cosine (an interpreted
+    # 64-element zip_with/aggregate fold) sits in the JOIN CONDITION — so
+    # every within-label pair's dot product ran inside the one scan task a
+    # single-row-group file yields (measured 3.6s at sf0.1, ~200k pairs).
+    # Spreading the probe side moves the pair fan-out + fold onto every
+    # core; the build side stays un-spread so its broadcast needs no
+    # shuffle, and on multi-split production layouts the spread is a no-op
+    # (there the planner also outgrows the broadcast and falls back to a
+    # shuffle join on label — unchanged). Results are join-order
+    # independent; verified oracle-exact at sf0.001/0.01/0.1.
+    a, b = normed(spread_small(emb, 'vec_id')).alias('a'), normed(emb).alias('b')
     cos = _spark_dot(F.col('a.embedding'), F.col('b.embedding')) / (
         F.col('a.nrm') * F.col('b.nrm')
     )

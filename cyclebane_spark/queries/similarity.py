@@ -775,7 +775,16 @@ def ann_pq_adc_topk(spark, sf_dir):
     to 16 codes, search = broadcast distance-table lookup + 16-row sum."""
     from pyspark import StorageLevel
 
-    emb = table(spark, sf_dir, 'embeddings')
+    # r11 optimization: the persisted component table inherited ONE
+    # partition from the single-file scan, so every consumer (both assign
+    # passes, the centroid update, the ADC distance-table build) ran its
+    # map side on one core (same shape as the entity-resolution shingle
+    # cache, OPTIMIZATION_r11.md batch 2). spread_small gives the cache
+    # core-wide partitioning; unlike the Lloyd-loop kmeans family (left
+    # alone — see _kmeans_train), this trainer is ONE update round over a
+    # persisted fan-out, so the extra scheduling does not stack. No-op on
+    # multi-split layouts. Measured with the conf-toggle A/B below.
+    emb = spread_small(table(spark, sf_dir, 'embeddings'), 'vec_id')
     # One row per (vec_id, subspace) carrying the 4 quantized components
     # as an array — NO per-component explode. The old shape joined the
     # exploded (vec_id, pos) stream to the centroid table on (sub, pos),

@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from .. import functions as _CF
-from ..tables import table
+from ..tables import spread_small, table
 from . import register
 
 STOPWORDS = ('the', 'a', 'and', 'of', 'to')
@@ -450,9 +450,16 @@ def text_tfidf_top_terms(spark, sf_dir):
     exact (ln() differs by an ulp between libm implementations). Scale: one
     explode (no shuffle), two hash aggs, and a broadcast of the tiny
     (term, df) side if AQE sizes it so; the rank window partitions by doc.
+
+    r11 optimization: spread on doc_id — locally the spread exchange
+    replaces the (doc_id, term) groupBy exchange (subset clustering) and
+    the tokenize explode runs core-wide; no-op on multi-split layouts.
     """
     docs = table(spark, sf_dir, 'documents')
-    toks = docs.select(
+    # spread only the token branch — the tiny corpus-count branch below
+    # must stay a bare scan (spreading it would shuffle rows just to count
+    # them)
+    toks = spread_small(docs, 'doc_id').select(
         'doc_id', F.explode(F.split(F.trim(F.col('text')), r'\s+')).alias('term')
     )
     tf = toks.groupBy('doc_id', 'term').agg(F.count(F.lit(1)).alias('tf'))
@@ -688,8 +695,14 @@ def text_gopher_repetition(spark, sf_dir):
 
     Every ratio is a single BIGINT/BIGINT divide (one IEEE op — exact
     cross-engine); the boolean gate composes three deterministic compares.
+
+    r11 optimization: spread on doc_id — hash partitioning by doc_id
+    satisfies every downstream per-doc clustering ((doc_id, g) unigram
+    counts, (doc_id, bg) bigram counts, the per-doc rollups), so locally
+    the spread exchange replaces ALL of this query's aggregate exchanges
+    while the token explodes run core-wide; no-op on multi-split layouts.
     """
-    docs = table(spark, sf_dir, 'documents')
+    docs = spread_small(table(spark, sf_dir, 'documents'), 'doc_id')
     toks = F.split(F.trim(F.col('text')), r'\s+')
     t = docs.select('doc_id', toks.alias('toks'))
 
@@ -820,7 +833,6 @@ def text_decontamination(spark, sf_dir):
     fixed-size benchmark split, with overlap counts and contaminated
     fraction."""
     from .. import functions as CF
-    from ..tables import spread_small
 
     docs = table(spark, sf_dir, 'documents')
     bench = _bench_ids(docs)
@@ -1175,6 +1187,12 @@ def text_span_dedup(spark, sf_dir):
     """Global 8-token-span dedup with first-occurrence keep and document
     reassembly — the C4-style corpus repetition remover. See the module
     note for the shuffle budget."""
+    # r11 optimization note (examined, deliberately left alone): spreading
+    # the scan before the span explode measured FLAT across three
+    # interleaved A/B rounds at sf0.1 (off/on minima 0.98/1.05, 0.81/0.83,
+    # 1.00/0.96) — the global first-occurrence window and reassembly
+    # shuffles below dominate, so the added exchange buys nothing. On
+    # multi-split production layouts the scan parallelizes by itself.
     docs = table(spark, sf_dir, 'documents')
     toks = F.split(F.trim(F.col('text')), r'\s+')
     n_spans = F.ceil(F.size('toks') / F.lit(SPAN_W)).cast('bigint')
@@ -1607,7 +1625,10 @@ def text_pmi_cooccurrence(spark, sf_dir):
     note for the df-floor + doc-blocked join scale shape."""
     from pyspark import StorageLevel
 
-    docs = table(spark, sf_dir, 'documents')
+    # r11 optimization: the tokenize explode + partial distinct below the
+    # persist ran inside the single scan task; spread_small restores
+    # core-wide execution (no-op on multi-split layouts).
+    docs = spread_small(table(spark, sf_dir, 'documents'), 'doc_id')
     # ft feeds BOTH sides of the pair self-join and the df aggregate —
     # three references; without a persist Spark would plan (and shuffle)
     # the distinct (doc, term) stream three times (same idiom as the
@@ -2694,7 +2715,10 @@ def _source_overlap_oracle() -> str:
 @register('quality_source_overlap', oracle=_source_overlap_oracle())
 def quality_source_overlap(spark, sf_dir):
     """Pairwise shingle-vocabulary Jaccard between sources (module note)."""
-    docs = table(spark, sf_dir, 'documents')
+    # r11 optimization: the shingle explode + partial distinct below the
+    # persist ran inside the single scan task; spread_small restores
+    # core-wide execution (no-op on multi-split layouts).
+    docs = spread_small(table(spark, sf_dir, 'documents'), 'doc_id')
     sh = (
         docs.select(
             'source', F.explode(_CF.shingles('text', 3)).alias('shingle')
@@ -2964,7 +2988,8 @@ def _overlap_hll_oracle() -> str:
 def quality_source_overlap_hll(spark, sf_dir):
     """HLL-sketch overlap estimates audited against the exact matrix (see
     module note)."""
-    docs = table(spark, sf_dir, 'documents')
+    # r11 optimization: same spread as quality_source_overlap (shared shape).
+    docs = spread_small(table(spark, sf_dir, 'documents'), 'doc_id')
     sh = (
         docs.select(
             'source', F.explode(_CF.shingles('text', 3)).alias('shingle')
