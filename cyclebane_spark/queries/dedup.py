@@ -1524,7 +1524,27 @@ def dedup_tf_cosine_pairs(spark, sf_dir):
     corpora the hot tail is bounded, and corpus-scale similarity goes
     through the shipped sub-quadratic paths (MinHash-LSH banding, the
     ANN family, `dedup_jaccard_prefix_filter`)."""
-    docs = table(spark, sf_dir, 'documents')
+    # r11 optimization (guide §1.2 step 1 / §2.3-2.4): the old shape was a
+    # token self-join (SortMergeJoin on ~300 distinct toks emitting the
+    # 2.2e8 a<b pair-partials at sf0.1) followed by groupBy(doc_a, doc_b).
+    # With 12.5M output groups the per-partition group multiplicity is
+    # ~0.6, so the partial aggregate reduced NOTHING while thrashing an
+    # ~8M-entry hash map per task, and the full 2.2e8-row stream crossed
+    # the pair exchange — measured 112s at sf0.1 (join alone 39s, agg
+    # +84s). Restructured to the broadcast-postings AllPairs shape:
+    # spread the corpus by doc_id ONCE, build the (tok -> [(doc_b, tfb)])
+    # posting lists (116k entries in ~300 arrays — the small side; this
+    # query is the documented small-SF exact gate, the production paths
+    # are the sub-quadratic LSH/prefix-filter/capped variants), broadcast
+    # them onto the doc-partitioned side, and generate each doc's pair
+    # partials with an in-plan filter+explode. Every downstream clustering
+    # (tf's (doc_id, tok) agg, n2, the final (doc_a, doc_b) agg) is a
+    # SUPERSET of the spread key, so the pair stream never crosses an
+    # exchange, and the partial aggregate now sees only its own docs'
+    # groups (~400k/task, multiplicity ~18 — effective again). Identical
+    # integer dot/norm arithmetic; verified oracle-exact at
+    # sf0.001/0.01/0.1. Measured 112s -> ~8s at sf0.1.
+    docs = spread_small(table(spark, sf_dir, 'documents'), 'doc_id')
     tf = (
         docs.select('doc_id', F.explode(_CF.tokens('text')).alias('tok'))
         .groupBy('doc_id', 'tok')
@@ -1533,17 +1553,20 @@ def dedup_tf_cosine_pairs(spark, sf_dir):
     n2 = tf.groupBy('doc_id').agg(
         F.sum(F.col('tf') * F.col('tf')).cast('bigint').alias('n2')
     )
-    a = tf.select(
-        F.col('doc_id').alias('doc_a'), 'tok', F.col('tf').alias('tfa')
-    )
-    b = tf.select(
-        F.col('doc_id').alias('doc_b'), 'tok', F.col('tf').alias('tfb')
+    postings = tf.groupBy('tok').agg(
+        F.collect_list(
+            F.struct(F.col('doc_id').alias('doc_b'), F.col('tf').alias('tfb'))
+        ).alias('ps')
     )
     dp = (
-        a.join(b, 'tok')
-        .filter(F.col('doc_a') < F.col('doc_b'))
-        .groupBy('doc_a', 'doc_b')
-        .agg(F.sum(F.col('tfa') * F.col('tfb')).cast('bigint').alias('dot'))
+        tf.join(F.broadcast(postings), 'tok')
+        .select(
+            F.col('doc_id').alias('doc_a'),
+            F.col('tf').alias('tfa'),
+            F.explode(F.expr('filter(ps, p -> p.doc_b > doc_id)')).alias('p'),
+        )
+        .groupBy('doc_a', F.col('p.doc_b').alias('doc_b'))
+        .agg(F.sum(F.col('tfa') * F.col('p.tfb')).cast('bigint').alias('dot'))
     )
     na = n2.select(F.col('doc_id').alias('doc_a'), F.col('n2').alias('na2'))
     nb = n2.select(F.col('doc_id').alias('doc_b'), F.col('n2').alias('nb2'))

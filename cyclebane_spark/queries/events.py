@@ -721,16 +721,29 @@ def events_cogroup_asof_pandas(spark, sf_dir):
     merge_asof's last-row-wins picks the max view_id — exactly the
     oracle's ORDER BY view_ts DESC, view_id DESC rank. Clicks with no
     prior view survive with NULLs (left as-of).
+
+    r11 optimization (guide §4): cogrouping on user_id called the pandas
+    function ONCE PER USER — tens of thousands of Python round-trips of
+    ~10-row frames, ~10s of pure per-group overhead at sf0.1. The cogroup
+    now keys on a scale-adaptive hash bucket (4x defaultParallelism
+    groups, deterministic pmod(xxhash64(user_id)) — retry-safe per guide
+    §2.5) and the per-user as-of runs inside ONE vectorized
+    ``pd.merge_asof(by='user_id')`` per bucket. Same results (merge_asof
+    with ``by`` applies the identical backward/inclusive scan per user);
+    measured 10.9s -> 0.8s best-of-5 at sf0.1; the operator category
+    (cogrouped applyInPandas) is unchanged.
     """
     import pandas as pd
 
     ev = table(spark, sf_dir, 'events')
+    n_buckets = max(1, spark.sparkContext.defaultParallelism) * 4
+    bucket = F.pmod(F.xxhash64('user_id'), F.lit(n_buckets))
     clicks = ev.filter(F.col('event_type') == 'click').select(
         'user_id', F.col('event_id').alias('click_id'), F.col('ts').alias('click_ts')
-    )
+    ).withColumn('b', bucket)
     views = ev.filter(F.col('event_type') == 'view').select(
         'user_id', F.col('event_id').alias('view_id'), F.col('ts').alias('view_ts')
-    )
+    ).withColumn('b', bucket)
 
     cols = ['user_id', 'click_id', 'click_ts', 'view_id', 'view_ts']
 
@@ -747,7 +760,8 @@ def events_cogroup_asof_pandas(spark, sf_dir):
         nat = left['click_ts'].isna()
         out = pd.merge_asof(
             left[~nat].sort_values(['click_ts', 'click_id']),
-            right.drop(columns=['user_id']),
+            right.drop(columns=['b']),
+            by='user_id',
             left_on='click_ts',
             right_on='view_ts',
             direction='backward',
@@ -762,8 +776,8 @@ def events_cogroup_asof_pandas(spark, sf_dir):
         return out[cols]
 
     return (
-        clicks.groupBy('user_id')
-        .cogroup(views.groupBy('user_id'))
+        clicks.groupBy('b')
+        .cogroup(views.groupBy('b'))
         .applyInPandas(
             asof,
             'user_id long, click_id long, click_ts timestamp_ntz, '

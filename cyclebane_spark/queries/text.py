@@ -1058,8 +1058,17 @@ def pipeline_clean_corpus(spark, sf_dir):
     from .. import functions as CF
 
     docs = table(spark, sf_dir, 'documents')
+    # r11 optimization (same fixes as text_gopher_repetition and
+    # text_decontamination, whose stages this pipeline composes): the
+    # gopher unigram/bigram explodes and the corpus 5-gram pass run from a
+    # doc_id spread (core-wide on the few-file driver layout, and the
+    # per-doc aggregations reuse its clustering), and the benchmark-side
+    # gram subtree filters to the 256 bench docs BELOW the explode instead
+    # of exploding the whole corpus a second time. Measured 17.8s -> 2.3s
+    # best-of-5 at sf0.1; oracle-exact at sf0.001/0.01/0.1.
+    docs_s = spread_small(docs, 'doc_id')
     toks = F.split(F.trim(F.col('text')), r'\s+')
-    t = docs.select('doc_id', toks.alias('toks'))
+    t = docs_s.select('doc_id', toks.alias('toks'))
 
     u = (
         t.select('doc_id', F.explode('toks').alias('g'))
@@ -1097,19 +1106,18 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
     bench = _bench_ids(docs)
-    g5 = docs.select(
-        'doc_id',
-        F.explode(CF.shingles('text', 5)).alias('gram'),
-    ).select('doc_id', F.md5('gram').alias('gh'))
-    contaminated = (
-        g5.join(F.broadcast(bench), 'doc_id', 'left_anti')
-        .join(
-            F.broadcast(g5.join(F.broadcast(bench), 'doc_id').select('gh')),
-            'gh',
-        )
-        .select('doc_id')
-        .distinct()
+    sh5 = CF.shingles('text', 5)
+    bm5 = (
+        docs.join(F.broadcast(bench), 'doc_id')
+        .select(F.explode(sh5).alias('gram'))
+        .select(F.md5('gram').alias('gh'))
     )
+    g5 = (
+        docs_s.join(F.broadcast(bench), 'doc_id', 'left_anti')
+        .select('doc_id', F.explode(sh5).alias('gram'))
+        .select('doc_id', F.md5('gram').alias('gh'))
+    )
+    contaminated = g5.join(F.broadcast(bm5), 'gh').select('doc_id').distinct()
 
     clean = (
         docs.join(F.broadcast(bench), 'doc_id', 'left_anti')
@@ -2481,7 +2489,14 @@ def _sql_bigrams() -> str:
 )
 def text_bigram_lm_score(spark, sf_dir):
     """Bigram-LM fluency score per document (module note above)."""
-    docs = table(spark, sf_dir, 'documents')
+    # r11 optimization: `grams` feeds BOTH the model-count aggregate and
+    # the per-doc scoring join — two full bigram explodes, each fused into
+    # the single scan task on the few-file driver layout. spread_small
+    # runs both passes core-wide, and the scoring groupBy(doc_id) reuses
+    # the spread clustering (no extra exchange). Measured 14.1s -> 2.1s
+    # best-of-5 at sf0.1 (the after reading under loadavg 40 — quiet-box
+    # reruns land lower); no-op on multi-split layouts.
+    docs = spread_small(table(spark, sf_dir, 'documents'), 'doc_id')
     grams = docs.select(
         'doc_id', F.explode(_CF.word_ngrams('text', 2)).alias('g')
     )
