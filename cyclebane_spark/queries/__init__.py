@@ -66,92 +66,37 @@ _MODULES = (
 # < _WINDOW_ROUND only, so the driver committing round N's results can
 # never redden a window that was (correctly) built before they existed.
 # Bump this together with every rotation.
-_WINDOW_ROUND = 11
+_WINDOW_ROUND = 12
 
-# Queries whose CODE PATH changed this round (including via shared-helper
-# edits). The rotation contract (tests/test_priority_window.py) requires
-# every one of these to hold a window slot, after any driver-red rows.
-# Round 11 build phase (VERDICT r10 #2/#4): dedup_exact_substr gained the
-# Lee et al. hot-gram anchor cap; text_unigram_segment /
-# text_unigram_train_step took shared-helper edits for the soft trainer —
-# all value-identical, flagged per the bright-line rule.
-# Round 11 OPTIMIZATION phase: spread()/spread_small became
-# scale-ADAPTIVE (tables.spread_small — repartitions only small few-file
-# inputs, untouched plan otherwise) and q1 + the graph lineitem loader
-# gained the parallelism-restoring spread; every query whose plan flows
-# through those helpers is flagged below (results re-verified
-# oracle-exact; see OPTIMIZATION_r11.md).
+# Queries whose CODE PATH changed since their last driver-green row
+# (including via shared-helper edits). The rotation contract
+# (tests/test_priority_window.py) requires every one of these to hold a
+# window slot, after any driver-red rows.
+# Round 12 carries forward two r11 groups the driver has not verified yet
+# (VERDICT r11 "Next round #1"):
+# - the nine r10-green rows that overflowed r11's all-required window
+#   (changed by the r11 optimization, verified locally, never sampled);
+# - the four query paths changed in the r11 end-of-round snapshot commit
+#   (518bbbd) WITHOUT a window flag — dedup_tf_cosine_pairs,
+#   events_cogroup_asof_pandas, pipeline_clean_corpus,
+#   text_bigram_lm_score. All four verified oracle-exact locally at
+#   sf0.001/0.01/0.1 again this round (OPTIMIZATION_r12.md).
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # build-phase changes (r10 verdict items)
-    'dedup_exact_substr',
-    'text_unigram_segment',
-    'text_unigram_train_step',
-    # optimization: direct spread_small call
-    'q1_pricing_summary',
-    # optimization: via graph_algebra._lineitem_with_id
-    'graph_map_reduce_all',
-    'graph_map_reduce_partial',
-    'graph_param_sweep_broadcast',
-    'graph_slice_loc',
-    'graph_branch_graft_sweep',
-    # optimization: via dedup.spread (now adaptive) — direct users and
-    # everything through _minhash_docs/_minhash_pairs
-    'dedup_minhash_lsh',
-    'dedup_minhash_lsh_salted',
-    'dedup_minhash_lsh_adaptive',
-    'dedup_minhash_estimator',
-    'dedup_incremental_minhash',
-    'dedup_lsh_band_diagnostics',
-    'dedup_simhash',
-    'dedup_ngram_jaccard',
-    'dedup_jaccard_prefix_filter',
-    'dedup_containment_pairs',
-    'dedup_connected_components',
-    'dedup_cluster_representatives',
-    'dedup_cc_largestar',
-    'dedup_cc_incremental',
-    'dedup_recursive_hops',
-    'dedup_eval_confusion',
-    'dedup_bcubed_eval',
-    'graph_pagerank_neardup',
-    'graph_triangles_neardup',
-    'graph_kcore_peel',
+    # r11 overflow (changed r11, newest driver green r10)
     'graph_label_propagation',
-    'pipeline_leakage_safe_split',
-    'pipeline_entity_resolution',
     'pipeline_cluster_balanced_sample',
-    # optimization batch 2: direct spread_small / spread_cluster adoption
-    # (OPTIMIZATION_r11.md batch 2; the three _exsub/_cos_capped consumers
-    # and pipeline_entity_resolution already hold slots above/below)
-    'q3_shipping_priority',
-    'q5_local_supplier_volume',
-    'events_sessionization',
-    'events_sessionization_sweep',
-    'ann_bruteforce_topk',
-    'dedup_tf_cosine_capped',
-    'dedup_exact_substr_incremental',
-    'pipeline_exact_substr_cut',
-    'sketch_cms_frequency',
-    # optimization batch 3 (resumed session; OPTIMIZATION_r11.md batch 3):
-    # the text_decontamination restructure (one gram pass instead of
-    # three), the embedding-cosine probe spread (pipeline_embedding_
-    # clusters composes it), and the measured-kept spread_small adoptions
-    'text_decontamination',
-    'dedup_embedding_cosine',
-    'pipeline_embedding_clusters',
-    'ann_pq_adc_topk',
-    'percentile_exact',
-    'profile_lineitem_columns',
-    'q18_large_volume_customer',
-    'q20_dominant_part_suppliers',
-    'q21_sole_returning_supplier',
-    'stats_exact_moments',
-    'basket_brand_rules',
-    'text_pmi_cooccurrence',
-    'text_gopher_repetition',
-    'text_tfidf_top_terms',
+    'pipeline_entity_resolution',
+    'q1_pricing_summary',
     'quality_source_overlap',
     'quality_source_overlap_hll',
+    'sketch_cms_frequency',
+    'text_unigram_segment',
+    'text_unigram_train_step',
+    # r11 snapshot-commit changes, unflagged until now (VERDICT r11 #1)
+    'dedup_tf_cosine_pairs',
+    'events_cogroup_asof_pandas',
+    'pipeline_clean_corpus',
+    'text_bigram_lm_score',
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
@@ -161,82 +106,69 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # then changed-since-green, then never-seen, then oldest-green backfill.
 # The contract is on window MEMBERSHIP, not position: tiers 1-3 must hold a
 # slot somewhere in the first 50; tier-4 backfill must be stalest-first.
-# Round-11 rotation (final, after the optimization round's batch 3): no
-# driver-red rows (r10 was 50/50 green). The optimization round changed
-# more query paths than one window can hold: required tiers 2-3 total 59
-# (55 changed + 4 never-seen) against 50 slots. Standing policy extension
-# (same (round, name) total order, enforced by the amended contract test):
-# when required entries alone exceed the window, the window holds ONLY
-# required entries — no backfill may squat while a required row waits —
-# and the required entries with the STALEST newest-green driver signal
-# (never-seen rank 0, then (round, name) ascending) take the slots; the
-# overflow (here the nine r10-green changed rows: graph_label_propagation,
-# pipeline_cluster_balanced_sample, pipeline_entity_resolution,
-# q1_pricing_summary, quality_source_overlap, quality_source_overlap_hll,
-# sketch_cms_frequency, text_unigram_segment, text_unigram_train_step)
-# stays tier-2 "changed-since-green" and MUST head the round-12 window.
-# Every overflow row was verified oracle-exact locally this round
-# (OPTIMIZATION_r11.md), and the driver's full-registry regression check
-# covers all 245 regardless of the window. The displaced r6 backfill tail
-# (ann_ivf_blocked_topk .. count_distinct_exact) rejoins the staleness
-# queue behind the overflow.
+# Round-12 rotation: no driver-red rows (r11 was 50/50 green), no
+# never-seen registrations (every name has been sampled by r11). Required
+# tier 2 = the 13 _CHANGED_THIS_ROUND rows (the r11 overflow nine + the
+# four unflagged snapshot-commit changes — VERDICT r11 #1), which head
+# the window stalest-first; the remaining 37 slots backfill the stalest
+# driver-green signal, the alphabetical prefix of the 42-row r6 cohort.
+# Regenerate with tools/rotate_window.py after any change to
+# _CHANGED_THIS_ROUND.
 _PRIORITY = (
-    # never-seen (round-11 build registrations; rank 0)
-    'dedup_exact_substr_incremental',
-    'dedup_tf_cosine_capped',
-    'pipeline_exact_substr_cut',
-    'text_unigram_train_soft',
-    # changed this round, newest driver green r6
-    'ann_bruteforce_topk',
-    'dedup_containment_pairs',
-    'percentile_exact',
-    'q18_large_volume_customer',
-    'q3_shipping_priority',
-    'q5_local_supplier_volume',
-    # r7
-    'ann_pq_adc_topk',
-    'dedup_embedding_cosine',
-    'dedup_ngram_jaccard',
-    'dedup_simhash',
-    'events_sessionization',
-    # r8
-    'dedup_connected_components',
-    'dedup_minhash_lsh',
-    'dedup_minhash_lsh_salted',
-    'graph_branch_graft_sweep',
-    'graph_map_reduce_all',
-    'graph_map_reduce_partial',
-    'graph_pagerank_neardup',
-    'graph_param_sweep_broadcast',
-    'graph_slice_loc',
-    'graph_triangles_neardup',
-    'pipeline_embedding_clusters',
-    'q20_dominant_part_suppliers',
-    'q21_sole_returning_supplier',
-    'stats_exact_moments',
-    'text_decontamination',
-    'text_gopher_repetition',
-    'text_tfidf_top_terms',
+    # changed since green, newest driver green r8
+    'pipeline_clean_corpus',
     # r9
-    'basket_brand_rules',
-    'dedup_cluster_representatives',
-    'dedup_incremental_minhash',
-    'dedup_jaccard_prefix_filter',
-    'dedup_minhash_estimator',
-    'dedup_minhash_lsh_adaptive',
-    'pipeline_leakage_safe_split',
-    'profile_lineitem_columns',
-    'text_pmi_cooccurrence',
-    # r10 (alphabetical prefix; the rest is the documented overflow)
-    'dedup_bcubed_eval',
-    'dedup_cc_incremental',
-    'dedup_cc_largestar',
-    'dedup_eval_confusion',
-    'dedup_exact_substr',
-    'dedup_lsh_band_diagnostics',
-    'dedup_recursive_hops',
-    'events_sessionization_sweep',
-    'graph_kcore_peel',
+    'events_cogroup_asof_pandas',
+    # r10
+    'dedup_tf_cosine_pairs',
+    'graph_label_propagation',
+    'pipeline_cluster_balanced_sample',
+    'pipeline_entity_resolution',
+    'q1_pricing_summary',
+    'quality_source_overlap',
+    'quality_source_overlap_hll',
+    'sketch_cms_frequency',
+    'text_bigram_lm_score',
+    'text_unigram_segment',
+    'text_unigram_train_step',
+    # stalest-green backfill (r6 cohort, alphabetical prefix)
+    'ann_ivf_blocked_topk',
+    'ann_rp_lsh_topk',
+    'argmax_per_group',
+    'argmin_cheapest_supplier',
+    'array_functions',
+    'conditional_agg_shipmodes',
+    'count_distinct_exact',
+    'cube_flag_status',
+    'date_functions',
+    'distinct_pairs',
+    'groupingsets_flag_status',
+    'join_anti',
+    'join_range_band',
+    'join_semi',
+    'map_functions',
+    'promo_revenue_ratio',
+    'q13_customer_distribution',
+    'q19_disjunctive_predicates',
+    'q22_idle_rich_customers',
+    'q6_forecast_revenue',
+    'q7_volume_shipping',
+    'q8_market_share',
+    'q9_product_type_profit',
+    'rollup_order_priority',
+    'sample_hash_based',
+    'sample_stratified',
+    'scalar_functions',
+    'setop_union_intersect',
+    'skew_salted_agg',
+    'sql_interface_portable',
+    'sql_interface_q10',
+    'subquery_correlated_avg',
+    'subquery_exists_priority',
+    'subquery_scalar_avg',
+    'topk_orders',
+    'unpivot_lineitem_measures',
+    'window_analytics_suite',
 )
 
 

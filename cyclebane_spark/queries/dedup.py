@@ -1533,18 +1533,28 @@ def dedup_tf_cosine_pairs(spark, sf_dir):
     # the pair exchange — measured 112s at sf0.1 (join alone 39s, agg
     # +84s). Restructured to the broadcast-postings AllPairs shape:
     # spread the corpus by doc_id ONCE, build the (tok -> [(doc_b, tfb)])
-    # posting lists (116k entries in ~300 arrays — the small side; this
-    # query is the documented small-SF exact gate, the production paths
-    # are the sub-quadratic LSH/prefix-filter/capped variants), broadcast
-    # them onto the doc-partitioned side, and generate each doc's pair
-    # partials with an in-plan filter+explode. Every downstream clustering
-    # (tf's (doc_id, tok) agg, n2, the final (doc_a, doc_b) agg) is a
-    # SUPERSET of the spread key, so the pair stream never crosses an
-    # exchange, and the partial aggregate now sees only its own docs'
-    # groups (~400k/task, multiplicity ~18 — effective again). Identical
-    # integer dot/norm arithmetic; verified oracle-exact at
+    # posting lists (116k entries in ~300 arrays — the small side),
+    # broadcast them onto the doc-partitioned side, and generate each
+    # doc's pair partials with an in-plan filter+explode. Every downstream
+    # clustering (tf's (doc_id, tok) agg, n2, the final (doc_a, doc_b)
+    # agg) is a SUPERSET of the spread key, so the pair stream never
+    # crosses an exchange, and the partial aggregate now sees only its own
+    # docs' groups (~400k/task, multiplicity ~18 — effective again).
+    # Identical integer dot/norm arithmetic; verified oracle-exact at
     # sf0.001/0.01/0.1. Measured 112s -> ~8s at sf0.1.
-    docs = spread_small(table(spark, sf_dir, 'documents'), 'doc_id')
+    #
+    # r12 guard (VERDICT r11 #2): the postings relation is O(total token
+    # occurrences) — corpus-sized, NOT bounded like a dim table — so an
+    # unconditional F.broadcast would turn "slow at scale" into "driver
+    # OOM at scale". Gate the broadcast shape on the same small-local-
+    # few-file predicate as spread_small (spread_small returns the input
+    # UNCHANGED exactly when the layout is not provably small): big or
+    # remote layouts take the original sort-merge AllPairs join, which
+    # degrades gracefully. Same integer arithmetic on both branches; both
+    # shapes verified oracle-exact at sf0.001/0.01/0.1.
+    base = table(spark, sf_dir, 'documents')
+    docs = spread_small(base, 'doc_id')
+    small_local = docs is not base
     tf = (
         docs.select('doc_id', F.explode(_CF.tokens('text')).alias('tok'))
         .groupBy('doc_id', 'tok')
@@ -1553,21 +1563,41 @@ def dedup_tf_cosine_pairs(spark, sf_dir):
     n2 = tf.groupBy('doc_id').agg(
         F.sum(F.col('tf') * F.col('tf')).cast('bigint').alias('n2')
     )
-    postings = tf.groupBy('tok').agg(
-        F.collect_list(
-            F.struct(F.col('doc_id').alias('doc_b'), F.col('tf').alias('tfb'))
-        ).alias('ps')
-    )
-    dp = (
-        tf.join(F.broadcast(postings), 'tok')
-        .select(
-            F.col('doc_id').alias('doc_a'),
-            F.col('tf').alias('tfa'),
-            F.explode(F.expr('filter(ps, p -> p.doc_b > doc_id)')).alias('p'),
+    if small_local:
+        postings = tf.groupBy('tok').agg(
+            F.collect_list(
+                F.struct(
+                    F.col('doc_id').alias('doc_b'), F.col('tf').alias('tfb')
+                )
+            ).alias('ps')
         )
-        .groupBy('doc_a', F.col('p.doc_b').alias('doc_b'))
-        .agg(F.sum(F.col('tfa') * F.col('p.tfb')).cast('bigint').alias('dot'))
-    )
+        dp = (
+            tf.join(F.broadcast(postings), 'tok')
+            .select(
+                F.col('doc_id').alias('doc_a'),
+                F.col('tf').alias('tfa'),
+                F.explode(
+                    F.expr('filter(ps, p -> p.doc_b > doc_id)')
+                ).alias('p'),
+            )
+            .groupBy('doc_a', F.col('p.doc_b').alias('doc_b'))
+            .agg(
+                F.sum(F.col('tfa') * F.col('p.tfb')).cast('bigint').alias('dot')
+            )
+        )
+    else:
+        a = tf.select(
+            F.col('doc_id').alias('doc_a'), 'tok', F.col('tf').alias('tfa')
+        )
+        b = tf.select(
+            F.col('doc_id').alias('doc_b'), 'tok', F.col('tf').alias('tfb')
+        )
+        dp = (
+            a.join(b, 'tok')
+            .filter(F.col('doc_a') < F.col('doc_b'))
+            .groupBy('doc_a', 'doc_b')
+            .agg(F.sum(F.col('tfa') * F.col('tfb')).cast('bigint').alias('dot'))
+        )
     na = n2.select(F.col('doc_id').alias('doc_a'), F.col('n2').alias('na2'))
     nb = n2.select(F.col('doc_id').alias('doc_b'), F.col('n2').alias('nb2'))
     return (

@@ -1267,3 +1267,39 @@ def test_q3_q5_probe_spread_keeps_pushdown(spark):
     plan = plan_of(spark, 'q5_local_supplier_volume')
     assert 'GreaterThanOrEqual(o_orderdate' in plan, plan
     assert 'LessThan(o_orderdate' in plan, plan
+
+
+def test_tf_cosine_pairs_broadcast_guarded_by_layout(spark):
+    """dedup_tf_cosine_pairs (r12, VERDICT r11 #2): the broadcast-postings
+    AllPairs shape is allowed ONLY on the provably-small local few-file
+    layout (the spread_small predicate) — the postings relation is
+    corpus-sized, so an unguarded broadcast would be a driver OOM at
+    scale, worse than the slow-but-graceful sort-merge join it replaced.
+    Under the byte-cap toggle (the same one production layouts hit) the
+    query must fall back to the original token self-join shape."""
+    require_spread(spark)
+    from cyclebane_spark.tables import SPREAD_MAX_BYTES_CONF
+
+    # small local layout: broadcast-postings shape, pair stream never
+    # crosses an exchange (the only exchanges are the spread + tok groupBy)
+    raw = raw_plan_of(spark, 'dedup_tf_cosine_pairs')
+    assert 'BroadcastHashJoin [tok' in raw, raw
+    assert 'REPARTITION_BY_NUM' in raw, raw
+
+    # layout not provably small (cap forced to 1 byte): the token
+    # self-join shape — the corpus-sized collect_list postings build and
+    # its FORCED broadcast are gone (the planner may still auto-broadcast
+    # the tok join at tiny SFs from its own size estimate; that choice is
+    # estimate-driven and reverts to sort-merge at scale, unlike a hint)
+    old = spark.conf.get(SPREAD_MAX_BYTES_CONF, None)
+    spark.conf.set(SPREAD_MAX_BYTES_CONF, '1')
+    try:
+        raw = raw_plan_of(spark, 'dedup_tf_cosine_pairs')
+        assert 'collect_list' not in raw, raw
+        assert 'filter(ps' not in raw, raw
+        assert re.search(r'Join \[tok#\d+\], \[tok#\d+\]', raw), raw
+    finally:
+        if old is None:
+            spark.conf.unset(SPREAD_MAX_BYTES_CONF)
+        else:
+            spark.conf.set(SPREAD_MAX_BYTES_CONF, old)
