@@ -97,6 +97,17 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     'events_cogroup_asof_pandas',
     'pipeline_clean_corpus',
     'text_bigram_lm_score',
+    # r12 optimization: spread_small before the heavy numpy decode loops
+    # (measured keep; the six cheap-header siblings measured slower and
+    # were reverted — OPTIMIZATION_r12.md batch 2)
+    'multimodal_resize_pixels',
+    'multimodal_scene_cuts',
+    # r12 optimization: hamming-verify before the pair distinct (shuffle
+    # fewer bytes at scale; locally flat, results identical)
+    'multimodal_phash_dedup',
+    # r12 optimization: spread_batch before the per-batch band fold in
+    # _near_dup_step (10.4s -> 3.5s at sf0.1)
+    'stream_near_dup_filter',
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
@@ -108,26 +119,31 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
 # slot somewhere in the first 50; tier-4 backfill must be stalest-first.
 # Round-12 rotation: no driver-red rows (r11 was 50/50 green), no
 # never-seen registrations (every name has been sampled by r11). Required
-# tier 2 = the 13 _CHANGED_THIS_ROUND rows (the r11 overflow nine + the
-# four unflagged snapshot-commit changes — VERDICT r11 #1), which head
-# the window stalest-first; the remaining 37 slots backfill the stalest
+# tier 2 = the _CHANGED_THIS_ROUND rows (r11 overflow nine + the four
+# unflagged snapshot-commit changes + this round's r12 changes), which
+# head the window stalest-first; the remaining slots backfill the stalest
 # driver-green signal, the alphabetical prefix of the 42-row r6 cohort.
 # Regenerate with tools/rotate_window.py after any change to
 # _CHANGED_THIS_ROUND.
 _PRIORITY = (
-    # changed since green, newest driver green r8
+    # changed since green, newest driver green r7
+    'multimodal_phash_dedup',
+    # r8
+    'multimodal_resize_pixels',
     'pipeline_clean_corpus',
     # r9
     'events_cogroup_asof_pandas',
     # r10
     'dedup_tf_cosine_pairs',
     'graph_label_propagation',
+    'multimodal_scene_cuts',
     'pipeline_cluster_balanced_sample',
     'pipeline_entity_resolution',
     'q1_pricing_summary',
     'quality_source_overlap',
     'quality_source_overlap_hll',
     'sketch_cms_frequency',
+    'stream_near_dup_filter',
     'text_bigram_lm_score',
     'text_unigram_segment',
     'text_unigram_train_step',
@@ -165,10 +181,6 @@ _PRIORITY = (
     'sql_interface_q10',
     'subquery_correlated_avg',
     'subquery_exists_priority',
-    'subquery_scalar_avg',
-    'topk_orders',
-    'unpivot_lineitem_measures',
-    'window_analytics_suite',
 )
 
 

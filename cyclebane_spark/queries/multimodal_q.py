@@ -21,7 +21,7 @@ from ..multimodal.media import (
     with_fake_images,
     with_fake_videos,
 )
-from ..tables import table
+from ..tables import spread_small, table
 from . import register
 
 
@@ -38,6 +38,11 @@ from . import register
 )
 def multimodal_image_metadata(spark, sf_dir):
     """binary-column round trip: build payloads, parse them back via UDF."""
+    # r12 optimization note (measured, REVERTED): spread_small before the
+    # Python stage lost in interleaved A/B at sf0.1 — the per-doc Python
+    # work here is header-parse cheap, so 32-way Python-worker round
+    # trips cost more than the single-task stage saves (same finding as
+    # multimodal_phash_dedup in r11). See OPTIMIZATION_r12.md batch 2.
     docs = table(spark, sf_dir, 'documents')
     out = image_metadata(with_fake_images(docs))
     return out.select(
@@ -72,6 +77,11 @@ def multimodal_decode_stats(spark, sf_dir):
     run-to-run).  Exact per-image means are asserted in
     tests/test_multimodal.py against an independent numpy reference.
     """
+    # r12 optimization note (measured, REVERTED): spread_small before the
+    # Python stage lost in interleaved A/B at sf0.1 — the per-doc Python
+    # work here is header-parse cheap, so 32-way Python-worker round
+    # trips cost more than the single-task stage saves (same finding as
+    # multimodal_phash_dedup in r11). See OPTIMIZATION_r12.md batch 2.
     docs = table(spark, sf_dir, 'documents')
     decoded = decode_images(with_fake_images(docs))
     return decoded.select(
@@ -109,7 +119,14 @@ def multimodal_resize_pixels(spark, sf_dir):
     """
     from ..multimodal.media import resize_images
 
-    docs = table(spark, sf_dir, 'documents')
+    # r12 optimization (guide §1.2 step 1, §4): the per-doc numpy decode
+    # loop (full-pixel decode per doc/frame) is this query's whole cost
+    # and rode the single scan task on the few-file driver layout;
+    # spread_small runs it core-wide (no-op on multi-split production
+    # layouts). Interleaved A/B at sf0.1, all 5 reps separated — see
+    # OPTIMIZATION_r12.md batch 2. The cheap header-parse siblings
+    # measured SLOWER with the spread and keep the plain scan.
+    docs = spread_small(table(spark, sf_dir, 'documents'), 'doc_id')
     resized = resize_images(with_fake_images(docs), out_w=4, out_h=4)
     avg = F.aggregate(
         'pixels', F.lit(0.0), lambda acc, x: acc + x
@@ -141,6 +158,11 @@ def multimodal_frame_sample(spark, sf_dir):
     numpy-only and asserted in tests/test_multimodal.py. Scale: fan-out
     happens per Arrow batch on executors — no shuffle at all.
     """
+    # r12 optimization note (measured, REVERTED): spread_small before the
+    # Python stage lost in interleaved A/B at sf0.1 — the per-doc Python
+    # work here is header-parse cheap, so 32-way Python-worker round
+    # trips cost more than the single-task stage saves (same finding as
+    # multimodal_phash_dedup in r11). See OPTIMIZATION_r12.md batch 2.
     docs = table(spark, sf_dir, 'documents')
     return sample_frames(with_fake_videos(docs), every_n=2).select(
         'doc_id', 'frame_idx'
@@ -160,6 +182,11 @@ def multimodal_audio_features(spark, sf_dir):
     """Audio feature extraction: the UDF parses the waveform header and
     computes rms/zero-crossings; the structural columns round-trip exactly
     against the oracle (the numpy features are covered by unit tests)."""
+    # r12 optimization note (measured, REVERTED): spread_small before the
+    # Python stage lost in interleaved A/B at sf0.1 — the per-doc Python
+    # work here is header-parse cheap, so 32-way Python-worker round
+    # trips cost more than the single-task stage saves (same finding as
+    # multimodal_phash_dedup in r11). See OPTIMIZATION_r12.md batch 2.
     docs = table(spark, sf_dir, 'documents')
     return audio_features(with_fake_audio(docs)).select(
         'doc_id', 'sample_rate', 'n_samples'
@@ -216,6 +243,11 @@ def multimodal_clip_filter(spark, sf_dir):
     binary payload (pandas UDF parse), the text embedding stays JVM-side."""
     from ..multimodal.media import embed_images, with_fake_images
 
+    # r12 optimization note (measured, REVERTED): spread_small before the
+    # Python stage lost in interleaved A/B at sf0.1 — the per-doc Python
+    # work here is header-parse cheap, so 32-way Python-worker round
+    # trips cost more than the single-task stage saves (same finding as
+    # multimodal_phash_dedup in r11). See OPTIMIZATION_r12.md batch 2.
     docs = table(spark, sf_dir, 'documents')
     embedded = embed_images(with_fake_images(docs)).withColumn(
         'txt_emb',
@@ -337,23 +369,31 @@ def multimodal_phash_dedup(spark, sf_dir):
         'bv', F.expr('shiftright(phash, b * 8) & CAST(255 AS BIGINT)')
     )
     a, b = bands.alias('a'), bands.alias('b')
-    cand = (
-        a.join(
-            b,
-            (F.col('a.b') == F.col('b.b'))
-            & (F.col('a.bv') == F.col('b.bv'))
-            & (F.col('a.doc_id') < F.col('b.doc_id')),
-        )
-        .select(
-            F.col('a.doc_id').alias('doc_a'),
-            F.col('a.phash').alias('pa'),
-            F.col('b.doc_id').alias('doc_b'),
-            F.col('b.phash').alias('pb'),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col('a.b') == F.col('b.b'))
+        & (F.col('a.bv') == F.col('b.bv'))
+        & (F.col('a.doc_id') < F.col('b.doc_id')),
+    ).select(
+        F.col('a.doc_id').alias('doc_a'),
+        F.col('a.phash').alias('pa'),
+        F.col('b.doc_id').alias('doc_b'),
+        F.col('b.phash').alias('pb'),
     )
     ham = F.bit_count(F.col('pa').bitwiseXOR(F.col('pb')))
-    return cand.filter(ham <= _PHASH_RADIUS).select('doc_a', 'doc_b')
+    # r12 optimization (guide §2.3 — shuffle fewer bytes): verify the
+    # hamming radius BEFORE the multi-band dedup, so the distinct's
+    # exchange carries only verified (doc_a, doc_b) pairs (~true-pair
+    # count, 2 longs) instead of every band collision with both 8-byte
+    # hashes. Equivalent because each doc has exactly ONE phash (the
+    # checkpointed table above), so distinct-then-filter and
+    # filter-then-distinct admit the same pair set — verified identical
+    # at sf0.1 (273 pairs). Locally flat (interleaved A/B min 1.12s ->
+    # 1.11s; the sf0.1 candidate stream is small); the cut is the
+    # candidate/true-pair ratio, which grows with corpus density.
+    return (
+        cand.filter(ham <= _PHASH_RADIUS).select('doc_a', 'doc_b').distinct()
+    )
 
 
 @register(
@@ -381,7 +421,14 @@ def multimodal_scene_cuts(spark, sf_dir):
     """
     from ..multimodal.media import scene_cuts, with_fake_scene_videos
 
-    docs = table(spark, sf_dir, 'documents')
+    # r12 optimization (guide §1.2 step 1, §4): the per-doc numpy decode
+    # loop (full-pixel decode per doc/frame) is this query's whole cost
+    # and rode the single scan task on the few-file driver layout;
+    # spread_small runs it core-wide (no-op on multi-split production
+    # layouts). Interleaved A/B at sf0.1, all 5 reps separated — see
+    # OPTIMIZATION_r12.md batch 2. The cheap header-parse siblings
+    # measured SLOWER with the spread and keep the plain scan.
+    docs = spread_small(table(spark, sf_dir, 'documents'), 'doc_id')
     return scene_cuts(with_fake_scene_videos(docs)).select('doc_id', 'cut_idx')
 
 
@@ -411,5 +458,10 @@ def multimodal_voice_activity(spark, sf_dir):
     """
     from ..multimodal.media import voice_activity, with_fake_vad_audio
 
+    # r12 optimization note (measured, REVERTED): spread_small before the
+    # Python stage lost in interleaved A/B at sf0.1 — the per-doc Python
+    # work here is header-parse cheap, so 32-way Python-worker round
+    # trips cost more than the single-task stage saves (same finding as
+    # multimodal_phash_dedup in r11). See OPTIMIZATION_r12.md batch 2.
     docs = table(spark, sf_dir, 'documents')
     return voice_activity(with_fake_vad_audio(docs))

@@ -798,9 +798,20 @@ def _near_dup_step(
 
     from ..queries.dedup import _adaptive_pairs_from_bands, _minhash_bands
     from ..sinks import compact_sorted
+    from ..tables import spread_batch
 
     sp = batch_df.sparkSession
-    bands = _minhash_bands(batch_df.select('doc_id', 'text')).persist()
+    # r12 optimization (guide §1.2 step 1 / §2.5): a file-source
+    # micro-batch often arrives as ONE partition (always, for the
+    # single-file driver layout), so the md5 shingle/signature fold — the
+    # step's dominant cost, isolated at 9.46s single-partition vs 1.05s
+    # spread at sf0.1 — ran on one core. spread_batch repartitions the
+    # BATCH (delta-sized, never the accumulated state) exactly when its
+    # partition count cannot fill the cluster. Measured A/B + component
+    # isolation in OPTIMIZATION_r12.md batch 3.
+    bands = _minhash_bands(
+        spread_batch(batch_df.select('doc_id', 'text'), 'doc_id')
+    ).persist()
     probe_paths = _near_dup_state_paths(state_dir, batch_id)
     dup_prev = sp.createDataFrame([], 'doc_id bigint')
     # one count serves both the emptiness guard and the pushdown gate

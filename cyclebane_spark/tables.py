@@ -163,6 +163,43 @@ def spread_small(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(par, *key_cols)
 
 
+def spread_batch(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive spread for a STREAMING MICRO-BATCH DataFrame before
+    heavy per-row compute (the foreachBatch analog of :func:`spread_small`).
+
+    File-layout introspection is unavailable here — ``inputFiles()`` on a
+    foreachBatch DataFrame returns [] — but a micro-batch is by
+    construction DELTA-sized, so the repartition can never be the
+    full-input shuffle spread_small guards against; the risk is only a
+    pointless delta shuffle when the batch already arrives well
+    partitioned. The decision therefore keys on the batch's actual
+    partition count: fewer partitions than ``defaultParallelism`` (e.g.
+    the common one-file-per-trigger landing pattern, or this repo's
+    single-file driver layout) -> hash-repartition to parallelism so the
+    per-row work fills the cluster; otherwise the plan is untouched. This
+    is guide §2.5's "one huge unsplittable file -> repartition immediately
+    after the read", scoped to the batch.
+
+    Honors the same ``spark.cyclebane.spread.maxBytes`` kill-switch as
+    spread_small (a value <= 1 disables every spread helper — the A/B
+    toggle used by tests and measurements).
+    """
+    spark = df.sparkSession
+    max_bytes = int(
+        spark.conf.get(SPREAD_MAX_BYTES_CONF, str(SPREAD_MAX_BYTES_DEFAULT))
+    )
+    if max_bytes <= 1:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= par:
+        return df
+    return df.repartition(par, *key_cols)
+
+
 def spread_cluster(df: DataFrame, *key_cols: str) -> DataFrame:
     """Like :func:`spread_small`, but for call sites that need the exchange
     on EVERY layout — a materialization barrier (tokenize-once before an

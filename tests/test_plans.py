@@ -1303,3 +1303,34 @@ def test_tf_cosine_pairs_broadcast_guarded_by_layout(spark):
             spark.conf.unset(SPREAD_MAX_BYTES_CONF)
         else:
             spark.conf.set(SPREAD_MAX_BYTES_CONF, old)
+
+
+def test_spread_batch_keys_on_partition_count(spark):
+    """spread_batch (r12): the micro-batch spread must key on the batch's
+    ACTUAL partition count (file layout is invisible in foreachBatch —
+    inputFiles() is empty there): under-partitioned -> repartition to
+    defaultParallelism, already-wide -> untouched, kill-switch conf ->
+    untouched."""
+    require_spread(spark)
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.tables import SPREAD_MAX_BYTES_CONF, spread_batch
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(0, 1000).coalesce(1).withColumn('k', F.col('id') % 97)
+    spread = spread_batch(one, 'k')
+    assert spread is not one
+    assert spread.rdd.getNumPartitions() == par
+
+    wide = spark.range(0, 1000).repartition(par, 'id')
+    assert spread_batch(wide, 'id') is wide
+
+    old = spark.conf.get(SPREAD_MAX_BYTES_CONF, None)
+    spark.conf.set(SPREAD_MAX_BYTES_CONF, '1')
+    try:
+        assert spread_batch(one, 'k') is one
+    finally:
+        if old is None:
+            spark.conf.unset(SPREAD_MAX_BYTES_CONF)
+        else:
+            spark.conf.set(SPREAD_MAX_BYTES_CONF, old)
