@@ -108,6 +108,16 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # r12 optimization: spread_batch before the per-batch band fold in
     # _near_dup_step (10.4s -> 3.5s at sf0.1)
     'stream_near_dup_filter',
+    # r12 optimization: layout-gated AQE-elastic edge repartition in
+    # _connected_components (shared helper — every CC consumer flagged;
+    # pipeline_entity_resolution / pipeline_cluster_balanced_sample
+    # already hold slots above)
+    'dedup_connected_components',
+    'pipeline_leakage_safe_split',
+    'pipeline_embedding_clusters',
+    'dedup_cluster_representatives',
+    'dedup_cc_incremental',
+    'dedup_bcubed_eval',
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
@@ -147,6 +157,13 @@ _PRIORITY = (
     'text_bigram_lm_score',
     'text_unigram_segment',
     'text_unigram_train_step',
+    # r11 (this round's CC shared-helper change)
+    'dedup_bcubed_eval',
+    'dedup_cc_incremental',
+    'dedup_cluster_representatives',
+    'dedup_connected_components',
+    'pipeline_embedding_clusters',
+    'pipeline_leakage_safe_split',
     # stalest-green backfill (r6 cohort, alphabetical prefix)
     'ann_ivf_blocked_topk',
     'ann_rp_lsh_topk',
@@ -177,10 +194,6 @@ _PRIORITY = (
     'scalar_functions',
     'setop_union_intersect',
     'skew_salted_agg',
-    'sql_interface_portable',
-    'sql_interface_q10',
-    'subquery_correlated_avg',
-    'subquery_exists_priority',
 )
 
 

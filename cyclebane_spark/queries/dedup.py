@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from .. import functions as _CF
-from ..tables import spread_cluster, spread_small, table
+from ..tables import provably_small, spread_cluster, spread_small, table
 from . import register
 
 N_PERM = 16
@@ -467,7 +467,22 @@ def _connected_components(
 
     fwd = pairs.select(F.col(a).alias('s'), F.col(b).alias('d'))
     rev = pairs.select(F.col(b).alias('s'), F.col(a).alias('d'))
-    edges = fwd.union(rev).localCheckpoint()
+    edges = fwd.union(rev)
+    if provably_small(edges):
+        # r12 optimization (guide §1.2 step 2 — per-round fixed cost): on
+        # the small local layout the unioned edge list checkpoints as
+        # 2 x shuffle.partitions map partitions, so EVERY round schedules
+        # ~100+ tiny tasks over a few-hundred-row edge list; an
+        # AQE-elastic repartition lets the coalescer shrink the
+        # checkpoint to a handful of partitions (pipeline_embedding_
+        # clusters CC stage: 2.38s -> 1.71s best-of-5 at sf0.1,
+        # identical labels). Layout-gated OFF at scale: the repartition
+        # would be one extra full-edge shuffle there, and a pinned-count
+        # variant cannot pay it back — localCheckpoint does not preserve
+        # outputPartitioning, so no per-round exchange is ever elided
+        # (verified empirically; see OPTIMIZATION_r12.md batch 4).
+        edges = edges.repartition('d')
+    edges = edges.localCheckpoint()
     labels = nodes.select(
         F.col(node_col).alias('doc_id'), F.col(node_col).alias('cluster_id')
     )

@@ -108,28 +108,14 @@ SPREAD_MAX_BYTES_CONF = 'spark.cyclebane.spread.maxBytes'
 SPREAD_MAX_BYTES_DEFAULT = 1 << 30
 
 
-def spread_small(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Scale-adaptive scan spread: hash-repartition a SMALL, few-file input
-    to ``defaultParallelism`` so per-row compute (decimal aggregation, md5
-    signatures, shingling) runs on every core instead of the one task a
-    single-row-group file yields.
-
-    Strictly a no-op (``df`` returned unchanged, no plan node added) when
-    the input already arrives as >= parallelism files, exceeds the byte
-    cap, or is not locally sizable — i.e. in every production layout. The
-    round-11 measurement behind it: the sf0.1 driver tables are single
-    parquet files with ONE row group, so file splitting cannot parallelize
-    the scan (all rows land on the task holding the row-group midpoint) and
-    a scan-dominated aggregation runs one core while 31 idle; q1 measured
-    1.36s -> 0.75s and the param sweep 2.03s -> 1.13s at sf0.1 with the
-    spread, while the synthesized 32-part sf1 tables take the no-op path
-    (their scans are already core-wide, and the exchange this helper would
-    add is pure overhead there — measured, see OPTIMIZATION_r11.md).
-
-    ``key_cols`` should be a high-cardinality deterministic key (hash
-    repartition; deterministic under task retries, unlike round-robin which
-    also pays a local sort — SPARK-23207/38388, optimization guide §2.5).
-    """
+def provably_small(df: DataFrame) -> bool:
+    """True iff ``df``'s input layout is PROVABLY small and local: fewer
+    files than ``defaultParallelism``, every file a stat-able ``file:``
+    path, total bytes within ``spark.cyclebane.spread.maxBytes``. False on
+    any doubt (remote storage, un-statable paths, no file info — e.g. a
+    foreachBatch DataFrame, whose ``inputFiles()`` is empty) — i.e. false
+    in every production layout, so callers can key layout-only plan
+    adjustments on it without ever touching the plan at scale."""
     import os
 
     sc = df.sparkSession.sparkContext
@@ -137,9 +123,9 @@ def spread_small(df: DataFrame, *key_cols: str) -> DataFrame:
     try:
         files = df.inputFiles()
     except Exception:
-        return df
+        return False
     if not files or len(files) >= par:
-        return df
+        return False
     max_bytes = int(
         df.sparkSession.conf.get(
             SPREAD_MAX_BYTES_CONF, str(SPREAD_MAX_BYTES_DEFAULT)
@@ -150,17 +136,45 @@ def spread_small(df: DataFrame, *key_cols: str) -> DataFrame:
     total = 0
     for f in files:
         if not f.startswith('file:'):
-            return df  # remote storage: never add a full-input exchange
+            return False  # remote storage: never add a full-input exchange
         try:
             # inputFiles() returns Hadoop URIs — percent-decode so paths
             # with spaces/% still stat (an OSError here would silently
             # disable the spread)
             total += os.path.getsize(unquote(f[len('file:'):]))
         except OSError:
-            return df
+            return False
         if total > max_bytes:
-            return df
-    return df.repartition(par, *key_cols)
+            return False
+    return True
+
+
+def spread_small(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive scan spread: hash-repartition a SMALL, few-file input
+    to ``defaultParallelism`` so per-row compute (decimal aggregation, md5
+    signatures, shingling) runs on every core instead of the one task a
+    single-row-group file yields.
+
+    Strictly a no-op (``df`` returned unchanged, no plan node added) when
+    the input already arrives as >= parallelism files, exceeds the byte
+    cap, or is not locally sizable — i.e. in every production layout (the
+    :func:`provably_small` predicate). The round-11 measurement behind it:
+    the sf0.1 driver tables are single parquet files with ONE row group,
+    so file splitting cannot parallelize the scan (all rows land on the
+    task holding the row-group midpoint) and a scan-dominated aggregation
+    runs one core while 31 idle; q1 measured 1.36s -> 0.75s and the param
+    sweep 2.03s -> 1.13s at sf0.1 with the spread, while the synthesized
+    32-part sf1 tables take the no-op path (their scans are already
+    core-wide, and the exchange this helper would add is pure overhead
+    there — measured, see OPTIMIZATION_r11.md).
+
+    ``key_cols`` should be a high-cardinality deterministic key (hash
+    repartition; deterministic under task retries, unlike round-robin which
+    also pays a local sort — SPARK-23207/38388, optimization guide §2.5).
+    """
+    if not provably_small(df):
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *key_cols)
 
 
 def spread_batch(df: DataFrame, *key_cols: str) -> DataFrame:

@@ -1334,3 +1334,41 @@ def test_spread_batch_keys_on_partition_count(spark):
             spark.conf.unset(SPREAD_MAX_BYTES_CONF)
         else:
             spark.conf.set(SPREAD_MAX_BYTES_CONF, old)
+
+
+def test_provably_small_predicate(spark, tmp_path):
+    """provably_small (r12): the layout predicate extracted from
+    spread_small — True only for a local few-file under-cap input; False
+    on multi-file layouts, over the byte cap, and where no file info
+    exists (the production / foreachBatch cases)."""
+    require_spread(spark)
+    import pyspark.sql.functions as F
+
+    from cyclebane_spark.tables import SPREAD_MAX_BYTES_CONF, provably_small
+
+    par = spark.sparkContext.defaultParallelism
+    single = str(tmp_path / 'single')
+    spark.range(0, 1000).coalesce(1).write.mode('overwrite').parquet(single)
+    one = spark.read.parquet(single)
+    assert provably_small(one)
+    # a derived plan keeps the same input files -> still provable
+    assert provably_small(one.select((F.col('id') % 7).alias('k')))
+
+    many_path = str(tmp_path / 'many')
+    spark.range(0, 10_000).repartition(max(par, 2)).write.mode(
+        'overwrite'
+    ).parquet(many_path)
+    assert not provably_small(spark.read.parquet(many_path))
+
+    # no file info (e.g. a foreachBatch batch DataFrame): not provable
+    assert not provably_small(spark.range(0, 10))
+
+    old = spark.conf.get(SPREAD_MAX_BYTES_CONF, None)
+    spark.conf.set(SPREAD_MAX_BYTES_CONF, '1')
+    try:
+        assert not provably_small(one)
+    finally:
+        if old is None:
+            spark.conf.unset(SPREAD_MAX_BYTES_CONF)
+        else:
+            spark.conf.set(SPREAD_MAX_BYTES_CONF, old)
