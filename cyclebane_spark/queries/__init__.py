@@ -118,6 +118,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     'dedup_cluster_representatives',
     'dedup_cc_incremental',
     'dedup_bcubed_eval',
+    # r12 optimization: overlapped replay-landing writes in
+    # late_replay_dir (guide 2.6); audit 3.32->2.91s, backfill
+    # 3.80->3.39s interleaved A/B at sf0.1
+    'stream_late_data_audit',
+    'stream_late_backfill_merge',
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
@@ -143,6 +148,8 @@ _PRIORITY = (
     'pipeline_clean_corpus',
     # r9
     'events_cogroup_asof_pandas',
+    'stream_late_backfill_merge',
+    'stream_late_data_audit',
     # r10
     'dedup_tf_cosine_pairs',
     'graph_label_propagation',
@@ -192,8 +199,6 @@ _PRIORITY = (
     'sample_hash_based',
     'sample_stratified',
     'scalar_functions',
-    'setop_union_intersect',
-    'skew_salted_agg',
 )
 
 

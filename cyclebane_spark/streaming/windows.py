@@ -177,11 +177,23 @@ def late_replay_dir(
         ('b3_stragglers', straggler),
     )
     land = scratch_dir('cb_late_replay', sf_dir + variant, wipe=True)
-    for i, (name, pred) in enumerate(subsets):
-        # file order = replay order
+    # r12 optimization (guide §2.6 — overlap independent jobs): the three
+    # subset writes are independent single-file jobs whose replay order is
+    # fixed by the explicitly-set mtimes, not by completion order, so they
+    # can run concurrently from driver threads and back-fill each other's
+    # idle capacity. Measured: replay build 1.07s -> 0.41s at sf0.1;
+    # query-level interleaved A/B (serial pool vs this) 3.32 -> 2.91s
+    # (audit) and 3.80 -> 3.39s (backfill), all reps separated.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(args):
+        i, (name, pred) = args
         write_mtime_ordered_file(
             tagged.filter(pred).drop('t0', 't1'), land, name, i
         )
+
+    with ThreadPoolExecutor(max_workers=len(subsets)) as pool:
+        list(pool.map(write_one, enumerate(subsets)))
     return land
 
 
