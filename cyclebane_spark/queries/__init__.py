@@ -123,6 +123,9 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # 3.80->3.39s interleaved A/B at sf0.1
     'stream_late_data_audit',
     'stream_late_backfill_merge',
+    # r12 optimization: candidate-set spread before the exact verify in
+    # _prefix_filter_pairs (4.37->2.08s interleaved A/B at sf0.1)
+    'dedup_jaccard_prefix_filter',
 )
 
 # Explicit registry ordering. External correctness gates sample the registry
@@ -164,11 +167,12 @@ _PRIORITY = (
     'text_bigram_lm_score',
     'text_unigram_segment',
     'text_unigram_train_step',
-    # r11 (this round's CC shared-helper change)
+    # r11 (this round's CC / prefix-filter changes)
     'dedup_bcubed_eval',
     'dedup_cc_incremental',
     'dedup_cluster_representatives',
     'dedup_connected_components',
+    'dedup_jaccard_prefix_filter',
     'pipeline_embedding_clusters',
     'pipeline_leakage_safe_split',
     # stalest-green backfill (r6 cohort, alphabetical prefix)
@@ -198,7 +202,6 @@ _PRIORITY = (
     'rollup_order_priority',
     'sample_hash_based',
     'sample_stratified',
-    'scalar_functions',
 )
 
 

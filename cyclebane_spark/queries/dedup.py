@@ -1299,6 +1299,15 @@ def _prefix_filter_pairs(docs, t: float):
         )
         .distinct()
     )
+    # r12 optimization (guide §1.2 step 1): on the small local layout the
+    # per-doc set tables broadcast, so the exact verification — an
+    # array_intersect over every surviving candidate pair — runs fused
+    # into the candidate distinct's AQE-coalesced output (measured 4 of
+    # 32 partitions at sf0.1, the stage being the query's dominant cost).
+    # spread_small pins the verify stage core-wide there (4.37s -> 2.08s
+    # interleaved A/B, identical pairs); on production layouts it no-ops
+    # and the verify joins shuffle-cluster by doc id as before.
+    cand = spread_small(cand, 'doc_a', 'doc_b')
 
     sets = sh.groupBy('doc_id').agg(
         F.collect_list('s').alias('arr'), F.count(F.lit(1)).alias('n')
